@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing for the driver-contract query packs.
+  *
+  * Determinism conventions (the driver hash-compares against DuckDB):
+  *  - Every query ends in an explicit ORDER BY present in both dialects.
+  *  - Money-like exact decimals are integerized *before* aggregation
+  *    (`sum(round(x*100))` — integer-valued doubles sum exactly in any
+  *    order), making sums bit-identical across engines.
+  *  - Means are emitted as `round(1000 * exact_integer_sum / count)` so the
+  *    division is a single deterministic IEEE op.
+  *  - Continuous statistics (stddev, interpolation, trig) are emitted as
+  *    `round(x * 10^k) :: BIGINT`; both engines round doubles
+  *    half-away-from-zero and boundary collisions are measure-zero.
+  *  - Timestamps are reduced to integer epoch micros (`unix_micros` /
+  *    `epoch_us`) — both engines floor parquet ns to us identically.
+  */
+object Common {
+  type Q = (SparkSession, String) => DataFrame
+
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS): Spark 4 reads it only as a
+    // nanosecond BIGINT behind this legacy flag (dynamic SQLConf).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** The events table with `ts_us`: epoch micros as BIGINT, the exact value
+    * DuckDB's `epoch_us(ts)` yields after its own ns->us floor — the shared
+    * time axis for every oracle-checked temporal query.
+    */
+  def events(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  /** Epoch microseconds as BIGINT (ntz-safe; for us/ms-precision columns). */
+  def epochUs(ts: Column): Column = unix_micros(ts.cast("timestamp"))
+
+  /** Continuous double -> fixed-point BIGINT at 10^scale. */
+  def fp(c: Column, scale: Int = 3): Column =
+    round(c * lit(math.pow(10, scale))).cast("long")
+
+  /** Exact integer sum of a k-decimal value: sum(round(x*10^k)) :: BIGINT. */
+  def intSum(c: Column, k: Int = 2): Column =
+    sum(round(c * lit(math.pow(10, k)))).cast("long")
+
+  /** Deterministic mean in milli-units of a k-decimal value. */
+  def exactMeanMilli(c: Column, k: Int = 2): Column =
+    round(lit(1000.0) * sum(round(c * lit(math.pow(10, k)))) /
+      lit(math.pow(10, k)) / count(c)).cast("long")
+
+  // SQL-side mirrors (DuckDB dialect, ANSI-portable).
+  def sqlFp(x: String, scale: Int = 3): String =
+    s"CAST(round(($x) * ${math.pow(10, scale)}) AS BIGINT)"
+  def sqlIntSum(x: String, k: Int = 2): String =
+    s"CAST(sum(round(($x) * ${math.pow(10, k)})) AS BIGINT)"
+  def sqlExactMeanMilli(x: String, k: Int = 2): String =
+    s"CAST(round(1000.0 * sum(round(($x) * ${math.pow(10, k)})) / ${math.pow(10, k)} / count($x)) AS BIGINT)"
+}

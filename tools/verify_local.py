@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Dev-only local replica of the driver's correctness gate (NOT part of the
+engine; the engine is pure Scala/Spark). Runs DuckDB on oracle_sql.json and
+compares each query's dumped parquet against the oracle result: same schema
+(sorted column names), same row count, same values (rows sorted by all
+columns). Usage:
+    python3 tools/verify_local.py <sfDir> <outDir>
+after running:  sbt "runMain graft.Verify <sfDir> <outDir>"
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), na_position="first",
+                            kind="mergesort").reset_index(drop=True)
+    return df
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracle = json.load(f)
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        got = pd.concat([pd.read_parquet(p) for p in files]) if files else pd.DataFrame()
+        if name not in oracle:
+            results[name] = f"NO-ORACLE rows={len(got)}"
+            continue
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-ERROR {e}"
+            continue
+        g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA-MISMATCH got={list(g.columns)} exp={list(e.columns)}"
+        elif len(g) != len(e):
+            results[name] = f"ROWCOUNT-MISMATCH got={len(g)} exp={len(e)}"
+        else:
+            try:
+                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+                results[name] = f"OK rows={len(g)}"
+            except AssertionError as ex:
+                neq = []
+                for c in g.columns:
+                    a, b = g[c], e[c]
+                    bad = ~((a == b) | (a.isna() & b.isna()))
+                    if bad.any():
+                        i = bad.idxmax()
+                        neq.append(f"{c}[{i}]: got={a[i]!r} exp={b[i]!r} ({int(bad.sum())} diffs)")
+                results[name] = "VALUE-MISMATCH " + "; ".join(neq[:3])
+    n_ok = sum(1 for v in results.values() if v.startswith("OK"))
+    n_no = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
+    for k, v in sorted(results.items()):
+        print(f"{'PASS' if v.startswith('OK') else 'INFO' if v.startswith('NO-ORACLE') else 'FAIL':5s} {k}: {v}")
+    print(f"\n{n_ok} ok, {n_no} rows-only, {len(results) - n_ok - n_no} failed, {len(results)} total")
+    return 0 if n_ok + n_no == len(results) else 1
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
