@@ -40,7 +40,10 @@ object SparkEntry {
   private val packs: Seq[(Map[String, Common.Q], Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.oracle),
     (WindowQueries.queries, WindowQueries.oracle),
-    (GridQueries.queries, GridQueries.oracle)
+    (GridQueries.queries, GridQueries.oracle),
+    (TextQueries.queries, TextQueries.oracle),
+    (DedupQueries.queries, DedupQueries.oracle),
+    (VectorQueries.queries, VectorQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, TextSql}
+import graft.operators.Dedup
+import Common._
+
+/** Deduplication operator surface over the documents table: exact
+  * hash-groupBy, MinHash+LSH banding with exact Jaccard verification on
+  * candidates, SimHash fingerprint buckets, and sampled n-gram Jaccard.
+  */
+object DedupQueries {
+
+  private val K = 16      // minhash signature length
+  private val BANDS = 8   // 8 bands x 2 rows
+
+  private val toksSql = TextSql.tokens("text")
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: content-hash groupBy, keeper = min id.
+    "q50_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("keeper")
+    }),
+
+    // MinHash (16 hashes) + LSH (8 bands x 2) candidates, exact shingle
+    // Jaccard on the candidate pairs only — the 100 TB-safe shape.
+    "q51_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text", K, BANDS)
+        .select(col("doc_a"), col("doc_b"), fp(col("jaccard")).as("jac_milli"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash fingerprint buckets (16-bit): collision groups.
+    "q52_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(table(s, dir, "documents"), "doc_id", "text", 16)
+        .groupBy("simhash").agg(count(lit(1)).as("n"), min("doc_id").as("first_doc"))
+        .orderBy("simhash")
+    }),
+
+    // Sampled n-gram (2-gram) Jaccard: anchors (doc_id % 20 == 0) against
+    // same-source documents — blocking bounds the pair count linearly.
+    "q53_ngram_jaccard" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      def prep(alias: String) = docs
+        .select(col("source"), col("doc_id").as(s"doc_$alias"),
+          array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as(s"sh_$alias"))
+      val a = prep("a").where(col("doc_a") % 20 === 0)
+      val b = prep("b")
+      val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+      a.join(b, "source")
+        .where(col("doc_a") < col("doc_b"))
+        .withColumn("jac",
+          inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))
+        .where(col("jac") > 0.0)
+        .select(col("doc_a"), col("doc_b"), fp(col("jac")).as("jac_milli"))
+        .orderBy("doc_a", "doc_b")
+    })
+  )
+
+  private def minhashSqlCte: String = {
+    val sigExprs = TextSql.minhashSigExprs("hs", K)
+      .mkString("[", ",\n            ", "]")
+    val rows = K / BANDS
+    val bandSig = (1 to rows)
+      .map(r => s"CAST(sig[b * $rows + $r] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        sh AS (SELECT doc_id, ${TextSql.shingles("toks")} AS sh FROM d WHERE len(toks) >= 3),
+        h AS (SELECT doc_id, sh, ${TextSql.hashedArray("sh")} AS hs FROM sh),
+        sig AS (SELECT doc_id, sh, $sigExprs AS sig FROM h),
+        bands AS (SELECT doc_id, b, $bandSig AS bsig
+                  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
+                  WHERE a.doc_id < b.doc_id),
+        dsh AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh)"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q50_dedup_exact" ->
+      s"""SELECT ${TextSql.hash48("text")} AS key_hash,
+          min(doc_id) AS keeper, count(*) AS n_docs
+          FROM documents GROUP BY 1 ORDER BY keeper""",
+
+    "q51_dedup_minhash_lsh" ->
+      s"""$minhashSqlCte
+          SELECT doc_a, doc_b,
+            CAST(round(1000.0 * (CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+              / (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds))))) AS BIGINT) AS jac_milli
+          FROM pairs
+          JOIN dsh sa ON sa.doc_id = doc_a
+          JOIN dsh sb ON sb.doc_id = doc_b
+          ORDER BY doc_a, doc_b""",
+
+    "q52_dedup_simhash" ->
+      s"""SELECT ${TextSql.simhash(s"list_transform(toks, s -> ${TextSql.hash48("s")})", 16)} AS simhash,
+          count(*) AS n, min(doc_id) AS first_doc
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+          GROUP BY 1 ORDER BY simhash""",
+
+    "q53_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, source,
+            list_distinct(${TextSql.shingles("toks", 2)}) AS ds
+          FROM (SELECT doc_id, source, $toksSql AS toks FROM documents))
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(round(1000.0 * (CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)
+              / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))))) AS BIGINT) AS jac_milli
+          FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE a.doc_id % 20 = 0
+            AND len(list_intersect(a.ds, b.ds)) > 0
+          ORDER BY doc_a, doc_b"""
+  )
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Text, TextSql}
+import Common._
+
+/** Text-analysis operators over the documents table: token counting
+  * (whitespace + BPE-ish regex), language-ID (stopword n-gram heuristic),
+  * quality scoring (length/punct/stopword ratios), and document
+  * fingerprinting (positional rolling hash + SimHash). All pure Column
+  * algebra — narrow maps, no shuffle except final aggregates.
+  */
+object TextQueries {
+
+  private val toksSql = TextSql.tokens("text")
+
+  val queries: Map[String, Q] = Map(
+    "q40_token_counts" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(Text.bpeTokens(col("text"))).cast("long").as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q41_langid" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(Text.langId(Text.tokens(col("text"))).as("lang_pred"))
+        .groupBy("lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang_pred")
+    }),
+
+    "q42_quality" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          fp(Text.qualityScore(col("text"), toks)).as("quality_milli"))
+        .orderBy("doc_id")
+    }),
+
+    "q43_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.fingerprint(Text.tokens(col("text"))).as("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    "q44_lang_stats" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          exactMeanMilli(size(Text.tokens(col("text"))), 0).as("avg_tokens_milli"),
+          exactMeanMilli(length(col("text")), 0).as("avg_chars_milli"))
+        .orderBy("lang")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q40_token_counts" ->
+      s"""SELECT doc_id,
+          CAST(len($toksSql) AS BIGINT) AS n_tokens,
+          CAST(len(${TextSql.bpeTokens("text")}) AS BIGINT) AS n_bpe
+          FROM documents ORDER BY doc_id""",
+
+    "q41_langid" ->
+      s"""SELECT ${TextSql.langId("toks")} AS lang_pred, count(*) AS n
+          FROM (SELECT $toksSql AS toks FROM documents)
+          GROUP BY 1 ORDER BY lang_pred""",
+
+    "q42_quality" ->
+      s"""SELECT doc_id,
+          ${sqlFp(TextSql.qualityScore("text", "toks"))} AS quality_milli
+          FROM (SELECT doc_id, text, $toksSql AS toks FROM documents)
+          ORDER BY doc_id""",
+
+    "q43_fingerprint" ->
+      s"""SELECT doc_id, ${TextSql.fingerprint("toks")} AS fingerprint
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+          ORDER BY doc_id""",
+
+    "q44_lang_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+          ${sqlExactMeanMilli(s"len($toksSql)", 0)} AS avg_tokens_milli,
+          ${sqlExactMeanMilli("length(text)", 0)} AS avg_chars_milli
+          FROM documents GROUP BY lang ORDER BY lang"""
+  )
+}

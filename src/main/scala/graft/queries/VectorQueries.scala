@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Vec, VecSql}
+import graft.operators.{Multimodal, Similarity}
+import Common._
+
+/** Similarity search over the embeddings table (brute-force cosine top-k
+  * baseline, sign-LSH bucketing as the scale path, sampled near-dup pairs)
+  * plus the multimodal binary-column pipeline.
+  */
+object VectorQueries {
+
+  private val DIM = 64
+  private val PLANES = 8
+
+  val queries: Map[String, Q] = Map(
+    // Brute-force ANN baseline: 8 broadcast queries x all candidates,
+    // exact cosine, top-5 per query.
+    "q55_ann_bruteforce" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.where(col("vec_id") < 8), e, 5)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Sign-LSH bucket histogram (the ANN scale path: deterministic
+    // md5-derived hyperplanes; bucket becomes the shuffle/partition key).
+    "q56_ann_lsh_buckets" -> ((s, dir) => {
+      Similarity.withLshBucket(table(s, dir, "embeddings"), PLANES, DIM)
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
+    // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
+    // top-1 most-similar pair per label.
+    "q57_embedding_neardup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.nearDupPairs(e.where(col("vec_id") % 5 === 0), "label")
+        .select(col("grp").cast("long").as("label"), col("id_a"), col("id_b"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("label")
+    }),
+
+    // Vector scalar functions: L2 norm and component mean per vector.
+    "q58_vector_norms" -> ((s, dir) => {
+      val v = Vec.asDouble(col("embedding"))
+      table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          fp(Vec.norm(v), 6).as("norm_micro"),
+          fp(Vec.dot(v, transform(v, _ => lit(1.0))) / DIM, 6).as("mean_micro"))
+        .orderBy("vec_id")
+    }),
+
+    // Multimodal: binary payload + typed metadata + batched partition-wise
+    // stub decode (real codec slot), emitting typed feature columns.
+    "q59_multimodal_decode" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Multimodal.decodeStub(Multimodal.attachPayload(docs, "doc_id", "text"))
+        .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height"))
+        .orderBy("doc_id")
+    })
+  )
+
+  private val vSql = VecSql.asDouble("embedding")
+
+  val oracle: Map[String, String] = Map(
+    "q55_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
+          c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
+          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                     FROM c, q WHERE vec_id <> q_id),
+          ranked AS (SELECT q_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+            ${sqlFp("cosine", 6)} AS cos_micro
+          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "q56_ann_lsh_buckets" ->
+      s"""SELECT ${VecSql.lshBucket("v", Vec.planes(PLANES, DIM))} AS bucket, count(*) AS n
+          FROM (SELECT $vSql AS v FROM embeddings)
+          GROUP BY 1 ORDER BY bucket""",
+
+    "q57_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, label, $vSql AS v FROM embeddings),
+          pairs AS (SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+                      ${VecSql.cosine("a.v", "b.v")} AS cosine
+                    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+                    WHERE a.vec_id % 5 = 0 AND b.vec_id % 5 = 0),
+          ranked AS (SELECT *, row_number() OVER (PARTITION BY label
+                       ORDER BY cosine DESC, id_a, id_b) AS rank FROM pairs)
+          SELECT CAST(label AS BIGINT) AS label, id_a, id_b,
+            ${sqlFp("cosine", 6)} AS cos_micro
+          FROM ranked WHERE rank = 1 ORDER BY label""",
+
+    "q58_vector_norms" ->
+      s"""SELECT vec_id,
+          ${sqlFp(VecSql.norm("v"), 6)} AS norm_micro,
+          ${sqlFp(s"${VecSql.dot("v", s"list_transform(v, x -> 1.0)")} / $DIM", 6)} AS mean_micro
+          FROM (SELECT vec_id, $vSql AS v FROM embeddings)
+          ORDER BY vec_id""",
+
+    "q59_multimodal_decode" ->
+      """WITH b AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+            CAST(list_sum(list_transform(range(1, strlen(text) + 1),
+              i -> ascii(substring(text, i, 1)))) AS BIGINT) AS byte_sum
+          FROM documents)
+          SELECT doc_id, n_bytes, byte_sum,
+            16 + byte_sum % 16 AS width,
+            16 + (byte_sum // 16) % 16 AS height
+          FROM b ORDER BY doc_id"""
+  )
+}

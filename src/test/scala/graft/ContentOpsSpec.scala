@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Text, Vec}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+class TextFunctionsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("langId picks the language with most stopword hits; und when none") {
+    val df = Seq(
+      "the cat sat on the mat and the dog",
+      "el perro y la casa de los gatos",
+      "xyzzy plugh qwerty").toDF("text")
+    val got = df.select(Text.langId(Text.tokens(col("text")))).as[String].collect()
+    assert(got.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq("a b c", "c b a", "a b c").toDF("text")
+    val got = df.select(Text.fingerprint(Text.tokens(col("text")))).as[Long].collect()
+    assert(got(0) == got(2) && got(0) != got(1))
+  }
+
+  test("shingles builds word n-grams with correct count") {
+    val df = Seq("a b c d e").toDF("text")
+    val got = df.select(Text.shingles(Text.tokens(col("text")), 3))
+      .as[Seq[String]].collect().head
+    assert(got == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("simhash of identical docs collides, different docs differ") {
+    val df = Seq((1L, "spark scala engine"), (2L, "spark scala engine"),
+      (3L, "entirely different words here")).toDF("doc_id", "text")
+    val got = Dedup.simhash(df, "doc_id", "text").orderBy("doc_id")
+      .select("simhash").as[Long].collect()
+    assert(got(0) == got(1) && got(0) != got(2))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+    (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near dup of 1
+    (4L, "one two three four five six seven eight")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under min-id keeper") {
+    val got = Dedup.exact(docs, "doc_id", "text").orderBy("keeper")
+      .select("keeper", "n_docs").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 16, 8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 1.0)
+    assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
+    pairs.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f), 0),
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("bruteForceTopK ranks by cosine descending") {
+    val got = Similarity.bruteForceTopK(vecs.where(col("vec_id") === 0), vecs, 3)
+      .orderBy("rank").select("vec_id").as[Long].collect()
+    assert(got.toSeq == Seq(1L, 2L, 3L)) // most->least similar to e_x
+  }
+
+  test("lsh buckets are deterministic and identical vectors share a bucket") {
+    val b = Similarity.withLshBucket(vecs.union(vecs), 4, 3)
+      .select("vec_id", "bucket").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(b.values.forall(_.size == 1)) // same vec -> same bucket, always
+  }
+
+  test("nearDupPairs returns the closest pair per group") {
+    val got = Similarity.nearDupPairs(vecs, "label")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 1L))) // label 1 has a single vec -> no pair
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("payload plumbing + batched stub decode roundtrips byte stats") {
+    val docs = Seq((7L, "abc")).toDF("doc_id", "text")
+    val out = Multimodal.decodeStub(Multimodal.attachPayload(docs, "doc_id", "text"))
+      .collect().head
+    assert(out.getAs[Long]("n_bytes") == 3L)
+    assert(out.getAs[Long]("byte_sum") == ('a' + 'b' + 'c').toLong)
+    assert(out.getAs[Seq[Double]]("features").sum == 3.0)
+  }
+
+  test("decode batches never exceed batchSize") {
+    val docs = (1 to 100).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
+    val out = Multimodal.decodeStub(Multimodal.attachPayload(docs, "doc_id", "text"), 8)
+    assert(out.count() == 100)
+  }
+}
