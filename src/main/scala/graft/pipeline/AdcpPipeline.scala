@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pipeline entry points mirroring the reference's three public
+  * compositions (process_adcp.py:2046-2083). Each stage is a lazy
+  * `DataFrame => DataFrame`; one Catalyst plan per entry point, actions
+  * only at the driver-side solves (heading calibration, shear-correction
+  * vectors, regrid ladder, bias coefficient) and the final sink.
+  */
+object AdcpPipeline {
+
+  /** shear_from_adcp (:2046-2057): glider-aligned, QC'd, regridded,
+    * 3-beam-solved, ENU-rotated shear per ping.
+    */
+  def shearFromAdcp(
+      adcpRaw: DataFrame, gliderRaw: DataFrame, opts: Options,
+      cellSize: Double, blankingDistance: Double,
+      solveHeading: Boolean = true): (DataFrame, DataFrame) = {
+    val glider = GliderStages.deriveGlider(gliderRaw)
+    var adcp = AdcpStages.align(adcpRaw, glider)
+    adcp = AdcpStages.remapDepth(opts)(adcp)
+    adcp = if (solveHeading) HeadingCorrection(opts)(adcp)
+           else HeadingCorrection.correctedHeading(opts,
+             HeadingCorrection.Calibration(
+               Array(1, 0, 0, 0, 1, 0, 0, 0, 1), Array(0, 0, 0), 0.0))(adcp)
+    adcp = AdcpStages.soundspeedCorrection(adcp)
+    adcp = AdcpStages.removeOutliers(opts)(adcp)
+    adcp = correctShear(opts)(adcp)
+    adcp = AdcpStages.backscatterCorrection(opts)(adcp)
+    adcp = AdcpStages.regrid(opts, cellSize, blankingDistance)(adcp)
+    adcp = AdcpStages.threeBeamXyz(opts)(adcp)
+    adcp = AdcpStages.enuAndShear(opts)(adcp)
+    (adcp, glider)
+  }
+
+  /** correct_shear composite (:771-784): XYZZ transform, optional per-axis
+    * shear-bias removal, inverse transform. X4..ZZ4 stay attached (used by
+    * the 3-beam speed-through-water and bias stages).
+    */
+  def correctShear(opts: Options)(adcp0: DataFrame): DataFrame = {
+    var adcp = AdcpStages.beamToXyzz(adcp0)
+    val toFix = Seq(
+      opts.correctZZshear -> "zz4", opts.correctZshear -> "z4",
+      opts.correctYshear -> "y4", opts.correctXshear -> "x4")
+    val anyFix = toFix.exists(_._1)
+    toFix.foreach { case (enabled, v) =>
+      if (enabled) adcp = AdcpStages.shearCorrection(v)(adcp)
+    }
+    if (anyFix) AdcpStages.xyzzToBeam(adcp) else adcp
+  }
+
+  /** grid_shear (:2060-2064): axes + gridded Sh_E/N/U + glider grids. */
+  def gridShear(adcp: DataFrame, glider: DataFrame, opts: Options): (DataFrame, GridOutput.Axes) = {
+    val ax = GridOutput.axes(glider, opts)
+    val shE = GridOutput.gridAdcpVar(adcp, ax, "sh_e")
+    val shN = GridOutput.gridAdcpVar(adcp, ax, "sh_n")
+    val shU = GridOutput.gridAdcpVar(adcp, ax, "sh_u")
+    val grid = shE
+      .join(shN, Seq("xbin", "ybin"), "full")
+      .join(shU, Seq("xbin", "ybin"), "full")
+    (grid, ax)
+  }
+
+  /** velocity_from_shear (:2067-2083): DAC + referencing + glider grids +
+    * bias solve + final dataset. `btRaw` optional bottom-track table.
+    */
+  def velocityFromShear(
+      adcp0: DataFrame, glider0: DataFrame, opts: Options,
+      btRaw: Option[DataFrame], spark: SparkSession): (DataFrame, GridOutput.Axes) = {
+    val glider = GliderStages.getDac(adcp0, glider0)
+    val adcp = btRaw match {
+      case Some(bt) => GliderStages.bottomTrack(opts)(adcp0, bt)
+      case None => adcp0
+    }
+    val ax = GridOutput.axes(glider, opts)
+
+    def vFor(letter: String): DataFrame = {
+      val sh = GridOutput.gridAdcpVar(adcp, ax, s"sh_$letter")
+      val v = GridOutput.integrateShear(sh, s"sh_$letter", opts.yRes)
+      val dac = GridOutput.gridGliderVar(glider, ax, s"dac_$letter")
+      val dpdz = GridOutput.gridGliderVar(glider, ax, "speed_vert")
+      GridOutput.referenceToDac(v, dac, dpdz, s"dac_$letter", opts.yRes)
+        .withColumnRenamed("v_final", s"ADCP_${letter.toUpperCase}")
+    }
+
+    val vE = vFor("e"); val vN = vFor("n")
+    val gridded = vE.join(vN, Seq("xbin", "ybin"), "full")
+      .join(GridOutput.gridGliderVar(glider, ax, "speed_e"), Seq("xbin", "ybin"), "full")
+      .join(GridOutput.gridGliderVar(glider, ax, "speed_n"), Seq("xbin", "ybin"), "full")
+      .join(GridOutput.gridGliderVar(glider, ax, "salinity"), Seq("xbin", "ybin"), "full")
+      .join(GridOutput.gridGliderVar(glider, ax, "temperature"), Seq("xbin", "ybin"), "full")
+      .join(GridOutput.gridGliderVar(glider, ax, "pressure"), Seq("xbin", "ybin"), "full")
+      .join(GridOutput.gridGliderVar(glider, ax, "date_float"), Seq("xbin", "ybin"), "full")
+
+    val biased = GridOutput.calcBias(gridded, spark)
+    (GridOutput.makeDataset(biased, glider, ax), ax)
+  }
+}

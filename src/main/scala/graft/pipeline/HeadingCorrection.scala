@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.core.Optimize
+
+/** Compass calibration + tilt-compensated heading
+  * (correct_heading / _heading_correction, process_adcp.py:313-460).
+  *
+  * The hard+soft-iron model `out = A(3x3) @ ([x,y,z] - B)` has 12 free
+  * coefficients solved by Nelder-Mead where each objective evaluation is the
+  * RMSD of the calibrated field magnitude against the geomagnetic target
+  * (the reference fetches the target from the BGS IGRF service driver-side;
+  * here it arrives via Options). The magnetometer triple is tiny (3 doubles
+  * per ping), so the objective follows the reference's effective execution:
+  * collect once, iterate in memory. For missions beyond driver RAM the same
+  * objective is expressible as a cached DataFrame aggregate (SURVEY.md
+  * §2.8) — swap `collectMag` for an agg-based closure.
+  */
+object HeadingCorrection {
+
+  final case class Calibration(a: Array[Double], b: Array[Double], rmsd: Double)
+
+  private def applyCal(c: Array[Double], x: Double, y: Double, z: Double): (Double, Double, Double) = {
+    val dx = x - c(9); val dy = y - c(10); val dz = z - c(11)
+    (c(0) * dx + c(1) * dy + c(2) * dz,
+      c(3) * dx + c(4) * dy + c(5) * dz,
+      c(6) * dx + c(7) * dy + c(8) * dz)
+  }
+
+  /** Solve the 12-coefficient calibration against the target field
+    * magnitude (milligauss), scipy-fmin defaults (process_adcp.py:389-397).
+    */
+  def solve(adcp: DataFrame, targetMilligauss: Double): Calibration = {
+    val mag = adcp.select("mag_x", "mag_y", "mag_z")
+      .na.drop()
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    def objective(c: Array[Double]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < mag.length) {
+        val (cx, cy, cz) = applyCal(c, mag(i)._1, mag(i)._2, mag(i)._3)
+        val d = math.sqrt(cx * cx + cy * cy + cz * cz) - targetMilligauss
+        s += d * d
+        i += 1
+      }
+      math.sqrt(s / mag.length)
+    }
+    val x0 = Array(1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0, 0, 0, 0)
+    val r = Optimize.nelderMead(objective, x0, maxIter = 2400, maxFun = 2400)
+    Calibration(r.x.take(9), r.x.drop(9), r.fx)
+  }
+
+  /** Tilt-compensated heading from the calibrated magnetometer
+    * (process_adcp.py:359-373): rot_x/rot_y pitch-roll compensation,
+    * heading = wrap(atan2d(rot_x, rot_y) - 90), then + declination.
+    * The mount sign flips y and z for top-mounted units (:341-343).
+    */
+  def correctedHeading(opts: Options, cal: Calibration)(adcp: DataFrame): DataFrame = {
+    val sign = if (opts.topMounted) -1.0 else 1.0
+    val c = cal.a; val b = cal.b
+    val dx = col("mag_x") - b(0)
+    val dy = col("mag_y") - b(1)
+    val dz = col("mag_z") - b(2)
+    val cx = lit(c(0)) * dx + lit(c(1)) * dy + lit(c(2)) * dz
+    val cy = (lit(c(3)) * dx + lit(c(4)) * dy + lit(c(5)) * dz) * sign
+    val cz = (lit(c(6)) * dx + lit(c(7)) * dy + lit(c(8)) * dz) * sign
+    val p = radians(col("pitch")); val r = radians(col("roll"))
+    val rotX = cx * cos(p) + cy * sin(r) * sin(p) + cz * cos(r) * sin(p)
+    val rotY = cy * cos(r) - cz * sin(r)
+    val hdg = pmod(degrees(atan2(rotX, rotY)) - 90.0 + 360.0, lit(360.0))
+    adcp
+      .withColumnRenamed("heading", "heading_old")
+      .withColumn("heading", pmod(hdg + col("declination") + 360.0, lit(360.0)))
+  }
+
+  /** Full stage: solve + apply. */
+  def apply(opts: Options)(adcp: DataFrame): DataFrame =
+    correctedHeading(opts, solve(adcp, opts.geomagTargetMilligauss))(adcp)
+}
