@@ -41,6 +41,7 @@ object SparkEntry {
     (RelationalQueries.queries, RelationalQueries.oracle),
     (WindowQueries.queries, WindowQueries.oracle),
     (GridQueries.queries, GridQueries.oracle),
+    (PipelineMathQueries.queries, PipelineMathQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
     (DedupQueries.queries, DedupQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle)

@@ -63,7 +63,9 @@ object Dedup {
     val sa = sigs.select(col(idCol).as("doc_a"), array_distinct(col("shingles")).as("__sa"))
     val sb = sigs.select(col(idCol).as("doc_b"), array_distinct(col("shingles")).as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
+    // LSH bounds the candidate-pair count, so pairs is the broadcastable
+    // side at any scale; the shingle tables stream with no shuffle.
+    broadcast(pairs).join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard",
         inter.cast("double") / (size(col("__sa")) + size(col("__sb")) - inter))
       .drop("__sa", "__sb")
@@ -72,7 +74,9 @@ object Dedup {
   /** End-to-end MinHash-LSH near-dup candidates with exact Jaccard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, nBands: Int = 8): DataFrame = {
-    val sigs = signatures(docs, idCol, textCol, k)
+    // signatures feed both the banding and the Jaccard verification;
+    // materialize once (one md5 pass over every shingle, the dominant cost)
+    val sigs = signatures(docs, idCol, textCol, k).cache()
     withJaccard(candidates(bands(sigs, idCol, k, nBands), idCol), sigs, idCol)
   }
 

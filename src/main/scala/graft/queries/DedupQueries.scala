@@ -48,7 +48,7 @@ object DedupQueries {
       val a = prep("a").where(col("doc_a") % 20 === 0)
       val b = prep("b")
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-      a.join(b, "source")
+      broadcast(a).join(b, "source")
         .where(col("doc_a") < col("doc_b"))
         .withColumn("jac",
           inter.cast("double") / (size(col("sh_a")) + size(col("sh_b")) - inter))

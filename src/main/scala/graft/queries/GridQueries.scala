@@ -83,6 +83,14 @@ object GridQueries {
         .orderBy("event_id")
     }),
 
+    // Tumbling event-time window (Structured Streaming surface, SURVEY.md
+    // §7.5): the exact transformation the streaming path runs, checked here
+    // in batch mode against the oracle — Spark's unified batch/stream API.
+    "q38_tumbling_window" -> ((s, dir) => {
+      graft.streaming.StreamingOps.tumblingStats(events(s, dir))
+        .orderBy("win_start_us", "event_type")
+    }),
+
     // Nearest as-of match (process_adcp.py:1503-1507): each click matched to
     // the temporally nearest error event per user; ties toward earlier.
     "q11_asof_nearest" -> ((s, dir) => {
@@ -157,6 +165,12 @@ object GridQueries {
           SELECT cells.xbin, cells.ybin, sparse.value
           FROM cells LEFT JOIN sparse USING (xbin, ybin)
           ORDER BY xbin, ybin""",
+
+    "q38_tumbling_window" ->
+      """SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS win_start_us,
+           event_type, count(*) AS n,
+           CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
+         FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
 
     "q10_interp_join" ->
       s"""${interpSql("view", "click", "value")}
