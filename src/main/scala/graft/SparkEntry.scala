@@ -44,7 +44,8 @@ object SparkEntry {
     (PipelineMathQueries.queries, PipelineMathQueries.oracle),
     (TextQueries.queries, TextQueries.oracle),
     (DedupQueries.queries, DedupQueries.oracle),
-    (VectorQueries.queries, VectorQueries.oracle)
+    (VectorQueries.queries, VectorQueries.oracle),
+    (ExtraRelationalQueries.queries, ExtraRelationalQueries.oracle)
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -186,8 +186,10 @@ object AdcpStages {
     val offsets = (0 until math.ceil((maxDistance + cellSize) / (cellSize / 2)).toInt)
       .map(_ * cellSize / 2 * opts.direction)
     val targets = typedLit(offsets)
+    // native Catalyst expression (StaticInvoke, codegen-friendly) — the
+    // UDF form lives in ArrayOps.interpToTargets for API completeness
     val withV = Schema.beams.foldLeft(adcp) { (df, b) =>
-      df.withColumn(s"v$b", ArrayOps.interpToTargets(
+      df.withColumn(s"v$b", graft.plans.NativeInterp.interpCol(adcp.sparkSession,
         transform(col(s"d$b"), dd => col("depth") - dd),
         col(s"vel$b"), targets))
     }

@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import Common._
+
+/** Remaining SURVEY.md §2.10 categories with no reference counterpart,
+  * exercised through the oracle: cube, grouping sets, exact + approximate
+  * distinct aggregation, string-function battery.
+  */
+object ExtraRelationalQueries {
+
+  val queries: Map[String, Q] = Map(
+    // cube over (event_type, parity) with grouping ids.
+    "q36_cube" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("parity", pmod(col("user_id"), lit(2)))
+        .cube("event_type", "parity")
+        .agg(count(lit(1)).as("n"), intSum(col("value"), 2).as("sum_cents"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("event_type").asc_nulls_first,
+          col("parity").asc_nulls_first)
+    }),
+
+    // explicit grouping sets via SQL (Dataset API exposes rollup/cube only).
+    "q37_grouping_sets" -> ((s, dir) => {
+      events(s, dir).createOrReplaceTempView("ev_gs")
+      s.sql("""
+        SELECT event_type, user_id % 2 AS parity, count(*) AS n,
+               CAST(grouping(event_type) * 2 + grouping(user_id % 2) AS BIGINT) AS gid
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (user_id % 2), ())
+        ORDER BY gid, event_type ASC NULLS FIRST, parity ASC NULLS FIRST""")
+    }),
+
+    // exact distinct aggregation (countDistinct).
+    "q39_distinct_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(floor(col("ts_us").cast("double") / 8.64e10).cast("long"))
+            .as("n_days"))
+        .orderBy("event_type")
+    }),
+
+    // approximate distinct (HLL) — engine-specific sketch, no cross-engine
+    // oracle; the driver records a rows-only check. Sanity bounds are
+    // asserted in the spec instead.
+    "q39b_approx_distinct" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
+    // string-function battery: case, trim/pad, substring, split, replace,
+    // position, concat — all ANSI-portable.
+    "q60_string_funcs" -> ((s, dir) => {
+      val t = col("p_type")
+      table(s, dir, "part").select(col("p_partkey"),
+          upper(t).as("up"),
+          substring(t, 1, 5).as("pre5"),
+          length(t).cast("long").as("len"),
+          regexp_replace(t, "[aeiou]", "_").as("devowel"),
+          instr(t, "a").cast("long").as("a_pos"),
+          concat_ws("|", col("p_brand"), t).as("joined"))
+        .orderBy("p_partkey")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q36_cube" ->
+      s"""SELECT event_type, user_id % 2 AS parity, count(*) AS n,
+          ${sqlIntSum("value", 2)} AS sum_cents,
+          CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 2) AS BIGINT) AS gid
+          FROM events
+          GROUP BY CUBE(event_type, user_id % 2)
+          ORDER BY gid, event_type ASC NULLS FIRST, parity ASC NULLS FIRST""",
+
+    "q37_grouping_sets" ->
+      """SELECT event_type, user_id % 2 AS parity, count(*) AS n,
+           CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 2) AS BIGINT) AS gid
+         FROM events
+         GROUP BY GROUPING SETS ((event_type), (user_id % 2), ())
+         ORDER BY gid, event_type ASC NULLS FIRST, parity ASC NULLS FIRST""",
+
+    "q39_distinct_agg" ->
+      """SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS n_days
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q60_string_funcs" ->
+      """SELECT p_partkey,
+           upper(p_type) AS up,
+           substring(p_type, 1, 5) AS pre5,
+           CAST(length(p_type) AS BIGINT) AS len,
+           regexp_replace(p_type, '[aeiou]', '_', 'g') AS devowel,
+           CAST(strpos(p_type, 'a') AS BIGINT) AS a_pos,
+           p_brand || '|' || p_type AS joined
+         FROM part ORDER BY p_partkey"""
+  )
+}
