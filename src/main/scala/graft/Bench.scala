@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (task scheduling, codegen compiler, parquet footers)
+    // so the first timed query doesn't absorb ~3s of one-time startup cost
+    spark.range(1000).selectExpr("sum(id)").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

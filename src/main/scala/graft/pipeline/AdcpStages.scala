@@ -57,6 +57,20 @@ object AdcpStages {
     }
   }
 
+  /** First-bin discard (notebook cell 48 / tests/test_adcp_processing.py:16
+    * `ADCP_discardFirstBins`): drop the first n range bins from every
+    * per-bin array.
+    */
+  def discardFirstBins(n: Int)(adcp: DataFrame): DataFrame =
+    if (n <= 0) adcp
+    else {
+      val arrayCols = Seq("ranges") ++
+        Schema.beams.flatMap(b => Seq(s"vel$b", s"corr$b", s"amp$b"))
+      arrayCols.foldLeft(adcp) { (df, c) =>
+        df.withColumn(c, slice(col(c), n + 1, Int.MaxValue))
+      }
+    }
+
   /** Soundspeed correction (process_adcp.py:464-475): V *= c_new/c_old,
     * with the reference's idempotence guard expressed as a schema check.
     */

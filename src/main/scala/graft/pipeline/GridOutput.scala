@@ -184,6 +184,12 @@ object GridOutput {
       .drop("bias_e", "bias_n")
   }
 
+  /** CSV export of the gridded output (the reference notebook's
+    * exportCSVfiles, ProcessADCPSeaExplorer.ipynb cell 103).
+    */
+  def exportCsv(ds: DataFrame, path: String): Unit =
+    ds.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
   /** Final dataset (make_dataset, :2029-2043): tall (xbin, ybin) grid with
     * one column per variable plus per-profile mean datetime.
     */

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Bins, Optimize, Windows}
+import graft.plans.NativeInterp
+
+/** Property-style tests for the core primitives (SURVEY.md §5 test plan):
+  * interp exactness on knots + linearity, cumsum/diff inversion, pd.cut
+  * containment, Nelder-Mead convergence — over seeded random cases
+  * (deterministic; scalatest+scalacheck bridge isn't in the offline cache,
+  * so cases are generated with a fixed-seed Random).
+  */
+class PropertySpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rng = new scala.util.Random(42)
+
+  test("interp is exact at knots and linear between them (50 random cases)") {
+    NativeInterp.register(spark)
+    val r = rng
+    val cases = (1 to 50).map { _ =>
+      val n = 2 + r.nextInt(10)
+      val xs = Seq.fill(n)(r.nextDouble() * 200 - 100).distinct.sorted
+      val ys = xs.map(_ => r.nextDouble() * 20 - 10)
+      (xs, ys)
+    }
+    val df = cases.map { case (xs, ys) =>
+      val mids = xs.zip(xs.tail).map { case (a, b) => (a + b) / 2 }
+      (xs, ys, xs ++ mids)
+    }.toDF("xs", "ys", "t")
+    val out = df.select(expr("graft_interp(xs, ys, t)"))
+      .as[Seq[Option[Double]]].collect()
+    cases.zip(out).foreach { case ((xs, ys), got) =>
+      xs.indices.foreach(i =>
+        assert(math.abs(got(i).get - ys(i)) < 1e-12, s"knot $i not exact"))
+      (0 until xs.size - 1).foreach { i =>
+        val expected = (ys(i) + ys(i + 1)) / 2
+        assert(math.abs(got(xs.size + i).get - expected) < 1e-9, s"midpoint $i not linear")
+      }
+    }
+  }
+
+  test("cumsum of diff recovers the series up to its first element") {
+    val r = rng
+    val w = Windows.ordered(Seq(col("i")), Seq(col("k")))
+    val wRun = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+      .orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val series = (1 to 20).flatMap { k =>
+      (0 until 25).map(i => (k.toLong, i.toLong, r.nextDouble() * 100 - 50))
+    }
+    val got = series.toDF("k", "i", "v")
+      .withColumn("d", Windows.diff(col("v"), w))
+      .withColumn("rec",
+        Windows.cumsum(coalesce(col("d"), lit(0.0)), w) + first(col("v")).over(wRun))
+      .orderBy("k", "i").select("v", "rec").as[(Double, Double)].collect()
+    got.foreach { case (v, rec) => assert(math.abs(rec - v) < 1e-9) }
+  }
+
+  test("cutRight assigns every in-range value to its containing interval") {
+    val r = rng
+    val xs = (1 to 300).map(_ => r.nextDouble() * 99.9 + 0.05)
+    Seq(1, 3, 7, 20).foreach { n =>
+      val step = 100.0 / n
+      val got = xs.toDF("x")
+        .select(col("x"), Bins.cutRight(col("x"), 0.0, step, n).as("k"))
+        .collect()
+      got.foreach { row =>
+        val x = row.getDouble(0)
+        assert(!row.isNullAt(1), s"x=$x n=$n unexpectedly out of range")
+        val k = row.getLong(1)
+        assert(k * step < x + 1e-9 && x <= (k + 1) * step + 1e-9,
+          s"x=$x not in (${k * step}, ${(k + 1) * step}]")
+      }
+    }
+  }
+
+  test("Nelder-Mead finds the minimum of random shifted quadratics") {
+    val r = rng
+    (1 to 25).foreach { _ =>
+      val a = r.nextDouble() * 10 - 5
+      val b = r.nextDouble() * 10 - 5
+      val res = Optimize.nelderMead(
+        x => math.pow(x(0) - a, 2) + 3 * math.pow(x(1) - b, 2),
+        Array(0.0, 0.0), maxIter = 800, maxFun = 800)
+      assert(math.abs(res.x(0) - a) < 1e-2 && math.abs(res.x(1) - b) < 1e-2,
+        s"missed minimum ($a, $b): ${res.x.toSeq}")
+    }
+  }
+}
