@@ -61,6 +61,59 @@ object Similarity {
       .select("q_id", "vec_id", "rank", "cosine")
   }
 
+  /** IVF-style ANN: a coarse quantizer (deterministic seed directions
+    * refined by one distributed Lloyd iteration) assigns every vector to a
+    * cell; search runs only inside the query's cell — the inverted-list
+    * scale path where `cell` becomes the partition key at 100 TB. Exact
+    * brute force within the probed cell; recall trades off with nCells.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+      nCells: Int, dim: Int, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import org.apache.spark.sql.Row
+    val seeds = Vec.planes(nCells, dim) // deterministic unit-ish directions
+
+    def nearestCell(v: org.apache.spark.sql.Column, cents: Seq[Seq[Double]]) =
+      cents.zipWithIndex.map { case (c, i) =>
+        struct(Vec.dot(v, array(c.map(lit): _*)).as("d"), lit(i).as("cell"))
+      }.reduce((a, b) => when(a.getField("d") >= b.getField("d"), a).otherwise(b))
+        .getField("cell")
+
+    val c0 = candidates.select(col(idCol), Vec.asDouble(col(vecCol)).as("v"))
+    // one Lloyd iteration: assign to seed cells, recompute centroids
+    val assigned = c0.withColumn("cell", nearestCell(col("v"), seeds))
+    val centroids: Map[Int, Seq[Double]] = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
+      .groupBy("cell", "d").agg(avg("x").as("m"))
+      .groupBy("cell").agg(sort_array(collect_list(struct(col("d"), col("m")))).as("c"))
+      .collect()
+      .map { r: Row =>
+        r.getInt(0) -> r.getSeq[Row](1).map(_.getDouble(1)).toSeq
+      }.toMap
+    val cents = (0 until nCells).map(i => centroids.getOrElse(i, seeds(i)))
+
+    val cand = c0.withColumn("cell", nearestCell(col("v"), cents))
+      .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec"))
+    // multi-probe: each query searches its nProbe closest cells
+    val cellScores = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(Vec.dot(col("q_vec"), array(c.map(lit): _*)).as("d"), lit(i).as("cell"))
+    }: _*)
+    val probed = slice(reverse(array_sort(cellScores)), 1, nProbe)
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+        Vec.asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("probe", explode(probed))
+      .withColumn("cell", col("probe.cell")).drop("probe"))
+    val scored = cand.join(q, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", Vec.cosine(col("q_vec"), col("c_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "cosine")
+  }
+
   /** Embedding near-dup: top-1 most-similar pair per group (or pairs above
     * a cosine threshold when one exists) within a blocking key — the
     * all-pairs search is bounded per block.

@@ -33,6 +33,17 @@ object VectorQueries {
         .orderBy("bucket")
     }),
 
+    // IVF ANN (inverted-list scale path: coarse quantizer + one Lloyd
+    // iteration + in-cell exact search). Engine-specific float iteration —
+    // rows-only driver check; recall asserted against brute force in the spec.
+    "q56b_ann_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopK(e.where(col("vec_id") < 8), e, 5, 8, DIM)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
