@@ -24,16 +24,32 @@ object Dedup {
     docs.groupBy(Text.hash48(col(textCol)).as("key_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_docs"))
 
-  /** Per-doc prep: tokens, shingles, hashed shingles, minhash signature. */
+  /** Per-doc prep: tokens, shingles, hashed shingles, minhash signature.
+    *
+    * Shape matters: a `minhashSig` HOF over an inline `hashedArray` would
+    * be inlined by CollapseProject into each of the k array_min branches —
+    * k full md5 passes per document. Exploding instead hashes every shingle
+    * exactly once and computes the k affine minima as flat codegen'd
+    * aggregates; `collect_set` carries the distinct shingle set along for
+    * the Jaccard verification without a second scan.
+    */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int = 3): DataFrame = {
     val toks = Text.tokens(col(textCol))
-    docs
+    val exploded = docs
       .withColumn("__toks", toks)
       .where(size(col("__toks")) >= shingleN)
-      .withColumn("__sh", Text.shingles(col("__toks"), shingleN))
-      .withColumn("__sig", Text.minhashSig(Text.hashedArray(col("__sh")), k))
-      .select(col(idCol), col("__sh").as("shingles"), col("__sig").as("sig"))
+      .select(col(idCol), explode(Text.shingles(col("__toks"), shingleN)).as("__s"))
+      .withColumn("__h", Text.hashMod(col("__s")))
+    val minCols = Text.hashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("__h") * a + b) % Text.P).as(s"__m$i")
+    }
+    exploded
+      .groupBy(col(idCol))
+      .agg(collect_set(col("__s")).as("shingles"),
+        minCols: _*)
+      .select(col(idCol), col("shingles"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
   /** LSH banding: explode the signature into `bands` rows of
@@ -80,10 +96,23 @@ object Dedup {
     withJaccard(candidates(bands(sigs, idCol, k, nBands), idCol), sigs, idCol)
   }
 
-  /** SimHash fingerprint per document. */
+  /** SimHash fingerprint per document — explode + flat bit-sum aggregates
+    * (one md5 per token; the HOF form would recompute the hashed array per
+    * bit). Identical arithmetic to [[Text.simhash]].
+    */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      bits: Int = 16): DataFrame =
-    docs.select(col(idCol),
-      Text.simhash(transform(Text.tokens(col(textCol)), s => Text.hash48(s)), bits)
-        .as("simhash"))
+      bits: Int = 16): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(Text.tokens(col(textCol))).as("__w"))
+      .withColumn("__h", Text.hash48(col("__w")))
+    val bitSums = (0 until bits).map { kk =>
+      sum(shiftright(col("__h"), kk).bitwiseAND(1) * 2 - 1).as(s"__b$kk")
+    }
+    exploded.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until bits).map(kk =>
+          when(col(s"__b$kk") > 0, lit(1L << kk)).otherwise(0L)).reduce(_ + _)
+          .as("simhash"))
+  }
 }

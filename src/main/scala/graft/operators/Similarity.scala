@@ -74,11 +74,12 @@ object Similarity {
     import org.apache.spark.sql.Row
     val seeds = Vec.planes(nCells, dim) // deterministic unit-ish directions
 
+    // array_max over (dot, cell) structs: every dot evaluated exactly once
+    // (a when-chain reduce would duplicate the subtrees at each level)
     def nearestCell(v: org.apache.spark.sql.Column, cents: Seq[Seq[Double]]) =
-      cents.zipWithIndex.map { case (c, i) =>
+      array_max(array(cents.zipWithIndex.map { case (c, i) =>
         struct(Vec.dot(v, array(c.map(lit): _*)).as("d"), lit(i).as("cell"))
-      }.reduce((a, b) => when(a.getField("d") >= b.getField("d"), a).otherwise(b))
-        .getField("cell")
+      }: _*)).getField("cell")
 
     val c0 = candidates.select(col(idCol), Vec.asDouble(col(vecCol)).as("v"))
     // one Lloyd iteration: assign to seed cells, recompute centroids
