@@ -46,7 +46,7 @@ object SparkEntry {
     (DedupQueries.queries, DedupQueries.oracle),
     (VectorQueries.queries, VectorQueries.oracle),
     (ExtraRelationalQueries.queries, ExtraRelationalQueries.oracle)
-  )
+  ) // (q61_pivot lives in ExtraRelationalQueries)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

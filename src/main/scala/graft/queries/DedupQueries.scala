@@ -40,11 +40,16 @@ object DedupQueries {
 
     // Sampled n-gram (2-gram) Jaccard: anchors (doc_id % 20 == 0) against
     // same-source documents — blocking bounds the pair count linearly.
+    // Shingles are reduced to 48-bit hashes before the pairwise set
+    // intersection: long-array intersects are ~an order cheaper than
+    // string-array ones, and the oracle mirrors the identical hashing so
+    // any (astronomically unlikely) collision affects both engines equally.
     "q53_ngram_jaccard" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       def prep(alias: String) = docs
         .select(col("source"), col("doc_id").as(s"doc_$alias"),
-          array_distinct(Text.shingles(Text.tokens(col("text")), 2)).as(s"sh_$alias"))
+          array_distinct(transform(Text.shingles(Text.tokens(col("text")), 2),
+            sh => Text.hashMod(sh))).as(s"sh_$alias"))
       val a = prep("a").where(col("doc_a") % 20 === 0)
       val b = prep("b")
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -101,7 +106,8 @@ object DedupQueries {
 
     "q53_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, source,
-            list_distinct(${TextSql.shingles("toks", 2)}) AS ds
+            list_distinct(list_transform(${TextSql.shingles("toks", 2)},
+              sh -> ${TextSql.hashMod("sh")})) AS ds
           FROM (SELECT doc_id, source, $toksSql AS toks FROM documents))
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
             CAST(round(1000.0 * (CAST(len(list_intersect(a.ds, b.ds)) AS DOUBLE)

@@ -52,6 +52,18 @@ object ExtraRelationalQueries {
         .orderBy("event_type")
     }),
 
+    // Pivot (the reference's dense-grid export shape, §2.7): per-day sums
+    // pivoted across a fixed event-type list — deterministic columns.
+    "q61_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, dir)
+        .withColumn("day", floor(col("ts_us").cast("double") / 8.64e10).cast("long"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(sum(round(col("value") * 100)).cast("long"))
+        .orderBy("day")
+    }),
+
     // string-function battery: case, trim/pad, substring, split, replace,
     // position, concat — all ANSI-portable.
     "q60_string_funcs" -> ((s, dir) => {
@@ -88,6 +100,15 @@ object ExtraRelationalQueries {
            count(DISTINCT user_id) AS n_users,
            count(DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS n_days
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q61_pivot" ->
+      """SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+           CAST(sum(round(value * 100)) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+           CAST(sum(round(value * 100)) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+           CAST(sum(round(value * 100)) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(sum(round(value * 100)) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+           CAST(sum(round(value * 100)) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY day""",
 
     "q60_string_funcs" ->
       """SELECT p_partkey,
