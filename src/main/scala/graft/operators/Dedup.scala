@@ -35,18 +35,31 @@ object Dedup {
     */
   def signatures(docs: DataFrame, idCol: String, textCol: String,
       k: Int, shingleN: Int = 3): DataFrame = {
-    val toks = Text.tokens(col(textCol))
+    // Shingles via posexplode + window leads instead of a nested HOF
+    // lambda: every step (split, lead, concat, md5, affine minima) stays in
+    // whole-stage codegen — interpreted per-element lambdas cost ~30us per
+    // shingle and dominated this operator before.
+    val toksArr = Text.tokens(col(textCol))
     val exploded = docs
-      .withColumn("__toks", toks)
-      .where(size(col("__toks")) >= shingleN)
-      .select(col(idCol), explode(Text.shingles(col("__toks"), shingleN)).as("__s"))
+      .where(size(toksArr) >= shingleN)
+      .select(col(idCol), posexplode(toksArr).as(Seq("__pos", "__w")))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val parts = (0 until shingleN).map {
+      case 0 => col("__w")
+      case d => lead(col("__w"), d).over(wDoc)
+    }
+    val shingled = exploded
+      .withColumn("__last", parts.last) // window exprs allowed in projections, not WHERE
+      .withColumn("__s", concat_ws(" ", parts: _*))
+      .where(col("__last").isNotNull)
       .withColumn("__h", Text.hashMod(col("__s")))
     val minCols = Text.hashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
       min((col("__h") * a + b) % Text.P).as(s"__m$i")
     }
-    exploded
+    shingled
       .groupBy(col(idCol))
-      .agg(collect_set(col("__s")).as("shingles"),
+      .agg(collect_set(col("__h")).as("shingles"), // hashed set: cheap exact-set Jaccard
         minCols: _*)
       .select(col(idCol), col("shingles"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))

@@ -46,10 +46,18 @@ object DedupQueries {
     // any (astronomically unlikely) collision affects both engines equally.
     "q53_ngram_jaccard" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
+      // explode + window lead keeps shingling in codegen (see
+      // Dedup.signatures for the rationale)
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
       def prep(alias: String) = docs
-        .select(col("source"), col("doc_id").as(s"doc_$alias"),
-          array_distinct(transform(Text.shingles(Text.tokens(col("text")), 2),
-            sh => Text.hashMod(sh))).as(s"sh_$alias"))
+        .select(col("source"), col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("pos", "w")))
+        .withColumn("w2", lead(col("w"), 1).over(wDoc))
+        .where(col("w2").isNotNull)
+        .withColumn("h", Text.hashMod(concat_ws(" ", col("w"), col("w2"))))
+        .groupBy(col("source"), col("doc_id").as(s"doc_$alias"))
+        .agg(collect_set(col("h")).as(s"sh_$alias"))
       val a = prep("a").where(col("doc_a") % 20 === 0)
       val b = prep("b")
       val inter = size(array_intersect(col("sh_a"), col("sh_b")))
@@ -79,7 +87,8 @@ object DedupQueries {
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                   FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
                   WHERE a.doc_id < b.doc_id),
-        dsh AS (SELECT doc_id, list_distinct(sh) AS ds FROM sh)"""
+        dsh AS (SELECT doc_id,
+          list_distinct(list_transform(${TextSql.hashedArray("sh")}, x -> x)) AS ds FROM h)"""
   }
 
   val oracle: Map[String, String] = Map(
