@@ -17,9 +17,10 @@ object AdcpPipeline {
   def shearFromAdcp(
       adcpRaw: DataFrame, gliderRaw: DataFrame, opts: Options,
       cellSize: Double, blankingDistance: Double,
-      solveHeading: Boolean = true): (DataFrame, DataFrame) = {
+      solveHeading: Boolean = true,
+      missionCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val glider = GliderStages.deriveGlider(gliderRaw)
-    var adcp = AdcpStages.align(adcpRaw, glider)
+    var adcp = AdcpStages.align(adcpRaw, glider, missionCols)
     adcp = AdcpStages.remapDepth(opts)(adcp)
     adcp = if (solveHeading) HeadingCorrection(opts)(adcp)
            else HeadingCorrection.correctedHeading(opts,

@@ -19,13 +19,15 @@ object AdcpStages {
     * (process_adcp.py:169-192), then profile number -> banker's round
     * (:181) and depth from pressure (:184).
     */
-  def align(adcp: DataFrame, glider: DataFrame): DataFrame = {
-    val src = glider.select(col("time_ns"), col("latitude"), col("longitude"),
+  def align(adcp: DataFrame, glider: DataFrame,
+      missionCols: Seq[String] = Nil): DataFrame = {
+    val src = glider.select((missionCols.map(col) ++ Seq(col("time_ns"),
+      col("latitude"), col("longitude"),
       col("profile_number"), col("salinity"), col("declination"),
-      col("temperature"), col("soundspeed"))
+      col("temperature"), col("soundspeed"))): _*)
     InterpJoin.interpolate(src, adcp, "time_ns",
         Seq("latitude", "longitude", "profile_number", "salinity",
-          "declination", "temperature", "soundspeed"), Nil, "g_")
+          "declination", "temperature", "soundspeed"), missionCols, "g_")
       .withColumn("profile_number", bround(col("g_profile_number")))
       .withColumnsRenamed(Map(
         "g_latitude" -> "latitude", "g_longitude" -> "longitude",

@@ -23,9 +23,28 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Explode + broadcast stopword join: one pass over tokens instead of
+    // one filter-scan per (language, use-site) — the Column-algebra form
+    // (Text.langId) re-evaluates its vocabCounts wherever referenced.
     "q41_langid" -> ((s, dir) => {
-      table(s, dir, "documents")
-        .select(Text.langId(Text.tokens(col("text"))).as("lang_pred"))
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val langs = Text.stopwords.map(_._1)
+      val stop = Text.stopwords
+        .flatMap { case (lang, ws) => ws.map(w => (lang, w)) }.toDF("lang", "w")
+      val counts = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("w"))
+        .join(broadcast(stop), "w")
+        .groupBy("doc_id").pivot("lang", langs).count()
+      val filled = docs.select(col("doc_id"))
+        .join(counts, Seq("doc_id"), "left")
+        .na.fill(0L, langs)
+      val maxScore = greatest(langs.map(col): _*)
+      val best = langs.foldRight(lit("und")) { case (lang, rest) =>
+        when(col(lang) === maxScore, lit(lang)).otherwise(rest)
+      }
+      filled
+        .select(when(maxScore === 0, lit("und")).otherwise(best).as("lang_pred"))
         .groupBy("lang_pred").agg(count(lit(1)).as("n"))
         .orderBy("lang_pred")
     }),
