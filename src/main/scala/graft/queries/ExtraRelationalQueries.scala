@@ -64,6 +64,30 @@ object ExtraRelationalQueries {
         .orderBy("day")
     }),
 
+    // exact interpolated percentiles (quartiles) — §2.4 depth beyond the
+    // reference's median-only usage.
+    "q62_percentiles" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy("event_type")
+        .agg(fp(expr("percentile(value, 0.25)")).as("p25_milli"),
+          fp(expr("percentile(value, 0.5)")).as("p50_milli"),
+          fp(expr("percentile(value, 0.75)")).as("p75_milli"))
+        .orderBy("event_type")
+    }),
+
+    // map-typed columns: construction, key lookup, cardinality. Engine-
+    // specific map hashing — rows-only driver check; asserted in spec.
+    "q63_map_funcs" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_id"),
+          map(lit("type"), col("event_type"),
+            lit("bucket"), (col("value") > 100).cast("string")).as("m"))
+        .select(col("event_id"),
+          element_at(col("m"), "type").as("type_val"),
+          size(map_keys(col("m"))).cast("long").as("n_keys"))
+        .orderBy("event_id")
+    }),
+
     // string-function battery: case, trim/pad, substring, split, replace,
     // position, concat — all ANSI-portable.
     "q60_string_funcs" -> ((s, dir) => {
@@ -100,6 +124,17 @@ object ExtraRelationalQueries {
            count(DISTINCT user_id) AS n_users,
            count(DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS n_days
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q62_percentiles" ->
+      s"""SELECT event_type,
+          ${sqlFp("quantile_cont(value, 0.25)")} AS p25_milli,
+          ${sqlFp("quantile_cont(value, 0.5)")} AS p50_milli,
+          ${sqlFp("quantile_cont(value, 0.75)")} AS p75_milli
+          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q63_map_funcs" ->
+      """SELECT event_id, event_type AS type_val, CAST(2 AS BIGINT) AS n_keys
+         FROM events ORDER BY event_id""",
 
     "q61_pivot" ->
       """SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
