@@ -46,9 +46,15 @@ object Text {
       .otherwise(array())
 
   /** 48-bit integer from the leading 12 hex chars of md5 — the one digest
-    * per string everything else derives from.
+    * per string everything else derives from. Routed through the native
+    * [[graft.plans.NativeHash48]] expression (registered by
+    * `queries/Common.table` and `TestSpark`); `hash48Builtin` keeps the
+    * composed-builtins form for environments without the registration.
     */
   def hash48(s: Column): Column =
+    call_function("graft_hash48", s)
+
+  def hash48Builtin(s: Column): Column =
     conv(substring(md5(s), 1, 12), 16, 10).cast("long")
 
   /** hash48 reduced mod P (input to the affine family). */

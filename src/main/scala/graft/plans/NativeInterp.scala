@@ -112,7 +112,11 @@ object NativeInterp {
   * else is plain Column algebra by design).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("graft_interp"), NativeInterp.info,
       NativeInterp.builder))
+    e.injectFunction((FunctionIdentifier("graft_hash48"),
+      new ExpressionInfo(NativeHash48.getClass.getName, "graft_hash48"),
+      NativeHash48.builder))
+  }
 }

@@ -25,6 +25,8 @@ object Common {
     // events.ts is parquet TIMESTAMP(NANOS): Spark 4 reads it only as a
     // nanosecond BIGINT behind this legacy flag (dynamic SQLConf).
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.plans.NativeHash48.register(s)
+    graft.plans.NativeInterp.register(s)
     s.read.parquet(s"$dir/$name.parquet")
   }
 

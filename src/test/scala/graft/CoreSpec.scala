@@ -15,6 +15,8 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.NativeHash48.register(s)
+    graft.plans.NativeInterp.register(s)
     s
   }
 }

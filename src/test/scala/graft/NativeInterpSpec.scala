@@ -48,3 +48,20 @@ class NativeInterpSpec extends AnyFunSuite {
     assert(out.isNullAt(0))
   }
 }
+
+class NativeHash48Spec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("native hash48 is bit-identical to the composed-builtins form") {
+    graft.plans.NativeHash48.register(spark)
+    val strs = Seq("", "a", "spark graft", "the quick brown fox",
+      "0:some shingle text", "é中文 mixed unicode")
+    val got = strs.toDF("s").select(
+      graft.functions.Text.hash48(col("s")).as("native"),
+      graft.functions.Text.hash48Builtin(col("s")).as("builtin"))
+      .collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"native=${r.getLong(0)} builtin=${r.getLong(1)}"))
+  }
+}
