@@ -10,19 +10,30 @@ import org.apache.spark.sql.functions._
   * (process_adcp.py:1503-1507,1521-1525,1586-1595).
   *
   * Implementation is a single shuffle: union the source knots with the
-  * destination probes, then one ordered window pass finds each probe's
-  * bracketing knots via `last/first(..., ignoreNulls)`. No O(n*m) loops, no
-  * driver materialization; with partition keys supplied the window state is
-  * bounded per key and the plan scales horizontally. This is Spark-first
-  * (declarative window algebra) rather than a custom physical operator: the
-  * sort the window needs is exactly the sort a purpose-built as-of join
-  * would perform, so Catalyst's existing WindowExec is already the right
-  * physical strategy.
+  * destination probes, then ordered window passes find each probe's
+  * bracketing knots. Both directions use RUNNING frames — the "next knot"
+  * comes from a descending-order running `last`, never an
+  * unbounded-FOLLOWING frame, because Spark re-evaluates following frames
+  * from scratch per row (O(n^2) in partition size — measured as a hang at
+  * 10^5 rows). With partition keys supplied the window state is bounded per
+  * key and the plan scales horizontally.
   */
 object InterpJoin {
 
   private val SRC = "__ij_is_src"
   private val X = "__ij_x"
+
+  private def wAsc(parts: Seq[String]) =
+    Windows.ordered(Seq(col(X).asc, col(SRC).desc), parts.map(col))
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+  // ties: src (1) sorts after dst (0) in DESC-x order with SRC asc, so an
+  // equal-x knot is NOT in the descending running frame — exactly matching
+  // the ascending side, where the equal-x knot IS in the preceding frame
+  // and the interpolation formula returns it exactly.
+  private def wDesc(parts: Seq[String]) =
+    Windows.ordered(Seq(col(X).desc, col(SRC).asc), parts.map(col))
+      .rowsBetween(Window.unboundedPreceding, 0)
 
   /** For each row of `dst`, linearly interpolate each of `valueCols` from
     * `src` as a function of `xCol` (both sides; numeric or castable to
@@ -49,19 +60,15 @@ object InterpJoin {
       .withColumn(SRC, lit(0))
     val unioned = dstPrep.unionByName(srcPrep, allowMissingColumns = true)
 
-    // Order source knots before probes at equal x so the "previous knot"
-    // frame sees an exactly-coincident knot; the knot formula then returns
-    // the knot value exactly.
-    val w = Windows.ordered(Seq(col(X).asc, col(SRC).desc), partitionCols.map(col))
-    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    val prev = wAsc(partitionCols)
+    val next = wDesc(partitionCols)
 
     val withInterp = valueCols.zip(vals).foldLeft(unioned) { case (df, (out, v)) =>
       val knot = col(SRC) === 1 && col(v).isNotNull
-      val x0 = last(when(knot, col(X)), ignoreNulls = true).over(wPrev)
-      val y0 = last(when(knot, col(v)), ignoreNulls = true).over(wPrev)
-      val x1 = first(when(knot, col(X)), ignoreNulls = true).over(wNext)
-      val y1 = first(when(knot, col(v)), ignoreNulls = true).over(wNext)
+      val x0 = last(when(knot, col(X)), ignoreNulls = true).over(prev)
+      val y0 = last(when(knot, col(v)), ignoreNulls = true).over(prev)
+      val x1 = last(when(knot, col(X)), ignoreNulls = true).over(next)
+      val y1 = last(when(knot, col(v)), ignoreNulls = true).over(next)
       df.withColumn(
         outPrefix + out,
         when(x0 === col(X), y0)
@@ -97,13 +104,12 @@ object InterpJoin {
       .withColumn(SRC, lit(0))
     val unioned = dstPrep.unionByName(srcPrep, allowMissingColumns = true)
 
-    val w = Windows.ordered(Seq(col(X).asc, col(SRC).desc), partitionCols.map(col))
-    val wPrev = w.rowsBetween(Window.unboundedPreceding, 0)
-    val wNext = w.rowsBetween(0, Window.unboundedFollowing)
+    val prev = wAsc(partitionCols)
+    val next = wDesc(partitionCols)
 
     val knot = col(SRC) === 1
-    val x0 = last(when(knot, col(X)), ignoreNulls = true).over(wPrev)
-    val x1 = first(when(knot, col(X)), ignoreNulls = true).over(wNext)
+    val x0 = last(when(knot, col(X)), ignoreNulls = true).over(prev)
+    val x1 = last(when(knot, col(X)), ignoreNulls = true).over(next)
     val dPrev = abs(col(X) - x0)
     val dNext = abs(x1 - col(X))
     val usePrev = x1.isNull || (x0.isNotNull && dPrev <= dNext)
@@ -115,9 +121,9 @@ object InterpJoin {
       // struct-wrap so `ignoreNulls` skips probe rows (when() -> null) but
       // still matches knot rows whose value happens to be null.
       val y0k = last(when(knot, struct(col(v).as("v"))), ignoreNulls = true)
-        .over(wPrev).getField("v")
-      val y1k = first(when(knot, struct(col(v).as("v"))), ignoreNulls = true)
-        .over(wNext).getField("v")
+        .over(prev).getField("v")
+      val y1k = last(when(knot, struct(col(v).as("v"))), ignoreNulls = true)
+        .over(next).getField("v")
       val matchedDist = when(col("__ij_use_prev"), abs(col(X) - col("__ij_x0")))
         .otherwise(abs(col("__ij_x1") - col(X)))
       val inTol = tolerance.map(t => matchedDist <= lit(t)).getOrElse(lit(true))

@@ -77,9 +77,13 @@ object Windows {
   def ffill(c: Column, w: WindowSpec): Column =
     last(c, ignoreNulls = true).over(w.rowsBetween(Window.unboundedPreceding, 0))
 
-  /** Backward fill (pandas bfill; process_adcp.py:1405-1406). */
-  def bfill(c: Column, w: WindowSpec): Column =
-    first(c, ignoreNulls = true).over(w.rowsBetween(0, Window.unboundedFollowing))
+  /** Backward fill (pandas bfill; process_adcp.py:1405-1406). Implemented as
+    * a descending-order RUNNING `last` — an unbounded-FOLLOWING frame would
+    * be re-evaluated from scratch per row by Spark (O(n^2) per partition).
+    */
+  def bfill(c: Column, orderCols: Seq[Column], parts: Seq[Column] = Nil): Column =
+    last(c, ignoreNulls = true).over(
+      ordered(orderCols.map(_.desc), parts).rowsBetween(Window.unboundedPreceding, 0))
 
   /** Running sum, null-skipping (np.nancumsum; process_adcp.py:1957-1959).
     * Rows whose input is null yield the running total so far (or null before
@@ -113,8 +117,9 @@ object Windows {
     c - avg(c).over(Window.partitionBy(parts: _*))
 
   /** Reverse running count of finite values — bottom-N-bins masks
-    * (process_adcp.py:1756-1759).
+    * (process_adcp.py:1756-1759). Descending running frame (see bfill).
     */
-  def countFromEnd(c: Column, w: WindowSpec): Column =
-    count(c).over(w.rowsBetween(0, Window.unboundedFollowing))
+  def countFromEnd(c: Column, orderCols: Seq[Column], parts: Seq[Column] = Nil): Column =
+    count(c).over(
+      ordered(orderCols.map(_.desc), parts).rowsBetween(Window.unboundedPreceding, 0))
 }

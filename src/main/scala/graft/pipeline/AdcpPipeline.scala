@@ -13,25 +13,40 @@ object AdcpPipeline {
 
   /** shear_from_adcp (:2046-2057): glider-aligned, QC'd, regridded,
     * 3-beam-solved, ENU-rotated shear per ping.
+    *
+    * Stage BARRIERS matter as much as the stages: `withColumn` chains
+    * collapse into a single projection at the API level, and every stage
+    * that references an earlier array column more than once doubles its
+    * recomputation — exponential in chain depth (measured: 4,800 pings took
+    * 392 s fully collapsed vs 19 s with barriers). Each multi-reference
+    * stage therefore ends at a persisted boundary; at cluster scale these
+    * are the natural checkpoint/intermediate-write points.
     */
   def shearFromAdcp(
       adcpRaw: DataFrame, gliderRaw: DataFrame, opts: Options,
       cellSize: Double, blankingDistance: Double,
       solveHeading: Boolean = true,
       missionCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    def barrier(df: DataFrame): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val glider = GliderStages.deriveGlider(gliderRaw)
     var adcp = AdcpStages.align(adcpRaw, glider, missionCols)
+    // the alignment window collapses a single-mission dataset to one
+    // partition; fan back out so the (embarrassingly parallel) elementwise
+    // beam math uses every core — at cluster scale this is the exchange
+    // that spreads a mission's pings across executors
+    adcp = adcp.repartition(adcp.sparkSession.sparkContext.defaultParallelism)
     adcp = AdcpStages.remapDepth(opts)(adcp)
     adcp = if (solveHeading) HeadingCorrection(opts)(adcp)
            else HeadingCorrection.correctedHeading(opts,
              HeadingCorrection.Calibration(
                Array(1, 0, 0, 0, 1, 0, 0, 0, 1), Array(0, 0, 0), 0.0))(adcp)
     adcp = AdcpStages.soundspeedCorrection(adcp)
-    adcp = AdcpStages.removeOutliers(opts)(adcp)
-    adcp = correctShear(opts)(adcp)
+    adcp = barrier(AdcpStages.removeOutliers(opts)(adcp))
+    adcp = barrier(correctShear(opts)(adcp))
     adcp = AdcpStages.backscatterCorrection(opts)(adcp)
-    adcp = AdcpStages.regrid(opts, cellSize, blankingDistance)(adcp)
-    adcp = AdcpStages.threeBeamXyz(opts)(adcp)
+    adcp = barrier(AdcpStages.regrid(opts, cellSize, blankingDistance)(adcp))
+    adcp = barrier(AdcpStages.threeBeamXyz(opts)(adcp))
     adcp = AdcpStages.enuAndShear(opts)(adcp)
     (adcp, glider)
   }

@@ -31,7 +31,7 @@ object Fixture {
 
   private val t0ns = 1700000000000000000L // fixed epoch origin
   private val profileSeconds = 800
-  private val nProfiles = 6
+  val nProfiles = 6 // default mission size; scaled generators take their own
 
   // scalar copies of the Teos10 column formulas, for exact inversion
   private def saundersDepth(p: Double, lat: Double): Double = {
@@ -87,9 +87,11 @@ object Fixture {
 
   private def headingAt(i: Int): Double = 45.0 + 10.0 * math.sin(i * 0.001)
 
-  def glider(spark: SparkSession): DataFrame = {
+  def glider(spark: SparkSession): DataFrame = glider(spark, nProfiles)
+
+  def glider(spark: SparkSession, profiles: Int): DataFrame = {
     import spark.implicits._
-    val n = nProfiles * profileSeconds
+    val n = profiles * profileSeconds
     (0 until n).map { i =>
       val depth = depthAt(i)
       val surfaced = depth < 0.5
@@ -115,7 +117,9 @@ object Fixture {
   /** Per-ping beam synthesis: invert ENU -> XYZ -> beams at each beam's
     * true cell depth (bottom-mounted: dir = -1, cells below the glider).
     */
-  def adcp(spark: SparkSession): DataFrame = {
+  def adcp(spark: SparkSession): DataFrame = adcp(spark, nProfiles)
+
+  def adcp(spark: SparkSession, profiles: Int): DataFrame = {
     import spark.implicits._
     val tf = 47.5; val ts = 25.0
     def sinD(x: Double) = math.sin(math.toRadians(x))
@@ -125,7 +129,7 @@ object Fixture {
     val dir = opts.direction.toDouble // -1
 
     val pingEvery = 4 // seconds
-    val n = nProfiles * profileSeconds / pingEvery
+    val n = profiles * profileSeconds / pingEvery
     val ranges = (0 until nBins).map(b => blankingDistance + cellSize * (b + 0.5))
 
     (0 until n).map { p =>

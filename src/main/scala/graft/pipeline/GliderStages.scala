@@ -90,8 +90,8 @@ object GliderStages {
       paired.withColumnRenamed("meant", "t"), base.drop("de_prev", "dn_prev", "gps"),
       "t", Seq("dac_e", "dac_n"), Nil, "i_")
     dac
-      .withColumn("dac_e", Windows.ffill(Windows.bfill(col("i_dac_e"), wT), wT))
-      .withColumn("dac_n", Windows.ffill(Windows.bfill(col("i_dac_n"), wT), wT))
+      .withColumn("dac_e", Windows.ffill(Windows.bfill(col("i_dac_e"), Seq(col("time_ns"))), wT))
+      .withColumn("dac_n", Windows.ffill(Windows.bfill(col("i_dac_n"), Seq(col("time_ns"))), wT))
       .drop("i_dac_e", "i_dac_n")
   }
 
