@@ -45,8 +45,9 @@ object GliderStages {
       .withColumn("t", t)
       .withColumn("speed_e", vgE)
       .withColumn("speed_n", vgN)
-      .withColumn("de", Windows.integrate(col("speed_e"), col("t"), wT))
-      .withColumn("dn", Windows.integrate(col("speed_n"), col("t"), wT))
+      // append(0, v[1:]*diff(t)) -> the first sample's integral is 0, not null
+      .withColumn("de", coalesce(Windows.integrate(col("speed_e"), col("t"), wT), lit(0.0)))
+      .withColumn("dn", coalesce(Windows.integrate(col("speed_n"), col("t"), wT), lit(0.0)))
       .withColumn("de", Windows.resetAtAnchor(col("de"), gpsFix, wT))
       .withColumn("dn", Windows.resetAtAnchor(col("dn"), gpsFix, wT))
       .withColumn("de_prev", lag(col("de"), 1).over(wT))

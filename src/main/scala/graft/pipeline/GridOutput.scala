@@ -102,14 +102,21 @@ object GridOutput {
     val joined = vGrid
       .join(dacGrid, Seq("xbin", "ybin"), "left")
       .join(dpdzGrid, Seq("xbin", "ybin"), "left")
-    val spbRaw = lit(yRes) / col("speed_vert")
-    val spb0 = when(col("speed_vert") =!= 0.0, spbRaw).otherwise(lit(0.0))
+    // SpB = yRes/dPdz; inf (dPdz==0) -> 0; empty cells stay null so the
+    // weighted sums nan-skip them exactly like the reference's nansum; the
+    // clip assigns +std regardless of sign (SpB[|SpB| > std] = std,
+    // process_adcp.py:1705-1708 — reference behavior, not symmetric).
+    val spb0 = when(col("speed_vert").isNull, lit(null).cast("double"))
+      .when(col("speed_vert") === 0.0, lit(0.0))
+      .otherwise(lit(yRes) / col("speed_vert"))
     val std = joined.select(stddev_pop(spb0).as("s")).first().getDouble(0)
-    val spb = when(abs(spb0) > std, lit(std) * signum(spb0)).otherwise(spb0)
+    val spb = when(abs(spb0) > std, lit(std)).otherwise(spb0)
     val wCol = Window.partitionBy("xbin")
+    // numerator nansum(V*SpB) skips cells where either is missing; the
+    // denominator is nansum(SpB) over ALL cells (reference does not mask it
+    // by V, process_adcp.py:1713).
     val ref = avg(col(dacCol)).over(wCol) -
-      sum(when(col("v_ref").isNotNull, col("v_ref") * spb)).over(wCol) /
-        sum(when(col("v_ref").isNotNull, spb)).over(wCol)
+      sum(col("v_ref") * spb).over(wCol) / sum(spb).over(wCol)
     joined
       .withColumn("v_final", col("v_ref") + ref)
       .select(col("xbin"), col("ybin"), col("v_final"))
@@ -194,9 +201,9 @@ object GridOutput {
     * one column per variable plus per-profile mean datetime.
     */
   def makeDataset(out: DataFrame, glider: DataFrame, axes: Axes): DataFrame = {
-    val profDt = glider
-      .withColumn("xbin", profileBin(axes))
-      .where(col("xbin").isNotNull)
+    // ds.date_float.mean(dim='depth_bin') — the mean of the GRIDDED
+    // per-cell date_float means (:2042), not of the raw samples
+    val profDt = out
       .groupBy("xbin").agg(avg("date_float").as("profile_datetime_ns"))
     out.join(profDt, Seq("xbin"), "left")
   }
