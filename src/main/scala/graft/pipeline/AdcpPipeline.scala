@@ -37,7 +37,10 @@ object AdcpPipeline {
     // that spreads a mission's pings across executors
     adcp = adcp.repartition(adcp.sparkSession.sparkContext.defaultParallelism)
     adcp = AdcpStages.remapDepth(opts)(adcp)
-    adcp = if (solveHeading) HeadingCorrection(opts)(adcp)
+    // correct_heading is gated (:451-460): when disabled the compass
+    // heading stays raw and declination is NOT added
+    adcp = if (!opts.correctAdcpHeading) adcp
+           else if (solveHeading) HeadingCorrection(opts)(adcp)
            else HeadingCorrection.correctedHeading(opts,
              HeadingCorrection.Calibration(
                Array(1, 0, 0, 0, 1, 0, 0, 0, 1), Array(0, 0, 0), 0.0))(adcp)

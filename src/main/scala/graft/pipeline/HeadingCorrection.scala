@@ -56,7 +56,12 @@ object HeadingCorrection {
     * heading = wrap(atan2d(rot_x, rot_y) - 90), then + declination.
     * The mount sign flips y and z for top-mounted units (:341-343).
     */
-  def correctedHeading(opts: Options, cal: Calibration)(adcp: DataFrame): DataFrame = {
+  def correctedHeading(opts: Options, cal: Calibration)(adcp0: DataFrame): DataFrame = {
+    // idempotence guard (correct_heading, :452-456): re-running resets to
+    // the original heading first
+    val adcp = if (adcp0.columns.contains("heading_old"))
+      adcp0.drop("heading").withColumnRenamed("heading_old", "heading")
+    else adcp0
     val sign = if (opts.topMounted) -1.0 else 1.0
     val c = cal.a; val b = cal.b
     val dx = col("mag_x") - b(0)

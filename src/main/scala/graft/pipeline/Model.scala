@@ -9,6 +9,7 @@ package graft.pipeline
   */
 final case class Options(
     topMounted: Boolean = false,
+    correctAdcpHeading: Boolean = true,
     correlationThreshold: Double = 70.0,
     amplitudeThreshold: Double = 75.0,
     velocityThreshold: Double = 0.8,
