@@ -88,7 +88,11 @@ object AdcpPipeline {
   def velocityFromShear(
       adcp0: DataFrame, glider0: DataFrame, opts: Options,
       btRaw: Option[DataFrame], spark: SparkSession): (DataFrame, GridOutput.Axes) = {
+    // the DAC-augmented glider feeds ~10 downstream scans (axes + every
+    // gridded variable + profile datetimes); persist it or each scan
+    // re-runs the dead-reckoning windows and interp joins
     val glider = GliderStages.getDac(adcp0, glider0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adcp = btRaw match {
       case Some(bt) => GliderStages.bottomTrack(opts)(adcp0, bt)
       case None => adcp0

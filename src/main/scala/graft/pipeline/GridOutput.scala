@@ -99,9 +99,12 @@ object GridOutput {
   def referenceToDac(
       vGrid: DataFrame, dacGrid: DataFrame, dpdzGrid: DataFrame,
       dacCol: String, yRes: Double): DataFrame = {
+    // the std clip needs an action before the final projection; persist so
+    // the gridded/integrated upstream isn't computed twice
     val joined = vGrid
       .join(dacGrid, Seq("xbin", "ybin"), "left")
       .join(dpdzGrid, Seq("xbin", "ybin"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // SpB = yRes/dPdz; inf (dPdz==0) -> 0; empty cells stay null so the
     // weighted sums nan-skip them exactly like the reference's nansum; the
     // clip assigns +std regardless of sign (SpB[|SpB| > std] = std,

@@ -30,11 +30,17 @@ object PipelineBench {
     val nPings = adcpRaw.count(); glider.count() // materialize inputs first
 
     val t0 = System.nanoTime()
-    val (adcp, _) = AdcpPipeline.shearFromAdcp(adcpRaw, glider, Fixture.opts,
+    val (adcp, gliderOut) = AdcpPipeline.shearFromAdcp(adcpRaw, glider, Fixture.opts,
       Fixture.cellSize, Fixture.blankingDistance, solveHeading = true)
     val cells = adcp.select(explode(col("sh_e"))).where(col("col").isNotNull).count()
     val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"pings":$nPings,"finite_shear_cells":$cells,"seconds":$secs%.2f,"pings_per_sec":${nPings / secs}%.0f}""")
+    val fullJson = if (args.length > 1 && args(1) == "full") {
+      val t1 = System.nanoTime()
+      val (ds, _) = AdcpPipeline.velocityFromShear(adcp, gliderOut, Fixture.opts, None, spark)
+      val nE = ds.where(col("ADCP_E").isNotNull && !isnan(col("ADCP_E"))).count()
+      f""","velocity_seconds":${(System.nanoTime() - t1) / 1e9}%.2f,"grid_cells_with_E":$nE"""
+    } else ""
+    println(f"""{"pings":$nPings,"finite_shear_cells":$cells,"seconds":$secs%.2f,"pings_per_sec":${nPings / secs}%.0f$fullJson}""")
     spark.stop()
   }
 }
