@@ -176,10 +176,17 @@ object GliderStages {
       (sin(hh) * sin(pp) * cos(rr) - cos(hh) * sin(rr)) * z
     val u = sin(pp) * x + cos(pp) * sin(rr) * y + cos(pp) * cos(rr) * z
 
+    // scatter-back (:1586-1591) assigns bt_e[matching] = BT_E in time order,
+    // so when two BT pings match the same ADCP ping the LAST one wins —
+    // dedupe before the join or matched duplicates would multiply ADCP rows
     val btEnu = scaled
       .withColumn("bt_e", e).withColumn("bt_n", n).withColumn("bt_u", u)
       .select(col("m_adcp_t").cast("long").as("time_ns"),
-        col("bt_e"), col("bt_n"), col("bt_u"))
+        col("time_ns").as("bt_time"), col("bt_e"), col("bt_n"), col("bt_u"))
+      .groupBy("time_ns")
+      .agg(max_by(struct(col("bt_e"), col("bt_n"), col("bt_u")), col("bt_time")).as("bt"))
+      .select(col("time_ns"), col("bt.bt_e").as("bt_e"),
+        col("bt.bt_n").as("bt_n"), col("bt.bt_u").as("bt_u"))
 
     adcp.join(btEnu, Seq("time_ns"), "left")
   }
