@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-health regression locks: filter pushdown, column pruning, and
+  * broadcast joins must survive future refactors — a correct-but-full-scan
+  * plan is a failure at 100 TB even when results match.
+  */
+class PlanHealthSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def explain(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q01 pushes both predicates into the parquet scan") {
+    val plan = explain("q01_scan_filter_project")
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(l_shipdate"),
+      "shipdate predicate not pushed")
+    assert(plan.contains("GreaterThan(l_quantity"), "quantity predicate not pushed")
+  }
+
+  test("q01 prunes the read schema to referenced columns only") {
+    val plan = explain("q01_scan_filter_project")
+    val readSchema = plan.linesIterator.find(_.trim.startsWith("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"),
+      s"unpruned scan: $readSchema")
+  }
+
+  test("dim-table joins broadcast") {
+    assert(explain("q13_join_broadcast").contains("BroadcastHashJoin"))
+    assert(explain("q14_join_semi").contains("BroadcastHashJoin"))
+  }
+
+  test("event-type filters push down through the interp-join union") {
+    val plan = explain("q10_interp_join")
+    assert(plan.contains("EqualTo(event_type,view)") &&
+      plan.contains("EqualTo(event_type,click)"),
+      "event_type filters not pushed to the source scans")
+  }
+
+  test("window queries partition by user_id (no single-partition shuffle)") {
+    val plan = explain("q07_cumsum")
+    assert(plan.contains("hashpartitioning(user_id"),
+      "cumsum window not partitioned by user_id")
+  }
+}
