@@ -1,142 +1,214 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 import graft.core.Optimize
 
 /** The gridded-output half of the pipeline (SURVEY.md §2.9 entry points 2-3):
   * profile/depth axes, shear gridding + vertical integration, DAC
-  * referencing, glider-variable gridding, scalar bias solve, final tall
-  * dataset (grid_shear_data / reference_shear / grid_data / calc_bias /
-  * make_dataset, process_adcp.py:1600-2043).
+  * referencing, full grid_data breadth, scalar bias solve, verification
+  * diagnostics, final tall dataset (grid_shear_data / reference_shear /
+  * grid_data / calc_bias / verify_depth_bias / make_dataset,
+  * process_adcp.py:1600-2043).
   *
-  * The output grid is the tall relation (xbin, ybin, columns...) — the
-  * scalable form; the reference's dense 2-D matrices exist only inside the
-  * driver-side bias solve, where the grid is O(profiles x depth-bins) small
-  * by construction.
+  * The output grid is the tall relation (missionCols..., xbin, ybin,
+  * columns...) — the scalable form; the reference's dense 2-D matrices exist
+  * only inside the driver-side bias solve, where the grid is
+  * O(profiles x depth-bins) small by construction. All grid keys carry the
+  * caller's mission columns so concurrent missions shuffle independently
+  * and never share a window partition.
   */
 object GridOutput {
 
+  private val disk = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   /** Axes (grid_shear_data, :1648-1656): yaxis = arange(0, ceil(max
-    * pressure), yRes); xaxis = sorted unique profile numbers; per-profile
-    * mean date_float as the time axis.
+    * pressure), yRes); xaxis = sorted unique profile numbers, held as a
+    * broadcastable dim-frame (`dim`: missionCols, profile_number, xbin)
+    * rather than a driver-side list — O(1) driver memory and plan size at
+    * fleet scale.
     *
     * pd.cut semantics with the xaxis itself as edges mean profile
     * xaxis[k] lands in column k-1 and the first profile is dropped —
-    * replicated via a profile -> dense-rank-minus-2 mapping.
+    * xbin = dense_rank(profile) - 2 per mission, null for the first.
     */
-  final case class Axes(yMax: Double, yRes: Double, profiles: Seq[Double]) {
+  final case class Axes(yMax: Double, yRes: Double, missionCols: Seq[String],
+      dim: DataFrame, nProfiles: Long) {
     def nY: Int = math.ceil(yMax).toInt
-    def nX: Int = profiles.size - 1 // column k-1 per profile, first dropped
+    def nX: Long = nProfiles - 1 // column k-1 per profile, first dropped
+    /** Full grid key. */
+    def key: Seq[String] = missionCols ++ Seq("xbin", "ybin")
+    /** Per-profile-column key (one dense-grid column). */
+    def xKey: Seq[String] = missionCols :+ "xbin"
+    def wCol: WindowSpec = Window.partitionBy(xKey.map(col): _*)
+    /** Per-depth-row key (one dense-grid row). */
+    def wRow: WindowSpec =
+      Window.partitionBy((missionCols :+ "ybin").map(col): _*)
   }
 
-  def axes(glider: DataFrame, opts: Options): Axes = {
-    val yMax = glider.agg(max(ceil(col("pressure"))).cast("double")).first().getDouble(0)
-    val profiles = glider.select("profile_number").distinct()
-      .orderBy("profile_number").collect().map(_.getDouble(0)).toSeq
-    Axes(yMax, opts.yRes, profiles)
+  def axes(glider: DataFrame, opts: Options,
+      missionCols: Seq[String] = Nil): Axes = {
+    val yMax = glider.agg(max(ceil(col("pressure"))).cast("double"))
+      .first().getDouble(0)
+    val wM =
+      if (missionCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(missionCols.map(col): _*)
+    val dim = glider
+      .select((missionCols :+ "profile_number").map(col): _*)
+      .distinct()
+      .withColumn("xbin",
+        (dense_rank().over(wM.orderBy("profile_number")) - 2).cast("long"))
+      .withColumn("xbin", when(col("xbin") >= 0, col("xbin")))
+      .persist(disk)
+    Axes(yMax, opts.yRes, missionCols, dim, dim.count())
   }
 
-  /** pd.cut(x, xaxis) ordinal for x values that are exactly the profile
-    * numbers: value == edge k -> bin k-1; first edge -> null.
+  /** pd.cut(profile_number, xaxis) for values that are exactly the profile
+    * numbers (they are: the xaxis IS the distinct profile set), as a
+    * broadcast dim-join — first profile maps to null, unknown values drop
+    * out downstream, and the plan carries no O(profiles) literal.
     */
-  def profileBin(axes: Axes): Column = {
-    val m = map(axes.profiles.zipWithIndex.flatMap { case (p, i) =>
-      Seq(lit(p), if (i == 0) lit(null).cast("long") else lit((i - 1).toLong))
-    }: _*)
-    element_at(m, col("profile_number"))
-  }
+  def withXbin(df: DataFrame, axes: Axes): DataFrame =
+    df.join(broadcast(axes.dim), axes.missionCols :+ "profile_number", "left")
 
   /** Right-closed pressure bin (uniform yaxis, pd.cut parity). */
   def depthBin(axes: Axes, y: Column): Column =
     graft.core.Bins.cutRight(y, 0.0, axes.yRes, axes.nY - 1)
 
-  /** Grid one exploded ADCP shear variable by (profile, bin_depth):
-    * (xbin, ybin, value-mean) tall grid (reference_shear Sh grid, :1670).
+  /** Grid many columns of one table in a single shuffle: one groupBy over
+    * (missionCols, xbin, ybin) with one agg per (srcCol -> outName). Cells
+    * exist wherever ANY input row lands (value aggs null-skip per column,
+    * like the reference's per-variable nan-aware grid2d over the same dense
+    * axes). `fn` defaults to mean — grid_data/_grid_glider_data use 'mean'
+    * everywhere (process_adcp.py:1807-1849).
     */
-  def gridAdcpVar(adcp: DataFrame, axes: Axes, varCol: String): DataFrame =
-    adcp
-      .select(col("profile_number"),
-        posexplode(arrays_zip(col("bin_depth"), col(varCol))).as(Seq("i", "zv")))
-      .select(col("profile_number"),
-        col("zv.bin_depth").as("bd"), col("zv." + varCol).as("v"))
-      .withColumn("xbin", profileBin(axes))
-      .withColumn("ybin", depthBin(axes, col("bd")))
-      .where(col("xbin").isNotNull && col("ybin").isNotNull && col("v").isNotNull)
-      .groupBy("xbin", "ybin").agg(avg("v").as(varCol))
-
-  /** Grid a glider column by (profile, pressure) with a pluggable agg. */
-  def gridGliderVar(glider: DataFrame, axes: Axes, varCol: String,
-      agg: Column => Column = avg): DataFrame =
-    glider
-      .withColumn("xbin", profileBin(axes))
-      .withColumn("ybin", depthBin(axes, col("pressure")))
-      .where(col("xbin").isNotNull && col("ybin").isNotNull && col(varCol).isNotNull)
-      .groupBy("xbin", "ybin").agg(agg(col(varCol)).as(varCol))
-
-  /** Vertical integration of a gridded shear column into velocity
-    * (reference_shear, :1676-1682): cumsum down depth with zeros for
-    * missing cells, original nulls restored, times yRes, then column
-    * de-meaned (baroclinic zero-mean).
-    */
-  def integrateShear(grid: DataFrame, varCol: String, yRes: Double): DataFrame = {
-    val wCum = Window.partitionBy("xbin").orderBy("ybin")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val wCol = Window.partitionBy("xbin")
-    grid
-      .withColumn("v_int",
-        when(col(varCol).isNotNull,
-          sum(coalesce(col(varCol), lit(0.0))).over(wCum) * yRes))
-      .withColumn("v_ref", col("v_int") - avg(col("v_int")).over(wCol))
-      .drop("v_int")
+  def gridVars(df: DataFrame, axes: Axes, yCol: String,
+      vars: Seq[(String, String)],
+      fn: Column => Column = avg): DataFrame = {
+    val keyed = withXbin(df, axes)
+      .withColumn("ybin", depthBin(axes, col(yCol)))
+      .where(col("xbin").isNotNull && col("ybin").isNotNull)
+    val aggs = vars.map { case (src, out) => fn(col(src)).as(out) }
+    keyed.groupBy(axes.key.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** DAC referencing (reference_shear, :1690-1717): residence-time weights
-    * SpB = yRes / dPdz clipped at one global std, reference =
-    * colMean(DAC) - sum(V*SpB)/sum(SpB), added back per column.
+  /** Grid exploded per-bin ADCP array variables (Sh_*), one posexplode +
+    * one shuffle for all of them (grid_data, :1822-1830).
     */
-  def referenceToDac(
-      vGrid: DataFrame, dacGrid: DataFrame, dpdzGrid: DataFrame,
-      dacCol: String, yRes: Double): DataFrame = {
-    // the std clip needs an action before the final projection; persist so
-    // the gridded/integrated upstream isn't computed twice
-    val joined = vGrid
-      .join(dacGrid, Seq("xbin", "ybin"), "left")
-      .join(dpdzGrid, Seq("xbin", "ybin"), "left")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // SpB = yRes/dPdz; inf (dPdz==0) -> 0; empty cells stay null so the
-    // weighted sums nan-skip them exactly like the reference's nansum; the
-    // clip assigns +std regardless of sign (SpB[|SpB| > std] = std,
-    // process_adcp.py:1705-1708 — reference behavior, not symmetric).
+  def gridAdcp2d(adcp: DataFrame, axes: Axes,
+      vars: Seq[(String, String)]): DataFrame = {
+    val zipped = arrays_zip(col("bin_depth") +: vars.map(v => col(v._1)): _*)
+    val keyCols = (axes.missionCols :+ "profile_number").map(col)
+    val exploded = adcp
+      .select(keyCols :+ posexplode(zipped).as(Seq("__i", "__c")): _*)
+      .select(keyCols :+ col("__c.*"): _*)
+    gridVars(exploded, axes, "bin_depth", vars)
+  }
+
+  /** Glider columns excluded from gridding — the engine-schema counterpart
+    * of the reference's exclude_from_grid list (process_adcp.py:1799-1804):
+    * navigation/QC plumbing plus non-measurement internals. time_ns is the
+    * long time key (the reference excludes 'time'); declination /
+    * dead_reckoning / NAV_RESOURCE appear verbatim in the reference list.
+    */
+  val gliderExcludeFromGrid: Set[String] = Set(
+    "time_ns", "time", "declination", "dead_reckoning", "nav_resource")
+
+  /** grid_data + _grid_glider_data (process_adcp.py:1797-1856): the three
+    * Sh grids from the exploded ADCP bins, the ADCP 1-D attitude grids by
+    * (profile, ADCP pressure), and EVERY remaining numeric glider column by
+    * (profile, glider pressure) — all in three shuffles + two broadcast-key
+    * joins. Per-column failure tolerance becomes a type gate: non-numeric
+    * columns are skipped exactly like the reference's try/except.
+    *
+    * Naming: the reference keeps ADCP-sourced 'Pressure' and glider
+    * 'pressure' as distinct dict keys; Spark SQL resolves column names
+    * case-insensitively, so the ADCP one ships as `pressure_adcp`. The
+    * reference's ADCP-sourced latitude/longitude/profile_number grids are
+    * overwritten by the glider versions at the dict level (:1838-1848 then
+    * :1807-1817) and are therefore never computed here.
+    */
+  def gridData(adcp: DataFrame, glider: DataFrame, axes: Axes): DataFrame = {
+    val sh = gridAdcp2d(adcp, axes,
+      Seq("sh_e" -> "Sh_E", "sh_n" -> "Sh_N", "sh_u" -> "Sh_U"))
+    val att = gridVars(adcp, axes, "pressure", Seq(
+      "heading" -> "Heading", "pitch" -> "Pitch", "roll" -> "Roll",
+      "pressure" -> "pressure_adcp"))
+    val gliderVars = glider.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType])
+      .map(_.name)
+      .filterNot(gliderExcludeFromGrid.contains)
+      .filterNot(axes.missionCols.contains)
+      .toSeq
+    val gl = gridVars(glider, axes, "pressure", gliderVars.map(v => v -> v))
+    sh.join(att, axes.key, "full").join(gl, axes.key, "full")
+  }
+
+  /** reference_shear (process_adcp.py:1658-1760) on the combined tall grid:
+    * per-column vertical integration of gridded shear (nancumsum * yRes,
+    * nulls restored), baroclinic de-mean, residence-time weights
+    * SpB = yRes/dPdz clipped at one per-mission std (the clip assigns +std
+    * regardless of sign, :1705-1708 — reference behavior, not symmetric),
+    * reference = colMean(DAC) - nansum(V*SpB)/nansum(SpB), added back.
+    * Produces ADCP_E / ADCP_N.
+    *
+    * The SpB sums run over every cell of the combined grid where the glider
+    * gridded (exactly the reference's dense-grid nansum domain, :1713 —
+    * including cells with no finite shear).
+    */
+  def referenceShear(grid0: DataFrame, axes: Axes, yRes: Double,
+      letters: Seq[String] = Seq("e", "n")): DataFrame = {
+    val wCum = axes.wCol.orderBy("ybin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wCol = axes.wCol
     val spb0 = when(col("speed_vert").isNull, lit(null).cast("double"))
       .when(col("speed_vert") === 0.0, lit(0.0))
       .otherwise(lit(yRes) / col("speed_vert"))
-    val std = joined.select(stddev_pop(spb0).as("s")).first().getDouble(0)
-    val spb = when(abs(spb0) > std, lit(std)).otherwise(spb0)
-    val wCol = Window.partitionBy("xbin")
-    // numerator nansum(V*SpB) skips cells where either is missing; the
-    // denominator is nansum(SpB) over ALL cells (reference does not mask it
-    // by V, process_adcp.py:1713).
-    val ref = avg(col(dacCol)).over(wCol) -
-      sum(col("v_ref") * spb).over(wCol) / sum(spb).over(wCol)
-    joined
-      .withColumn("v_final", col("v_ref") + ref)
-      .select(col("xbin"), col("ybin"), col("v_final"))
+    val based = grid0.withColumn("__spb0", spb0)
+    // one std per mission (a global scalar in the single-mission reference)
+    val stdDf = (if (axes.missionCols.isEmpty) based.groupBy()
+                 else based.groupBy(axes.missionCols.map(col): _*))
+      .agg(stddev_pop(col("__spb0")).as("__spb_std"))
+    val joined =
+      if (axes.missionCols.isEmpty) based.crossJoin(broadcast(stdDf))
+      else based.join(broadcast(stdDf), axes.missionCols)
+    val clipped = joined.withColumn("__spb",
+      when(abs(col("__spb0")) > col("__spb_std"), col("__spb_std"))
+        .otherwise(col("__spb0")))
+    letters.foldLeft(clipped) { (g, l) =>
+      val sh = col(s"Sh_${l.toUpperCase}")
+      val g2 = g
+        .withColumn("__vi",
+          when(sh.isNotNull, sum(coalesce(sh, lit(0.0))).over(wCum) * yRes))
+        .withColumn("__vr", col("__vi") - avg(col("__vi")).over(wCol))
+      val ref = avg(col(s"dac_$l")).over(wCol) -
+        sum(col("__vr") * col("__spb")).over(wCol) / sum(col("__spb")).over(wCol)
+      g2.withColumn(s"ADCP_${l.toUpperCase}", col("__vr") + ref)
+        .drop("__vi", "__vr")
+    }.drop("__spb0", "__spb", "__spb_std")
   }
 
   /** Scalar bias solve (calc_bias, :1954-1984): per-column nancumsum of the
-    * gridded glider speed, de-meaned, scaled by the coefficient minimizing
-    * the combined E/N RMSD score (fmin, maxiter=100, ftol=1e-5). The grid is
-    * driver-sized (profiles x depth bins); collect once, solve, apply
-    * distributed.
+    * gridded glider speed, de-meaned, scaled by the one coefficient
+    * minimizing the combined E/N RMSD score (fmin, maxiter=100, ftol=1e-5).
+    * The grid is driver-sized (profiles x depth bins) and the solve is a
+    * genuinely sequential scalar optimization; collect once (mission-keyed),
+    * solve, apply distributed. For fleet-scale outputs cap or shard by
+    * mission before calling.
     */
-  def calcBias(out: DataFrame, spark: SparkSession): DataFrame = {
-    val rows = out.select("xbin", "ybin", "ADCP_E", "ADCP_N", "speed_e", "speed_n")
+  def calcBias(out: DataFrame, axes: Axes, spark: SparkSession): DataFrame = {
+    val mk =
+      if (axes.missionCols.isEmpty) lit("")
+      else concat_ws("", axes.missionCols.map(c => col(c).cast("string")): _*)
+    val keyed = out.withColumn("__mk", mk)
+    val rows = keyed
+      .select("__mk", "xbin", "ybin", "ADCP_E", "ADCP_N", "speed_e", "speed_n")
       .collect()
-    val byCol = rows.groupBy(_.getLong(0))
-    def series(colIdx: Int, xbin: Long): Array[(Long, Double)] =
-      byCol(xbin).map(r => (r.getLong(1),
+    val byCol = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+    def series(colIdx: Int, k: (String, Long)): Array[(Long, Double)] =
+      byCol(k).map(r => (r.getLong(2),
         if (r.isNullAt(colIdx)) Double.NaN else r.getDouble(colIdx)))
         .sortBy(_._1)
     def biasColumn(speed: Array[(Long, Double)]): Array[(Long, Double)] = {
@@ -149,27 +221,28 @@ object GridOutput {
       val mean = if (finite.isEmpty) 0.0 else finite.sum / finite.length
       raw.map { case (y, v) => (y, v - mean) }
     }
-    val xbins = byCol.keys.toArray.sorted
-    val biasE = xbins.map(x => x -> biasColumn(series(4, x)).toMap).toMap
-    val biasN = xbins.map(x => x -> biasColumn(series(5, x)).toMap).toMap
+    val colKeys = byCol.keys.toArray.sorted
+    val biasE = colKeys.map(k => k -> biasColumn(series(5, k)).toMap).toMap
+    val biasN = colKeys.map(k => k -> biasColumn(series(6, k)).toMap).toMap
 
     def score(coeff: Double): Double = {
-      // rmsd over columns of (rmsd_h(E) + rmsd_h(N)) per row — reference
-      // computes row-wise rmsd over profiles then an overall rmsd (:1962-1966)
-      val byRow = rows.groupBy(_.getLong(1))
-      val rowScores = byRow.toSeq.sortBy(_._1).map { case (ybin, rs) =>
-        def rmsdOf(colIdx: Int, bias: Map[Long, Map[Long, Double]]): Double = {
+      // row-wise rmsd over profiles then an overall rmsd (:1962-1966);
+      // rows are (mission, ybin) — each mission's dense rows score
+      // independently, one shared coefficient (reference is single-mission)
+      val byRow = rows.groupBy(r => (r.getString(0), r.getLong(2)))
+      val rowScores = byRow.toSeq.sortBy(_._1).map { case ((mkv, ybin), rs) =>
+        def rmsdOf(colIdx: Int,
+            bias: Map[(String, Long), Map[Long, Double]]): Double = {
           val vs = rs.flatMap { r =>
-            val x = r.getLong(0)
+            val k = (mkv, r.getLong(1))
             val base = if (r.isNullAt(colIdx)) Double.NaN else r.getDouble(colIdx)
-            val b = bias(x).getOrElse(ybin, Double.NaN)
+            val b = bias(k).getOrElse(ybin, Double.NaN)
             val v = base + b * coeff
             if (v.isNaN) None else Some(v * v)
           }
           if (vs.isEmpty) Double.NaN else math.sqrt(vs.sum / vs.size)
         }
-        val e = rmsdOf(2, biasE); val n = rmsdOf(3, biasN)
-        e + n
+        rmsdOf(3, biasE) + rmsdOf(4, biasN)
       }
       val finite = rowScores.filter(v => !v.isNaN)
       if (finite.isEmpty) 0.0
@@ -181,18 +254,115 @@ object GridOutput {
     val coeff = r.x(0)
 
     import spark.implicits._
-    val biasDf = xbins.flatMap { x =>
-      biasE(x).keys.map { y =>
-        (x, y, biasE(x)(y), biasN(x)(y))
-      }
-    }.toSeq.toDF("xbin", "ybin", "bias_e", "bias_n")
-    out.join(biasDf, Seq("xbin", "ybin"), "left")
+    val biasDf = colKeys.flatMap { k =>
+      biasE(k).keys.map { y => (k._1, k._2, y, biasE(k)(y), biasN(k)(y)) }
+    }.toSeq.toDF("__mk", "xbin", "ybin", "bias_e", "bias_n")
+    keyed.join(broadcast(biasDf), Seq("__mk", "xbin", "ybin"), "left")
       .withColumn("ADCP_E", col("ADCP_E") +
         when(!isnan(col("bias_e")), col("bias_e")).otherwise(lit(0.0)) * coeff)
       .withColumn("ADCP_N", col("ADCP_N") +
         when(!isnan(col("bias_n")), col("bias_n")).otherwise(lit(0.0)) * coeff)
-      .drop("bias_e", "bias_n")
+      .drop("bias_e", "bias_n", "__mk")
   }
+
+  /** verify_depth_bias computational core (process_adcp.py:1859-1950):
+    * travel direction from the across-profile latitude gradient (np.gradient
+    * axis=1 on the dense grid: centered with one-sided dense-grid edges,
+    * null where a dense neighbor is an empty cell), 20 depth slabs over
+    * [0, max(yaxis)-5], and per-(variable, slab, direction) value histograms
+    * (99 left-closed bins over [-0.5, 0.5], density-normalized like
+    * np.histogram(density=True)). `MAG` is sqrt(E^2+N^2) (:1921-1922).
+    * Returns the tall histogram relation; moments come from
+    * [[verifyDepthBiasMoments]]. Plot rendering stays out of scope.
+    */
+  private val histLo = -0.5
+  private val histN = 99
+  private val histStep = 1.0 / histN
+
+  private def slabFrame(axes: Axes, spark: SparkSession): (DataFrame, Double) = {
+    val depths = (0 until 20).map(i => (axes.yMax - 5.0) * i / 19.0)
+    val drange = (depths(1) - depths(0)) / 2.0
+    import spark.implicits._
+    (depths.zipWithIndex.map { case (d, i) => (i, d) }.toDF("slab", "slab_depth"),
+      drange)
+  }
+
+  private def directedCells(out: DataFrame, axes: Axes,
+      vars: Seq[String]): DataFrame = {
+    // dense-grid np.gradient(axis=1): the across-profile neighbor must be
+    // the ADJACENT dense column; a gap means the dense neighbor is NaN.
+    val wRow = axes.wRow.orderBy("xbin")
+    val nxDf = axes.dim.groupBy(axes.missionCols.map(col): _*)
+      .agg(max("xbin").as("__x_last"))
+    val withNx =
+      if (axes.missionCols.isEmpty) out.crossJoin(broadcast(nxDf))
+      else out.join(broadcast(nxDf), axes.missionCols)
+    val lat = col("latitude")
+    val xp = lag("xbin", 1).over(wRow); val xn = lead("xbin", 1).over(wRow)
+    val lp = lag(lat, 1).over(wRow); val ln = lead(lat, 1).over(wRow)
+    val prevOk = xp === col("xbin") - 1
+    val nextOk = xn === col("xbin") + 1
+    val grad =
+      when(col("xbin") === 0, when(nextOk, ln - lat))
+        .when(col("xbin") === col("__x_last"), when(prevOk, lat - lp))
+        .otherwise(when(prevOk && nextOk, (ln - lp) / 2.0))
+    val dir = when(grad > 0, "N").when(grad < 0, "S")
+    val magCol = sqrt(pow(col("ADCP_E"), 2) + pow(col("ADCP_N"), 2))
+    val varVal = vars.map(v =>
+      struct(lit(v).as("var"),
+        (if (v == "MAG") magCol else col(v)).as("v")))
+    withNx
+      .withColumn("__dir", dir)
+      .where(col("__dir").isNotNull)
+      .select((axes.key.map(col) :+ col("__dir") :+ col("pressure_adcp")) :+
+        explode(array(varVal: _*)).as("__vv"): _*)
+      .select(axes.key.map(col) :+ col("__dir") :+ col("pressure_adcp") :+
+        col("__vv.var").as("var") :+ col("__vv.v").as("v"): _*)
+  }
+
+  private def slabbed(cells: DataFrame, axes: Axes,
+      spark: SparkSession): DataFrame = {
+    val (slabs, drange) = slabFrame(axes, spark)
+    cells.crossJoin(broadcast(slabs))
+      .where(abs(col("pressure_adcp") - col("slab_depth")) < drange)
+  }
+
+  def verifyDepthBias(out: DataFrame, axes: Axes, spark: SparkSession,
+      vars: Seq[String] = Seq("ADCP_E", "ADCP_N", "MAG")): DataFrame = {
+    val cells = slabbed(directedCells(out, axes, vars), axes, spark)
+      .withColumn("bin", graft.core.Bins.cutLeft(col("v"), histLo, histStep, histN))
+      .where(col("bin").isNotNull)
+    val grp = axes.missionCols ++ Seq("var", "slab", "__dir")
+    val wGrp = Window.partitionBy(grp.map(col): _*)
+    cells
+      .groupBy((grp :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("density",
+        col("n") / (sum(col("n")).over(wGrp) * histStep))
+      .withColumnRenamed("__dir", "direction")
+  }
+
+  /** Per-(variable, slab, direction) moments of verify_depth_bias: nan-mean,
+    * nan-std (population), finite count, standard error (:1889-1896).
+    */
+  def verifyDepthBiasMoments(out: DataFrame, axes: Axes, spark: SparkSession,
+      vars: Seq[String] = Seq("ADCP_E", "ADCP_N", "MAG")): DataFrame = {
+    val grp = axes.missionCols ++ Seq("var", "slab", "__dir")
+    slabbed(directedCells(out, axes, vars), axes, spark)
+      .groupBy(grp.map(col): _*)
+      .agg(avg("v").as("mean"), stddev_pop("v").as("std"),
+        count("v").as("n"))
+      .withColumn("se", col("std") / sqrt(col("n")))
+      .withColumnRenamed("__dir", "direction")
+  }
+
+  /** calc_bias verification core (:1985-1995): per-depth-row nan-variance of
+    * ADCP_E, ADCP_N and the velocity magnitude across profiles.
+    */
+  def verifyCalcBias(out: DataFrame, axes: Axes): DataFrame =
+    out.groupBy((axes.missionCols :+ "ybin").map(col): _*)
+      .agg(var_pop("ADCP_E").as("var_e"), var_pop("ADCP_N").as("var_n"),
+        var_pop(sqrt(pow(col("ADCP_E"), 2) + pow(col("ADCP_N"), 2))).as("var_mag"))
 
   /** CSV export of the gridded output (the reference notebook's
     * exportCSVfiles, ProcessADCPSeaExplorer.ipynb cell 103).
@@ -200,14 +370,12 @@ object GridOutput {
   def exportCsv(ds: DataFrame, path: String): Unit =
     ds.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 
-  /** Final dataset (make_dataset, :2029-2043): tall (xbin, ybin) grid with
-    * one column per variable plus per-profile mean datetime.
+  /** Final dataset (make_dataset, :2029-2043): the tall grid plus
+    * per-profile mean datetime — ds.date_float.mean(dim='depth_bin'), the
+    * mean of the GRIDDED per-cell date_float means (:2042), as a window
+    * over the profile column (no extra join or shuffle beyond the exchange
+    * the referencing windows already established).
     */
-  def makeDataset(out: DataFrame, glider: DataFrame, axes: Axes): DataFrame = {
-    // ds.date_float.mean(dim='depth_bin') — the mean of the GRIDDED
-    // per-cell date_float means (:2042), not of the raw samples
-    val profDt = out
-      .groupBy("xbin").agg(avg("date_float").as("profile_datetime_ns"))
-    out.join(profDt, Seq("xbin"), "left")
-  }
+  def makeDataset(out: DataFrame, axes: Axes): DataFrame =
+    out.withColumn("profile_datetime_ns", avg(col("date_float")).over(axes.wCol))
 }
