@@ -70,24 +70,23 @@ object AdcpPipeline {
     if (anyFix) AdcpStages.xyzzToBeam(adcp) else adcp
   }
 
-  /** grid_shear (:2060-2064): axes + gridded Sh_E/N/U + glider grids. */
-  def gridShear(adcp: DataFrame, glider: DataFrame, opts: Options): (DataFrame, GridOutput.Axes) = {
-    val ax = GridOutput.axes(glider, opts)
-    val shE = GridOutput.gridAdcpVar(adcp, ax, "sh_e")
-    val shN = GridOutput.gridAdcpVar(adcp, ax, "sh_n")
-    val shU = GridOutput.gridAdcpVar(adcp, ax, "sh_u")
-    val grid = shE
-      .join(shN, Seq("xbin", "ybin"), "full")
-      .join(shU, Seq("xbin", "ybin"), "full")
-    (grid, ax)
+  /** grid_shear (:2060-2064): axes + the full combined grid (Sh_E/N/U from
+    * the exploded ADCP bins, ADCP attitude grids, every numeric glider
+    * column) — three shuffles total via [[GridOutput.gridData]].
+    */
+  def gridShear(adcp: DataFrame, glider: DataFrame, opts: Options,
+      missionCols: Seq[String] = Nil): (DataFrame, GridOutput.Axes) = {
+    val ax = GridOutput.axes(glider, opts, missionCols)
+    (GridOutput.gridData(adcp, glider, ax), ax)
   }
 
-  /** velocity_from_shear (:2067-2083): DAC + referencing + glider grids +
+  /** velocity_from_shear (:2067-2083): DAC + full grid + shear referencing +
     * bias solve + final dataset. `btRaw` optional bottom-track table.
     */
   def velocityFromShear(
       adcp0: DataFrame, glider0: DataFrame, opts: Options,
-      btRaw: Option[DataFrame], spark: SparkSession): (DataFrame, GridOutput.Axes) = {
+      btRaw: Option[DataFrame], spark: SparkSession,
+      missionCols: Seq[String] = Nil): (DataFrame, GridOutput.Axes) = {
     // the DAC-augmented glider feeds ~10 downstream scans (axes + every
     // gridded variable + profile datetimes); persist it or each scan
     // re-runs the dead-reckoning windows and interp joins
@@ -97,27 +96,10 @@ object AdcpPipeline {
       case Some(bt) => GliderStages.bottomTrack(opts)(adcp0, bt)
       case None => adcp0
     }
-    val ax = GridOutput.axes(glider, opts)
-
-    def vFor(letter: String): DataFrame = {
-      val sh = GridOutput.gridAdcpVar(adcp, ax, s"sh_$letter")
-      val v = GridOutput.integrateShear(sh, s"sh_$letter", opts.yRes)
-      val dac = GridOutput.gridGliderVar(glider, ax, s"dac_$letter")
-      val dpdz = GridOutput.gridGliderVar(glider, ax, "speed_vert")
-      GridOutput.referenceToDac(v, dac, dpdz, s"dac_$letter", opts.yRes)
-        .withColumnRenamed("v_final", s"ADCP_${letter.toUpperCase}")
-    }
-
-    val vE = vFor("e"); val vN = vFor("n")
-    val gridded = vE.join(vN, Seq("xbin", "ybin"), "full")
-      .join(GridOutput.gridGliderVar(glider, ax, "speed_e"), Seq("xbin", "ybin"), "full")
-      .join(GridOutput.gridGliderVar(glider, ax, "speed_n"), Seq("xbin", "ybin"), "full")
-      .join(GridOutput.gridGliderVar(glider, ax, "salinity"), Seq("xbin", "ybin"), "full")
-      .join(GridOutput.gridGliderVar(glider, ax, "temperature"), Seq("xbin", "ybin"), "full")
-      .join(GridOutput.gridGliderVar(glider, ax, "pressure"), Seq("xbin", "ybin"), "full")
-      .join(GridOutput.gridGliderVar(glider, ax, "date_float"), Seq("xbin", "ybin"), "full")
-
-    val biased = GridOutput.calcBias(gridded, spark)
-    (GridOutput.makeDataset(biased, glider, ax), ax)
+    val ax = GridOutput.axes(glider, opts, missionCols)
+    val grid0 = GridOutput.gridData(adcp, glider, ax)
+    val referenced = GridOutput.referenceShear(grid0, ax, opts.yRes)
+    val biased = GridOutput.calcBias(referenced, ax, spark)
+    (GridOutput.makeDataset(biased, ax), ax)
   }
 }

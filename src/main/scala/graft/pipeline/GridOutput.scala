@@ -37,7 +37,26 @@ object GridOutput {
   final case class Axes(yMax: Double, yRes: Double, missionCols: Seq[String],
       dim: DataFrame, nProfiles: Long) {
     def nY: Int = math.ceil(yMax).toInt
-    def nX: Long = nProfiles - 1 // column k-1 per profile, first dropped
+    /** Dense-grid column count — single-mission only: with mission columns
+      * nProfiles counts (mission, profile) pairs globally and the first
+      * profile is dropped PER MISSION, so a global nX would overstate every
+      * mission; derive per-mission counts from `dim` instead.
+      */
+    def nX: Long = {
+      require(missionCols.isEmpty,
+        "nX is single-mission; group dim by missionCols for per-mission counts")
+      nProfiles - 1 // column k-1 per profile, first dropped
+    }
+    /** Per-mission dense-grid column counts (missionCols..., n_x). */
+    def nXByMission: DataFrame =
+      dim.where(col("xbin").isNotNull)
+        .groupBy(missionCols.map(col): _*)
+        .agg((max("xbin") + 1).as("n_x"))
+    /** Unpersist the cached dim frame; call when done with this grid run
+      * (repeated axes() calls in a long-lived session otherwise accumulate
+      * cached RDDs).
+      */
+    def release(): Unit = { dim.unpersist(); () }
     /** Full grid key. */
     def key: Seq[String] = missionCols ++ Seq("xbin", "ybin")
     /** Per-profile-column key (one dense-grid column). */
@@ -199,9 +218,13 @@ object GridOutput {
     * mission before calling.
     */
   def calcBias(out: DataFrame, axes: Axes, spark: SparkSession): DataFrame = {
+    // unambiguous mission key: u0001 separator + u0002 null sentinel, so
+    // distinct missions cannot collide and a null column does not silently
+    // merge missions (concat_ws drops nulls)
     val mk =
       if (axes.missionCols.isEmpty) lit("")
-      else concat_ws("", axes.missionCols.map(c => col(c).cast("string")): _*)
+      else concat_ws("", axes.missionCols.map(c =>
+        coalesce(col(c).cast("string"), lit(""))): _*)
     val keyed = out.withColumn("__mk", mk)
     val rows = keyed
       .select("__mk", "xbin", "ybin", "ADCP_E", "ADCP_N", "speed_e", "speed_n")

@@ -29,7 +29,8 @@ object PipelineDemo {
       shear, GliderStages.deriveGlider(Fixture.glider(spark)),
       Fixture.opts, None, spark)
     val finiteE = ds.where(col("ADCP_E").isNotNull && !isnan(col("ADCP_E"))).count()
-    println(f"""{"pings":$nPings,"mean_sh_e":$meanShE%.6f,"grid_cells_with_E":$finiteE,"profiles":${axes.profiles.size},"depth_bins":${axes.nY}}""")
+    println(f"""{"pings":$nPings,"mean_sh_e":$meanShE%.6f,"grid_cells_with_E":$finiteE,"profiles":${axes.nProfiles},"depth_bins":${axes.nY}}""")
+    axes.release()
     spark.stop()
   }
 }
