@@ -13,24 +13,22 @@ object Bench {
     // warm the session (task scheduling, codegen compiler, parquet footers)
     // so the first timed query doesn't absorb ~3s of one-time startup cost
     spark.range(1000).selectExpr("sum(id)").count()
-    // Untimed warm pass over every plan before the timed pass. On a cold
-    // JVM the big plans measure Janino whole-stage-codegen compilation, not
-    // the engine (q51 minhash-LSH: 26.5s cold vs 0.8s warm on the round-1
-    // driver host); a single warm execution compiles each generated class
-    // and materializes the explicit .cache() stages, so the timed pass
-    // reports steady-state throughput on any host.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Two timed passes, both reported. Pass 1 (cold) includes per-plan
+    // Janino whole-stage-codegen compilation and .cache() materialization —
+    // comparable with BASELINE.md / round-1 cold numbers. Pass 2 (warm) is
+    // steady-state engine throughput with codegen classes and caches hot.
+    val cold = pass()
+    val warm = pass()
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
+    val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"queries":${js(cold)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
