@@ -90,10 +90,10 @@ object AdcpPipeline {
     // the DAC-augmented glider feeds ~10 downstream scans (axes + every
     // gridded variable + profile datetimes); persist it or each scan
     // re-runs the dead-reckoning windows and interp joins
-    val glider = GliderStages.getDac(adcp0, glider0)
+    val glider = GliderStages.getDac(adcp0, glider0, missionCols)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val adcp = btRaw match {
-      case Some(bt) => GliderStages.bottomTrack(opts)(adcp0, bt)
+      case Some(bt) => GliderStages.bottomTrack(opts)(adcp0, bt, missionCols)
       case None => adcp0
     }
     val ax = GridOutput.axes(glider, opts, missionCols)

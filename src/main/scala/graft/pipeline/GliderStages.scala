@@ -9,13 +9,13 @@ import graft.functions.Teos10
 /** Glider-side stages: load/derive, dive-averaged-current (DAC), surface
   * drift, bottom track (SURVEY.md §2.3-2.5 composites).
   *
-  * Windows are whole-mission (partitionBy(lit(1))) exactly like the
-  * reference's implicit time order; for multi-mission 100 TB runs the same
-  * code takes a mission key in `Windows.ordered` partitions.
+  * Every stage takes `missionCols`: with keys supplied all windows,
+  * interp joins and groupings partition per mission, so concurrent
+  * missions never share window state (the multi-mission 100 TB execution
+  * shape). Empty keys reproduce the reference's whole-mission
+  * single-series semantics.
   */
 object GliderStages {
-
-  private val wT = Windows.ordered(Seq(col("time_ns")))
 
   /** Load-stage derivations (load, process_adcp.py:80-114): date_float ns,
     * TEOS-10 soundspeed from S/T/p.
@@ -34,10 +34,14 @@ object GliderStages {
     * GPS fix, close each dive's loop against the GPS displacement, spread
     * DAC back over the glider timeline by interpolation + bfill/ffill.
     */
-  def getDac(adcp: DataFrame, glider: DataFrame): DataFrame = {
+  def getDac(adcp: DataFrame, glider: DataFrame,
+      missionCols: Seq[String] = Nil): DataFrame = {
+    val mCols = missionCols.map(col)
+    val wT = Windows.ordered(Seq(col("time_ns")), mCols)
     // heading interpolated ADCP -> glider timeline (:1338)
     val withHeading = InterpJoin.interpolate(
-      adcp.select("time_ns", "heading"), glider, "time_ns", Seq("heading"), Nil, "adcp_")
+      adcp.select((missionCols ++ Seq("time_ns", "heading")).map(col): _*),
+      glider, "time_ns", Seq("heading"), missionCols, "adcp_")
     val t = col("date_float") * 1e-9
     val vgE = coalesce(col("speed_horz") * sin(radians(col("adcp_heading"))), lit(0.0))
     val vgN = coalesce(col("speed_horz") * cos(radians(col("adcp_heading"))), lit(0.0))
@@ -56,19 +60,19 @@ object GliderStages {
 
     // per dive: first/last GPS row (:1352-1369)
     val firstLast = base.where(col("gps"))
-      .groupBy(col("dive_number").as("dive"))
+      .groupBy(mCols :+ col("dive_number").as("dive"): _*)
       .agg(
         min_by(struct(col("latitude"), col("longitude"), col("t"), col("de_prev"), col("dn_prev")), col("time_ns")).as("first_gps"),
         max_by(struct(col("latitude"), col("longitude"), col("t")), col("time_ns")).as("last_gps"))
-      .select(col("dive"),
+      .select(mCols ++ Seq(col("dive"),
         col("first_gps.latitude").as("surf_lat"), col("first_gps.longitude").as("surf_lon"),
         col("first_gps.t").as("surf_time"),
         col("first_gps.de_prev").as("de_at_surf"), col("first_gps.dn_prev").as("dn_at_surf"),
         col("last_gps.latitude").as("dive_lat"), col("last_gps.longitude").as("dive_lon"),
-        col("last_gps.t").as("dive_time"))
+        col("last_gps.t").as("dive_time")): _*)
 
     // pair dive i with dive i+1's surfacing (:1391-1398)
-    val wD = Window.partitionBy(lit(1)).orderBy(col("dive"))
+    val wD = Windows.ordered(Seq(col("dive")), mCols)
     val paired = firstLast
       .withColumn("next_surf_lat", lead(col("surf_lat"), 1).over(wD))
       .withColumn("next_surf_lon", lead(col("surf_lon"), 1).over(wD))
@@ -84,15 +88,15 @@ object GliderStages {
       .withColumn("meant", (col("next_surf_time") + col("dive_time")) / 2.0)
       .withColumn("dac_e", (col("gps_e") - col("dr_e")) / col("dt"))
       .withColumn("dac_n", (col("gps_n") - col("dr_n")) / col("dt"))
-      .select("meant", "dac_e", "dac_n")
+      .select((missionCols ++ Seq("meant", "dac_e", "dac_n")).map(col): _*)
 
     // interp DAC(meant) onto the glider timeline, then bfill+ffill (:1404-1406)
     val dac = InterpJoin.interpolate(
       paired.withColumnRenamed("meant", "t"), base.drop("de_prev", "dn_prev", "gps"),
-      "t", Seq("dac_e", "dac_n"), Nil, "i_")
+      "t", Seq("dac_e", "dac_n"), missionCols, "i_")
     dac
-      .withColumn("dac_e", Windows.ffill(Windows.bfill(col("i_dac_e"), Seq(col("time_ns"))), wT))
-      .withColumn("dac_n", Windows.ffill(Windows.bfill(col("i_dac_n"), Seq(col("time_ns"))), wT))
+      .withColumn("dac_e", Windows.ffill(Windows.bfill(col("i_dac_e"), Seq(col("time_ns")), mCols), wT))
+      .withColumn("dac_n", Windows.ffill(Windows.bfill(col("i_dac_n"), Seq(col("time_ns")), mCols), wT))
       .drop("i_dac_e", "i_dac_n")
   }
 
@@ -100,12 +104,14 @@ object GliderStages {
     * gradients of GPS lon/lat/time over surface fixes, per-dive medians of
     * drift velocity where sampling is dense (dt < 21 s), per-dive mean time.
     */
-  def surfaceDrift(glider: DataFrame): DataFrame = {
-    val wG = Windows.ordered(Seq(col("time_ns")))
+  def surfaceDrift(glider: DataFrame,
+      missionCols: Seq[String] = Nil): DataFrame = {
+    val mCols = missionCols.map(col)
+    val wG = Windows.ordered(Seq(col("time_ns")), mCols)
     val rows = glider.where(gpsFix)
       .withColumn("t", col("date_float") * 1e-9)
       .withColumn("__rn", row_number().over(wG).cast("double"))
-    val w = Windows.ordered(Seq(col("__rn")))
+    val w = Windows.ordered(Seq(col("__rn")), mCols)
     val withGrads = rows
       .withColumn("dlon", Windows.gradient(col("longitude"), col("__rn"), w) *
         Teos10.lonToMeters(col("longitude"), col("latitude")))
@@ -114,11 +120,11 @@ object GliderStages {
       .withColumn("dtime", Windows.gradient(col("t"), col("__rn"), w))
     withGrads
       .where(col("dtime") < 21.0)
-      .groupBy(col("dive_number").as("dive"))
+      .groupBy(mCols :+ col("dive_number").as("dive"): _*)
       .agg(median(col("dlon") / col("dtime")).as("drift_e"),
         median(col("dlat") / col("dtime")).as("drift_n"),
         avg(col("t")).as("drift_t"))
-      .orderBy("dive")
+      .orderBy((missionCols :+ "dive").map(col): _*)
   }
 
   /** Bottom track (process_adcp.py:1480-1597): QC beams/FOM, match each BT
@@ -126,22 +132,29 @@ object GliderStages {
     * beams -> XYZ (fixed 3x3 inverse) -> ENU (per-row H@P@R), scatter back
     * onto the ADCP timeline as BT_E/N/U.
     */
-  def bottomTrack(opts: Options)(adcp: DataFrame, bt: DataFrame): DataFrame = {
+  def bottomTrack(opts: Options)(adcp: DataFrame, bt: DataFrame,
+      missionCols: Seq[String] = Nil): DataFrame = {
     if (opts.topMounted) return adcp // reference refuses top-mounted (:1481-1483)
-    val lastAdcpTime = adcp.agg(max("time_ns")).first().getLong(0)
-    val qc = bt
-      .where(col("time_ns") < lastAdcpTime)
+    val mCols = missionCols.map(col)
+    // last ADCP time as a per-mission broadcast frame, not a driver scalar
+    val lastT = adcp.groupBy(mCols: _*).agg(max("time_ns").as("__last_t"))
+    val btBounded =
+      if (missionCols.isEmpty) bt.crossJoin(broadcast(lastT))
+      else bt.join(broadcast(lastT), missionCols)
+    val qc = btBounded
+      .where(col("time_ns") < col("__last_t"))
+      .drop("__last_t")
       .where(col("vel_b1") > -2.0 && col("vel_b2") > -2.0 && col("vel_b4") > -2.0)
       .where(col("fom_b1") < 12.0 && col("fom_b2") < 12.0 && col("fom_b4") < 12.0)
 
     // per-profile max pressure painted on pings, then matched to BT (:1509-1520)
-    val wProf = Window.partitionBy(col("profile_number"))
+    val wProf = Window.partitionBy(mCols :+ col("profile_number"): _*)
     val adcpAug = adcp.withColumn("profile_max_pressure", max(col("pressure")).over(wProf))
     val matched = InterpJoin.nearest(
-      adcpAug.select(col("time_ns"), col("profile_max_pressure"),
-        col("speed_of_sound"), col("time_ns").cast("double").as("adcp_t")),
+      adcpAug.select(mCols ++ Seq(col("time_ns"), col("profile_max_pressure"),
+        col("speed_of_sound"), col("time_ns").cast("double").as("adcp_t")): _*),
       qc, "time_ns",
-      Seq("profile_max_pressure", "speed_of_sound", "adcp_t"), Nil,
+      Seq("profile_max_pressure", "speed_of_sound", "adcp_t"), missionCols,
       tolerance = None, outPrefix = "m_")
       .where(abs(col("m_profile_max_pressure") - col("pressure")) < 15.0)
 
@@ -149,7 +162,6 @@ object GliderStages {
     // [0,sin b,cos b]] (:1530-1543), computed in closed form:
     val sa = math.sin(math.toRadians(47.5)); val ca = math.cos(math.toRadians(47.5))
     val sb = math.sin(math.toRadians(25.0)); val cb = math.cos(math.toRadians(25.0))
-    // rows of the inverse: X = (1/sa)B1 - (ca/(2*cb*sa))(B2+B4); wait — derive:
     // From B1 = sa*X + ca*Z; B2 = -sb*Y + cb*Z; B4 = sb*Y + cb*Z:
     // Z = (B2+B4)/(2cb); Y = (B4-B2)/(2sb); X = (B1 - ca*Z)/sa.
     val ratio = col("m_speed_of_sound") / col("speed_of_sound_bt")
@@ -181,13 +193,13 @@ object GliderStages {
     // dedupe before the join or matched duplicates would multiply ADCP rows
     val btEnu = scaled
       .withColumn("bt_e", e).withColumn("bt_n", n).withColumn("bt_u", u)
-      .select(col("m_adcp_t").cast("long").as("time_ns"),
-        col("time_ns").as("bt_time"), col("bt_e"), col("bt_n"), col("bt_u"))
-      .groupBy("time_ns")
+      .select(mCols ++ Seq(col("m_adcp_t").cast("long").as("time_ns"),
+        col("time_ns").as("bt_time"), col("bt_e"), col("bt_n"), col("bt_u")): _*)
+      .groupBy((missionCols :+ "time_ns").map(col): _*)
       .agg(max_by(struct(col("bt_e"), col("bt_n"), col("bt_u")), col("bt_time")).as("bt"))
-      .select(col("time_ns"), col("bt.bt_e").as("bt_e"),
-        col("bt.bt_n").as("bt_n"), col("bt.bt_u").as("bt_u"))
+      .select(mCols ++ Seq(col("time_ns"), col("bt.bt_e").as("bt_e"),
+        col("bt.bt_n").as("bt_n"), col("bt.bt_u").as("bt_u")): _*)
 
-    adcp.join(btEnu, Seq("time_ns"), "left")
+    adcp.join(btEnu, missionCols :+ "time_ns", "left")
   }
 }
