@@ -23,13 +23,16 @@ object AdcpPipeline {
     * are the natural checkpoint/intermediate-write points.
     */
   def shearFromAdcp(
-      adcpRaw: DataFrame, gliderRaw: DataFrame, opts: Options,
+      adcpRaw: DataFrame, gliderRaw: DataFrame, opts0: Options,
       cellSize: Double, blankingDistance: Double,
       solveHeading: Boolean = true,
       missionCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     def barrier(df: DataFrame): DataFrame =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val glider = GliderStages.deriveGlider(gliderRaw)
+    // resolve declination/geomag target through the provider seam (no-op
+    // without a configured provider — opts0.geomag defaults to None)
+    val (glider, opts) = GliderStages.applyGeomag(
+      GliderStages.deriveGlider(gliderRaw), opts0, missionCols)
     var adcp = AdcpStages.align(adcpRaw, glider, missionCols)
     // the alignment window collapses a single-mission dataset to one
     // partition; fan back out so the (embarrassingly parallel) elementwise

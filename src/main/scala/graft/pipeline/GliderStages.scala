@@ -29,6 +29,59 @@ object GliderStages {
 
   private val gpsFix = col("dead_reckoning") < 1.0 && col("nav_resource") === 116.0
 
+  /** get_declination (process_adcp.py:59-77) + getGeoMagStrength
+    * (:315-339) through the [[GeomagProvider]] seam: declination at each
+    * mission's MEAN lat/lon/time (skipped when the column already exists,
+    * like the reference), and the heading-solve field target at the MEDIAN
+    * lat/lon + mean time. One provider call per mission driver-side (the
+    * reference's exact lookup cardinality); no provider configured = input
+    * passes through untouched, zero egress.
+    *
+    * Returns the (possibly declination-augmented) glider and Options with
+    * `geomagTargetMilligauss` resolved. With several missions the scalar
+    * target resolves from the first mission key (ascending) — per-mission
+    * heading solves should shard by mission before calling.
+    */
+  def applyGeomag(glider: DataFrame, opts: Options,
+      missionCols: Seq[String] = Nil): (DataFrame, Options) = opts.geomag match {
+    case None => (glider, opts)
+    case Some(p) =>
+      val mCols = missionCols.map(col)
+      val stats = glider.groupBy(mCols: _*).agg(
+        avg("latitude").as("mean_lat"), avg("longitude").as("mean_lon"),
+        (avg(col("time_ns").cast("double")) / 1e9).as("mean_t"),
+        median(col("latitude")).as("med_lat"), median(col("longitude")).as("med_lon"))
+      val rows = stats.orderBy(mCols: _*).collect() // one row per mission
+      val first = rows.head
+      val target = p.fieldStrengthMilligauss(
+        first.getAs[Double]("med_lat"), first.getAs[Double]("med_lon"),
+        first.getAs[Double]("mean_t"))
+      val out =
+        if (glider.columns.contains("declination")) glider // :63-65
+        else if (missionCols.isEmpty) {
+          val d = p.declination(first.getAs[Double]("mean_lat"),
+            first.getAs[Double]("mean_lon"), first.getAs[Double]("mean_t"))
+          glider.withColumn("declination", lit(d))
+        } else {
+          import glider.sparkSession.implicits._
+          val decls = rows.map { r =>
+            (missionCols.map(c => r.getAs[Any](c)),
+              p.declination(r.getAs[Double]("mean_lat"),
+                r.getAs[Double]("mean_lon"), r.getAs[Double]("mean_t")))
+          }
+          // per-mission constant via a broadcast dim-join (no plan literal)
+          val dimRows = decls.map { case (k, d) => org.apache.spark.sql.Row.fromSeq(k :+ d) }
+          val dimSchema = org.apache.spark.sql.types.StructType(
+            missionCols.map(c => glider.schema(c)) :+
+              org.apache.spark.sql.types.StructField("declination",
+                org.apache.spark.sql.types.DoubleType))
+          val dim = glider.sparkSession.createDataFrame(
+            glider.sparkSession.sparkContext.parallelize(dimRows.toSeq), dimSchema)
+          glider.join(broadcast(dim), missionCols)
+        }
+      (out, opts.copy(geomagTargetMilligauss = target))
+  }
+
   /** Dive-averaged current (get_DAC, process_adcp.py:1327-1430):
     * dead-reckon east/north displacement from heading+speed, reset at each
     * GPS fix, close each dive's loop against the GPS displacement, spread

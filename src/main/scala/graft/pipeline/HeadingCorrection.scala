@@ -12,10 +12,10 @@ import graft.core.Optimize
   * RMSD of the calibrated field magnitude against the geomagnetic target
   * (the reference fetches the target from the BGS IGRF service driver-side;
   * here it arrives via Options). The magnetometer triple is tiny (3 doubles
-  * per ping), so the objective follows the reference's effective execution:
-  * collect once, iterate in memory. For missions beyond driver RAM the same
-  * objective is expressible as a cached DataFrame aggregate (SURVEY.md
-  * §2.8) — swap `collectMag` for an agg-based closure.
+  * per ping), so below a row threshold the objective follows the
+  * reference's effective execution — collect once, iterate in memory; above
+  * it the identical RMSD runs as a cached-DataFrame aggregate per solver
+  * step, keeping driver memory O(1) at fleet scale (SURVEY.md §2.8).
   */
 object HeadingCorrection {
 
@@ -30,25 +30,56 @@ object HeadingCorrection {
 
   /** Solve the 12-coefficient calibration against the target field
     * magnitude (milligauss), scipy-fmin defaults (process_adcp.py:389-397).
+    *
+    * Below `collectThreshold` rows the objective iterates over a collected
+    * array (the reference's effective execution — 3 doubles per ping).
+    * Above it, the same RMSD is evaluated as an aggregate over a cached
+    * 3-column DataFrame per Nelder-Mead step: driver memory stays O(1)
+    * regardless of ping count, at the cost of one Spark job per objective
+    * evaluation — the scale path for missions beyond driver RAM.
     */
-  def solve(adcp: DataFrame, targetMilligauss: Double): Calibration = {
-    val mag = adcp.select("mag_x", "mag_y", "mag_z")
+  def solve(adcp: DataFrame, targetMilligauss: Double,
+      collectThreshold: Long = 10000000L,
+      maxIter: Int = 2400): Calibration = {
+    val mag3 = adcp.select(col("mag_x").cast("double"),
+      col("mag_y").cast("double"), col("mag_z").cast("double"))
       .na.drop()
-      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
-    def objective(c: Array[Double]): Double = {
-      var s = 0.0
-      var i = 0
-      while (i < mag.length) {
-        val (cx, cy, cz) = applyCal(c, mag(i)._1, mag(i)._2, mag(i)._3)
-        val d = math.sqrt(cx * cx + cy * cy + cz * cz) - targetMilligauss
-        s += d * d
-        i += 1
-      }
-      math.sqrt(s / mag.length)
-    }
+      .toDF("mag_x", "mag_y", "mag_z")
     val x0 = Array(1.0, 0, 0, 0, 1.0, 0, 0, 0, 1.0, 0, 0, 0)
-    val r = Optimize.nelderMead(objective, x0, maxIter = 2400, maxFun = 2400)
-    Calibration(r.x.take(9), r.x.drop(9), r.fx)
+
+    val nRows = mag3.count()
+    if (nRows <= collectThreshold) {
+      val mag = mag3.collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      def objective(c: Array[Double]): Double = {
+        var s = 0.0
+        var i = 0
+        while (i < mag.length) {
+          val (cx, cy, cz) = applyCal(c, mag(i)._1, mag(i)._2, mag(i)._3)
+          val d = math.sqrt(cx * cx + cy * cy + cz * cz) - targetMilligauss
+          s += d * d
+          i += 1
+        }
+        math.sqrt(s / mag.length)
+      }
+      val r = Optimize.nelderMead(objective, x0, maxIter = maxIter, maxFun = maxIter)
+      Calibration(r.x.take(9), r.x.drop(9), r.fx)
+    } else {
+      val cached = mag3.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        def objective(c: Array[Double]): Double = {
+          val dx = col("mag_x") - c(9)
+          val dy = col("mag_y") - c(10)
+          val dz = col("mag_z") - c(11)
+          val cx = lit(c(0)) * dx + lit(c(1)) * dy + lit(c(2)) * dz
+          val cy = lit(c(3)) * dx + lit(c(4)) * dy + lit(c(5)) * dz
+          val cz = lit(c(6)) * dx + lit(c(7)) * dy + lit(c(8)) * dz
+          val d = sqrt(cx * cx + cy * cy + cz * cz) - targetMilligauss
+          cached.agg(sqrt(avg(d * d))).first().getDouble(0)
+        }
+        val r = Optimize.nelderMead(objective, x0, maxIter = maxIter, maxFun = maxIter)
+        Calibration(r.x.take(9), r.x.drop(9), r.fx)
+      } finally { cached.unpersist(); () }
+    }
   }
 
   /** Tilt-compensated heading from the calibrated magnetometer

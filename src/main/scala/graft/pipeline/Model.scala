@@ -21,9 +21,24 @@ final case class Options(
     yRes: Double = 1.0, // vertical grid resolution (process_adcp.py:49)
     geomagTargetMilligauss: Double = 487.0,
     soundFreqKhz: Double = 1000.0,
-    ph: Double = 8.1) {
+    ph: Double = 8.1,
+    geomag: Option[GeomagProvider] = None) {
   /** Mount direction sign (process_adcp.py:226-237). */
   def direction: Int = if (topMounted) 1 else -1
+}
+
+/** Seam for the reference's NOAA/BGS web lookups (get_declination,
+  * process_adcp.py:59-77; getGeoMagStrength, :315-339). The engine itself
+  * performs no IO — zero-egress by default; a caller plugs an
+  * implementation (their HTTP client, a lookup table, the IGRF model) via
+  * `Options.geomag` and the pipeline evaluates it driver-side once per
+  * mission, exactly the cardinality of the reference's web calls.
+  */
+trait GeomagProvider extends Serializable {
+  /** Magnetic declination, degrees east (NOAA calculateDeclination). */
+  def declination(lat: Double, lon: Double, epochSec: Double): Double
+  /** Total geomagnetic field strength, milligauss (BGS IGRF). */
+  def fieldStrengthMilligauss(lat: Double, lon: Double, epochSec: Double): Double
 }
 
 /** Long/wide schema contract for the two input tables (FIXTURES.md §1-2).
