@@ -91,6 +91,38 @@ object GridQueries {
         .orderBy("win_start_us", "event_type")
     }),
 
+    // verify_depth_bias computational core (process_adcp.py:1859-1950) on an
+    // events-derived grid: travel direction from the across-profile latitude
+    // gradient, 20 depth slabs, per-(var, slab, direction) 99-bin density
+    // histograms over [-0.5, 0.5). Drives the real GridOutput.verifyDepthBias
+    // operator; cell values are exact integer/rational constructions so the
+    // DuckDB mirror is bit-deterministic (Common determinism rules).
+    "q62_depth_bias_hist" -> ((s, dir) => {
+      import graft.pipeline.{GridOutput, Options}
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val glider = ev.select(
+        pmod(col("user_id"), lit(40)).cast("long").as("profile_number"),
+        col("value").as("pressure"), col("value"))
+      val ax = GridOutput.axes(glider, Options(yRes = 25.0))
+      val out = GridOutput.withXbin(glider, ax)
+        .withColumn("ybin", GridOutput.depthBin(ax, col("pressure")))
+        .where(col("xbin").isNotNull && col("ybin").isNotNull)
+        .groupBy("xbin", "ybin")
+        .agg(sum(round(col("value") * 100)).as("lat_cents"),
+          count(lit(1)).as("n_cell"))
+        .withColumn("latitude", col("lat_cents"))
+        .withColumn("ADCP_E",
+          (pmod(col("lat_cents").cast("long"), lit(1000L)).cast("double") - 500.0) / 1000.0)
+        .withColumn("ADCP_N",
+          (pmod(col("n_cell") * 37L, lit(1000L)).cast("double") - 500.0) / 1000.0)
+        .withColumn("pressure_adcp", col("ybin").cast("double") * 25.0)
+      GridOutput.verifyDepthBias(out, ax, s)
+        .select(col("var"), col("slab").cast("long").as("slab"),
+          col("direction"), col("bin"),
+          col("n"), fp(col("density")).as("density_milli"))
+        .orderBy("var", "slab", "direction", "bin")
+    }),
+
     // Nearest as-of match (process_adcp.py:1503-1507): each click matched to
     // the temporally nearest error event per user; ties toward earlier.
     "q11_asof_nearest" -> ((s, dir) => {
@@ -178,6 +210,63 @@ object GridQueries {
         "CASE WHEN x0 = x THEN y0 WHEN x1 = x THEN y1 " +
           "WHEN x0 IS NOT NULL AND x1 IS NOT NULL THEN y0 + (y1 - y0) * (x - x0) / (x1 - x0) END")} AS interp_milli
           FROM w WHERE is_src = 0 ORDER BY event_id""",
+
+    "q62_depth_bias_hist" -> {
+      val step = 1.0 / 99 // GridOutput.histStep, shortest-repr round-trips
+      s"""WITH ev AS (SELECT user_id % 40 AS pn, value FROM events WHERE value IS NOT NULL),
+          ym AS (SELECT max(ceil(value)) AS ymax FROM ev),
+          dim AS (SELECT pn, CAST(dense_rank() OVER (ORDER BY pn) AS BIGINT) - 2 AS xb
+                  FROM (SELECT DISTINCT pn FROM ev)),
+          xl AS (SELECT max(xb) AS x_last FROM dim),
+          cells AS (
+            SELECT d.xb AS xbin,
+              CASE WHEN CAST(ceil((e.value - 0.0)/25.0) AS BIGINT) - 1 >= 0
+                    AND CAST(ceil((e.value - 0.0)/25.0) AS BIGINT) - 1 < CAST(y.ymax AS BIGINT) - 1
+                   THEN CAST(ceil((e.value - 0.0)/25.0) AS BIGINT) - 1 END AS ybin,
+              e.value
+            FROM ev e JOIN dim d ON e.pn = d.pn CROSS JOIN ym y
+            WHERE d.xb IS NOT NULL),
+          grid AS (
+            SELECT xbin, ybin, sum(round(value*100)) AS lat, count(*) AS n_cell
+            FROM cells WHERE ybin IS NOT NULL GROUP BY 1, 2),
+          g2 AS (
+            SELECT xbin, ybin, lat,
+              (CAST((CAST(lat AS BIGINT) % 1000) AS DOUBLE) - 500.0)/1000.0 AS e,
+              (CAST(((n_cell*37) % 1000) AS DOUBLE) - 500.0)/1000.0 AS n_,
+              CAST(ybin AS DOUBLE)*25.0 AS p
+            FROM grid),
+          dirs AS (
+            SELECT g2.*, xl.x_last,
+              lag(xbin) OVER w AS xp, lead(xbin) OVER w AS xn,
+              lag(lat) OVER w AS lp, lead(lat) OVER w AS ln_
+            FROM g2 CROSS JOIN xl
+            WINDOW w AS (PARTITION BY ybin ORDER BY xbin)),
+          dird AS (
+            SELECT *,
+              CASE WHEN grad > 0 THEN 'N' WHEN grad < 0 THEN 'S' END AS direction
+            FROM (SELECT *,
+              CASE WHEN xbin = 0 THEN (CASE WHEN xn = xbin + 1 THEN ln_ - lat END)
+                   WHEN xbin = x_last THEN (CASE WHEN xp = xbin - 1 THEN lat - lp END)
+                   ELSE (CASE WHEN xp = xbin - 1 AND xn = xbin + 1 THEN (ln_ - lp)/2.0 END)
+              END AS grad FROM dirs)
+            WHERE grad > 0 OR grad < 0),
+          vals AS (
+            SELECT direction, p, 'ADCP_E' AS var, e AS v FROM dird
+            UNION ALL SELECT direction, p, 'ADCP_N', n_ FROM dird
+            UNION ALL SELECT direction, p, 'MAG', sqrt(pow(e,2)+pow(n_,2)) FROM dird),
+          slabs AS (SELECT CAST(i AS BIGINT) AS slab, (y.ymax - 5.0) * i / 19.0 AS sd
+                    FROM (SELECT unnest(generate_series(0, 19)) AS i) CROSS JOIN ym y),
+          dr AS (SELECT (((y.ymax - 5.0) / 19.0) / 2.0) AS drange FROM ym y),
+          binned AS (
+            SELECT var, slab, direction, ${graft.core.Bins.cutLeftSql("v", -0.5, step, 99)} AS bin
+            FROM vals CROSS JOIN slabs CROSS JOIN dr
+            WHERE abs(vals.p - slabs.sd) < dr.drange)
+          SELECT var, slab, direction, bin, count(*) AS n,
+            CAST(round((count(*) / (sum(count(*)) OVER (PARTITION BY var, slab, direction) * $step)) * 1000.0) AS BIGINT) AS density_milli
+          FROM binned WHERE bin IS NOT NULL
+          GROUP BY var, slab, direction, bin
+          ORDER BY var, slab, direction, bin"""
+    },
 
     "q11_asof_nearest" ->
       s"""WITH src AS (SELECT user_id, epoch_us(ts) AS x, value AS v FROM events WHERE event_type = 'error'),
