@@ -47,4 +47,15 @@ class PlanHealthSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(user_id"),
       "cumsum window not partitioned by user_id")
   }
+
+  test("grid xbin lookup is a broadcast dim-join, not a plan literal") {
+    // q62 drives GridOutput.withXbin: the profile->xbin map must enter the
+    // plan as a broadcast join against the dim frame — an O(profiles)
+    // `map(...)` literal would be a multi-MB plan at fleet scale.
+    val plan = explain("q62_depth_bias_hist")
+    assert(plan.contains("BroadcastHashJoin"),
+      "withXbin is not a broadcast dim-join")
+    assert(!plan.contains("map_from_arrays") && !plan.contains("CreateMap"),
+      "profile->xbin baked into the plan as a literal map")
+  }
 }
