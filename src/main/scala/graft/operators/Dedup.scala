@@ -109,6 +109,65 @@ object Dedup {
     withJaccard(candidates(bands(sigs, idCol, k, nBands), idCol), sigs, idCol)
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair list — the step a dedup pipeline runs after LSH pair generation
+    * (pairs -> clusters -> keep one doc per cluster). Returns (node,
+    * component) where component is the minimum doc id reachable from node;
+    * nodes not present in any pair are absent (they are their own cluster).
+    *
+    * Algorithm: min-label propagation with path compression. Each round is
+    * (1) p(x) := min(p(x), min over neighbors y of p(y)) — a hash join of
+    * the edge list with the label table — then (2) p(x) := p(p(x)) — the
+    * label table composed with itself, which doubles the effective hop
+    * distance, giving O(log diameter) rounds instead of O(diameter) on
+    * chain-shaped clusters. State is one (node, label) row per paired doc,
+    * hash-partitioned on node; no single-partition stage, no driver-side
+    * graph, and each round ends at a localCheckpoint so the plan does not
+    * grow with iteration count. Convergence is detected by the exact
+    * decimal sum of labels (labels are monotone non-increasing, so an
+    * unchanged sum means a fixpoint; at the fixpoint labels are constant
+    * across every edge, i.e. the component minimum).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sym = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .union(pairs
+        .select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.groupBy("x").agg(min("y").as("__mn"))
+      .select(col("x"), least(col("x"), col("__mn")).as("p"))
+      .localCheckpoint()
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = sym
+        .join(labels.select(col("x").as("y"), col("p").as("__py")), "y")
+        .groupBy("x").agg(min("__py").as("__pn"))
+      val prop = labels.join(nbr, Seq("x"), "left")
+        .select(col("x"),
+          least(col("p"), coalesce(col("__pn"), col("p"))).as("p"))
+      val next = prop
+        .join(prop.select(col("x").as("p"), col("p").as("__pp")),
+          Seq("p"), "left")
+        .select(col("x"), coalesce(col("__pp"), col("p")).as("p"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("p").cast("decimal(38,0)"))).first().getDecimal(0)
+      converged = prevSum != null && prevSum.compareTo(s) == 0
+      prevSum = s
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("x").as("node"), col("p").as("component"))
+  }
+
   /** SimHash fingerprint per document — explode + flat bit-sum aggregates
     * (one md5 per token; the HOF form would recompute the hashed array per
     * bit). Identical arithmetic to [[Text.simhash]].

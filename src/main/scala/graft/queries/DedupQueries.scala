@@ -68,6 +68,22 @@ object DedupQueries {
         .where(col("jac") > 0.0)
         .select(col("doc_a"), col("doc_b"), fp(col("jac")).as("jac_milli"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Duplicate-cluster resolution: connected components over a pair list
+    // (the post-LSH step: pairs -> clusters -> one keeper per cluster).
+    // Edges here are chains of consecutive doc_ids sharing a language —
+    // long-diameter components that exercise the O(log d) pointer-doubling
+    // propagation; the oracle resolves the same islands without recursion.
+    "q64_dedup_clusters" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      val pairs = table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"))
+        .withColumn("next_id", lead("doc_id", 1).over(w))
+        .where(col("next_id") === col("doc_id") + 1)
+        .select(col("doc_id").as("doc_a"), col("next_id").as("doc_b"))
+      Dedup.connectedComponents(pairs).orderBy("node")
     })
   )
 
@@ -124,6 +140,22 @@ object DedupQueries {
           FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
           WHERE a.doc_id % 20 = 0
             AND len(list_intersect(a.ds, b.ds)) > 0
-          ORDER BY doc_a, doc_b"""
+          ORDER BY doc_a, doc_b""",
+
+    // Same islands via gaps-and-islands (doc_id - row_number is constant
+    // within a run of consecutive ids per lang); size-1 islands have no
+    // edge and are absent from the CC output.
+    "q64_dedup_clusters" ->
+      """WITH isl AS (
+           SELECT doc_id, lang,
+             doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+           FROM documents),
+         comp AS (
+           SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY lang, grp) AS component,
+             count(*) OVER (PARTITION BY lang, grp) AS sz
+           FROM isl)
+         SELECT doc_id AS node, component FROM comp WHERE sz >= 2
+         ORDER BY node"""
   )
 }

@@ -65,6 +65,24 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
     pairs.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
+
+  test("connected components resolve chains, local minima, and singleton edges") {
+    // 1-5-2-7: a local-min trap (2 < both neighbors 5,7 but component min
+    // is 1, two hops away — pure pointer doubling without re-propagation
+    // stalls here); 10..14: a chain whose min sits at one end; 8-9: a pair.
+    val edges = Seq(
+      (1L, 5L), (5L, 2L), (2L, 7L),
+      (8L, 9L),
+      (13L, 14L), (12L, 13L), (11L, 12L), (10L, 11L)
+    ).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val expect = Map(
+      1L -> 1L, 5L -> 1L, 2L -> 1L, 7L -> 1L,
+      8L -> 8L, 9L -> 8L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
+    assert(got == expect, s"got $got")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
