@@ -28,7 +28,11 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
     val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"queries":${js(cold)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
+    // headline totals go LAST on the line (and again on a final compact
+    // line): the artifact collector keeps the tail of long lines, so totals
+    // printed first would be the part that gets truncated away
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"warm_total":$warmTotal,"value":$coldTotal}""")
+    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"n_queries":${cold.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

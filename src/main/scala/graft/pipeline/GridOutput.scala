@@ -209,83 +209,121 @@ object GridOutput {
     }.drop("__spb0", "__spb", "__spb_std")
   }
 
-  /** Scalar bias solve (calc_bias, :1954-1984): per-column nancumsum of the
-    * gridded glider speed, de-meaned, scaled by the one coefficient
-    * minimizing the combined E/N RMSD score (fmin, maxiter=100, ftol=1e-5).
-    * The grid is driver-sized (profiles x depth bins) and the solve is a
-    * genuinely sequential scalar optimization; collect once (mission-keyed),
-    * solve, apply distributed. For fleet-scale outputs cap or shard by
-    * mission before calling.
+  private def finiteCol(c: Column): Column = c.isNotNull && !isnan(c)
+
+  /** calc_bias bias columns (process_adcp.py:1954-1960), distributed:
+    * per-(mission, xbin) nancumsum of the gridded glider speed down the
+    * depth axis (running frame — O(n), same shape [[referenceShear]] uses),
+    * de-meaned over each column's finite cells. Null where speed is
+    * missing, exactly the reference's NaN cells. The grid never leaves the
+    * executors.
+    */
+  private def biasColumns(out: DataFrame, axes: Axes): DataFrame = {
+    val wCum = axes.wCol.orderBy("ybin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Seq("e", "n").foldLeft(out) { (g, l) =>
+      val sp = col(s"speed_$l")
+      val raw = when(finiteCol(sp),
+        sum(when(finiteCol(sp), sp).otherwise(lit(0.0))).over(wCum))
+      g.withColumn(s"__bias_$l", raw)
+        .withColumn(s"__bias_$l",
+          col(s"__bias_$l") -
+            coalesce(avg(col(s"__bias_$l")).over(axes.wCol), lit(0.0)))
+    }
+  }
+
+  /** Per-mission bias coefficients (missionCols..., __coeff), solved from
+    * sufficient statistics: the fmin objective is the rmsd-of-row-rmsds of
+    * `v + bias * coeff` (:1962-1966), and for a fixed finite-cell set
+    * `sum((v + b*c)^2) = A + 2cB + c^2*C` with A = sum v^2, B = sum v*b,
+    * C = sum b^2 — so one groupBy reduces the grid to O(missions x nY)
+    * stat rows and the Nelder-Mead iterations run on those alone. Driver
+    * memory is O(missions x nY); the full grid is never collected. Each
+    * mission gets its own coefficient (the reference is single-mission, so
+    * per-mission sharding is the faithful fleet generalization of its one
+    * global solve).
+    */
+  def biasCoefficients(withBias: DataFrame, axes: Axes,
+      spark: SparkSession): DataFrame = {
+    def stats(l: String) = {
+      val base = col("ADCP_" + l.toUpperCase)
+      val b = col(s"__bias_$l")
+      val fin = finiteCol(base) && finiteCol(b)
+      Seq(sum(when(fin, base * base)).as(s"a_$l"),
+        sum(when(fin, base * b)).as(s"b_$l"),
+        sum(when(fin, b * b)).as(s"c_$l"),
+        count(when(fin, 1)).as(s"n_$l"))
+    }
+    val aggs = stats("e") ++ stats("n")
+    val rowStats = withBias
+      .groupBy((axes.missionCols :+ "ybin").map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    final case class S(aE: Double, bE: Double, cE: Double, nE: Long,
+        aN: Double, bN: Double, cN: Double, nN: Long)
+    def num(r: org.apache.spark.sql.Row, name: String): Double = {
+      val i = r.fieldIndex(name)
+      if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    }
+    def solveOne(rows: Array[org.apache.spark.sql.Row]): Double = {
+      val rs = rows.map(r => S(
+        num(r, "a_e"), num(r, "b_e"), num(r, "c_e"), r.getAs[Long]("n_e"),
+        num(r, "a_n"), num(r, "b_n"), num(r, "c_n"), r.getAs[Long]("n_n")))
+      def score(c: Double): Double = {
+        def rmsd(a: Double, b: Double, cc: Double, n: Long): Double =
+          if (n == 0) Double.NaN
+          else math.sqrt(math.max(0.0, (a + 2 * c * b + c * c * cc) / n))
+        val rows2 = rs.flatMap { s =>
+          val v = rmsd(s.aE, s.bE, s.cE, s.nE) + rmsd(s.aN, s.bN, s.cN, s.nN)
+          if (v.isNaN) None else Some(v * v)
+        }
+        if (rows2.isEmpty) 0.0
+        else math.sqrt(rows2.sum / rows2.length) * 1e6
+      }
+      Optimize.nelderMead(x => score(x(0)), Array(1.0),
+        fatol = 1e-5, maxIter = 100).x(0)
+    }
+    val byMission = {
+      val grouped = rowStats.groupBy(r =>
+        axes.missionCols.map(c => r.getAs[Any](c)))
+      if (grouped.isEmpty && axes.missionCols.isEmpty)
+        Map(Seq.empty[Any] -> Array.empty[org.apache.spark.sql.Row])
+      else grouped
+    }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(
+      axes.missionCols.map(c => withBias.schema(c)) :+
+        org.apache.spark.sql.types.StructField("__coeff",
+          org.apache.spark.sql.types.DoubleType))
+    val coeffRows = byMission.toSeq
+      .sortBy(_._1.map(String.valueOf).mkString("\u0001"))
+      .map { case (k, rs) => org.apache.spark.sql.Row.fromSeq(k :+ solveOne(rs)) }
+    spark.createDataFrame(coeffRows.asJava, schema)
+  }
+
+  /** Scalar bias solve (calc_bias, :1954-1984): nancumsum of the gridded
+    * glider speed per column, de-meaned, scaled by the coefficient
+    * minimizing the combined E/N RMSD score (fmin parity: maxiter=100,
+    * ftol=1e-5) and added to the referenced velocities. Bias columns and
+    * the objective's sufficient statistics are computed distributed
+    * ([[biasColumns]], [[biasCoefficients]]); the solve runs per mission
+    * with O(missions x nY) driver memory — no full-grid collect, no
+    * synthetic string mission key (grouping and the broadcast re-join use
+    * the actual mission columns).
     */
   def calcBias(out: DataFrame, axes: Axes, spark: SparkSession): DataFrame = {
-    // unambiguous mission key: u0001 separator + u0002 null sentinel, so
-    // distinct missions cannot collide and a null column does not silently
-    // merge missions (concat_ws drops nulls)
-    val mk =
-      if (axes.missionCols.isEmpty) lit("")
-      else concat_ws("", axes.missionCols.map(c =>
-        coalesce(col(c).cast("string"), lit(""))): _*)
-    val keyed = out.withColumn("__mk", mk)
-    val rows = keyed
-      .select("__mk", "xbin", "ybin", "ADCP_E", "ADCP_N", "speed_e", "speed_n")
-      .collect()
-    val byCol = rows.groupBy(r => (r.getString(0), r.getLong(1)))
-    def series(colIdx: Int, k: (String, Long)): Array[(Long, Double)] =
-      byCol(k).map(r => (r.getLong(2),
-        if (r.isNullAt(colIdx)) Double.NaN else r.getDouble(colIdx)))
-        .sortBy(_._1)
-    def biasColumn(speed: Array[(Long, Double)]): Array[(Long, Double)] = {
-      var cum = 0.0
-      val raw = speed.map { case (y, v) =>
-        if (!v.isNaN) cum += v
-        (y, if (v.isNaN) Double.NaN else cum)
-      }
-      val finite = raw.map(_._2).filter(v => !v.isNaN)
-      val mean = if (finite.isEmpty) 0.0 else finite.sum / finite.length
-      raw.map { case (y, v) => (y, v - mean) }
-    }
-    val colKeys = byCol.keys.toArray.sorted
-    val biasE = colKeys.map(k => k -> biasColumn(series(5, k)).toMap).toMap
-    val biasN = colKeys.map(k => k -> biasColumn(series(6, k)).toMap).toMap
-
-    def score(coeff: Double): Double = {
-      // row-wise rmsd over profiles then an overall rmsd (:1962-1966);
-      // rows are (mission, ybin) — each mission's dense rows score
-      // independently, one shared coefficient (reference is single-mission)
-      val byRow = rows.groupBy(r => (r.getString(0), r.getLong(2)))
-      val rowScores = byRow.toSeq.sortBy(_._1).map { case ((mkv, ybin), rs) =>
-        def rmsdOf(colIdx: Int,
-            bias: Map[(String, Long), Map[Long, Double]]): Double = {
-          val vs = rs.flatMap { r =>
-            val k = (mkv, r.getLong(1))
-            val base = if (r.isNullAt(colIdx)) Double.NaN else r.getDouble(colIdx)
-            val b = bias(k).getOrElse(ybin, Double.NaN)
-            val v = base + b * coeff
-            if (v.isNaN) None else Some(v * v)
-          }
-          if (vs.isEmpty) Double.NaN else math.sqrt(vs.sum / vs.size)
-        }
-        rmsdOf(3, biasE) + rmsdOf(4, biasN)
-      }
-      val finite = rowScores.filter(v => !v.isNaN)
-      if (finite.isEmpty) 0.0
-      else math.sqrt(finite.map(v => v * v).sum / finite.size) * 1e6
-    }
-
-    val r = Optimize.nelderMead(x => score(x(0)), Array(1.0),
-      fatol = 1e-5, maxIter = 100)
-    val coeff = r.x(0)
-
-    import spark.implicits._
-    val biasDf = colKeys.flatMap { k =>
-      biasE(k).keys.map { y => (k._1, k._2, y, biasE(k)(y), biasN(k)(y)) }
-    }.toSeq.toDF("__mk", "xbin", "ybin", "bias_e", "bias_n")
-    keyed.join(broadcast(biasDf), Seq("__mk", "xbin", "ybin"), "left")
-      .withColumn("ADCP_E", col("ADCP_E") +
-        when(!isnan(col("bias_e")), col("bias_e")).otherwise(lit(0.0)) * coeff)
-      .withColumn("ADCP_N", col("ADCP_N") +
-        when(!isnan(col("bias_n")), col("bias_n")).otherwise(lit(0.0)) * coeff)
-      .drop("bias_e", "bias_n", "__mk")
+    val withBias = biasColumns(out, axes)
+    val coeffs = biasCoefficients(withBias, axes, spark)
+    val joined =
+      if (axes.missionCols.isEmpty) withBias.crossJoin(broadcast(coeffs))
+      else withBias.join(broadcast(coeffs), axes.missionCols, "left")
+    def applied(l: String): Column =
+      col("ADCP_" + l.toUpperCase) +
+        coalesce(col(s"__bias_$l"), lit(0.0)) * coalesce(col("__coeff"), lit(1.0))
+    joined
+      .withColumn("ADCP_E", applied("e"))
+      .withColumn("ADCP_N", applied("n"))
+      .drop("__bias_e", "__bias_n", "__coeff")
   }
 
   /** verify_depth_bias computational core (process_adcp.py:1859-1950):
