@@ -32,7 +32,9 @@ object Bench {
     // line): the artifact collector keeps the tail of long lines, so totals
     // printed first would be the part that gets truncated away
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"warm_total":$warmTotal,"value":$coldTotal}""")
-    println(s"""{"metric":"total","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"n_queries":${cold.size},"sf":"$sfDir"}""")
+    // distinct metric name: a JSONL consumer filtering metric=="total" must
+    // not double-count this compact repeat of the totals
+    println(s"""{"metric":"total_compact","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"n_queries":${cold.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -314,12 +314,24 @@ object GridOutput {
   def calcBias(out: DataFrame, axes: Axes, spark: SparkSession): DataFrame = {
     val withBias = biasColumns(out, axes)
     val coeffs = biasCoefficients(withBias, axes, spark)
+    // null-safe (<=>) join: a null mission key forms its own group in the
+    // coefficient solve, so the re-join must match it too — a plain equality
+    // join would drop it and silently fall through to the default
     val joined =
       if (axes.missionCols.isEmpty) withBias.crossJoin(broadcast(coeffs))
-      else withBias.join(broadcast(coeffs), axes.missionCols, "left")
+      else {
+        val renamed = axes.missionCols.foldLeft(coeffs)(
+          (d, c) => d.withColumnRenamed(c, s"__mc_$c"))
+        val cond = axes.missionCols
+          .map(c => withBias(c) <=> renamed(s"__mc_$c")).reduce(_ && _)
+        withBias.join(broadcast(renamed), cond, "left")
+          .drop(axes.missionCols.map(c => s"__mc_$c"): _*)
+      }
+    // a join miss (impossible key) must not bias at all: default coeff 0.0,
+    // never 1.0 (which would inject the unscaled bias column)
     def applied(l: String): Column =
       col("ADCP_" + l.toUpperCase) +
-        coalesce(col(s"__bias_$l"), lit(0.0)) * coalesce(col("__coeff"), lit(1.0))
+        coalesce(col(s"__bias_$l"), lit(0.0)) * coalesce(col("__coeff"), lit(0.0))
     joined
       .withColumn("ADCP_E", applied("e"))
       .withColumn("ADCP_N", applied("n"))

@@ -41,6 +41,31 @@ class CalcBiasSpec extends AnyFunSuite {
     axes.release()
   }
 
+  test("null mission key keeps its own solved coefficient (null-safe join)") {
+    // a null key forms its own group in the solve; the coefficient re-join
+    // must be null-safe or the null mission silently gets no bias applied
+    val glider = (for (m <- Seq(Some(1), None); p <- 0 to 3)
+      yield (m, p.toDouble, 10.0)).toDF("mission", "profile_number", "pressure")
+    val axes = GridOutput.axes(glider, Options(), Seq("mission"))
+    val k = Map(Some(1) -> 2.0, (None: Option[Int]) -> 5.0)
+    val out = (for (m <- Seq(Some(1), None); x <- 0L to 2L; y <- 0L to 9L) yield {
+      val b = biasE(y.toInt)
+      (m, x, y, (y + 1).toDouble, 2.0 * (y + 1), -k(m) * b, -k(m) * 2.0 * b)
+    }).toDF("mission", "xbin", "ybin", "speed_e", "speed_n", "ADCP_E", "ADCP_N")
+    val res = GridOutput.calcBias(out, axes, spark)
+    val resid = res.groupBy("mission")
+      .agg(max(abs(col("ADCP_E"))).as("mx_e"), max(abs(col("ADCP_N"))).as("mx_n"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+        (r.getDouble(1), r.getDouble(2)))).toMap
+    assert(resid.keySet == Set(Some(1), None))
+    resid.foreach { case (m, (e, n)) =>
+      assert(e < 1e-6 && n < 1e-6,
+        s"mission $m residual e=$e n=$n (null-safe coefficient join broken)")
+    }
+    axes.release()
+  }
+
   test("single-mission calcBias solves the same algebra without mission keys") {
     val glider = (0 to 3).map(p => (p.toDouble, 10.0))
       .toDF("profile_number", "pressure")
