@@ -448,7 +448,32 @@ object GridOutput {
     * mean of the GRIDDED per-cell date_float means (:2042), as a window
     * over the profile column (no extra join or shuffle beyond the exchange
     * the referencing windows already established).
+    *
+    * `dense = true` materializes the reference's full depth_bin x profile
+    * matrix shape — every (mission, xbin, ybin in [0, nY)) cell including
+    * all-null rows and columns (the reference scatters into a
+    * NaN-initialized len(yaxis) x len(xaxis) array, process_adcp.py:125-131,
+    * and make_dataset keeps that dense shape, :2029-2043). The cell domain
+    * is the per-mission xbin dim-frame crossed with the broadcast ybin
+    * range; the sparse grid left-joins onto it (null-safe on mission keys),
+    * so a user diffing against reference netCDF sees the same shape.
+    * Sparse tall output stays the default — it is the scalable form.
     */
-  def makeDataset(out: DataFrame, axes: Axes): DataFrame =
-    out.withColumn("profile_datetime_ns", avg(col("date_float")).over(axes.wCol))
+  def makeDataset(out: DataFrame, axes: Axes,
+      dense: Boolean = false): DataFrame = {
+    val filled = if (!dense) out else {
+      val yDom = out.sparkSession.range(axes.nY.toLong)
+        .select(col("id").as("ybin"))
+      val xDom = axes.dim.where(col("xbin").isNotNull)
+        .select((axes.missionCols :+ "xbin").map(col): _*)
+      val domain = xDom.crossJoin(broadcast(yDom))
+      val cond = (axes.missionCols.map(c => domain(c) <=> out(c)) ++
+        Seq("xbin", "ybin").map(c => domain(c) === out(c))).reduce(_ && _)
+      val others = out.columns.filterNot(axes.key.contains).toSeq
+      domain.join(out, cond, "left")
+        .select(axes.key.map(domain(_)) ++ others.map(out(_)): _*)
+    }
+    filled.withColumn("profile_datetime_ns",
+      avg(col("date_float")).over(axes.wCol))
+  }
 }
