@@ -29,10 +29,12 @@ object AdcpPipeline {
       missionCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     def barrier(df: DataFrame): DataFrame =
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // resolve declination/geomag target through the provider seam (no-op
-    // without a configured provider — opts0.geomag defaults to None)
-    val (glider, opts) = GliderStages.applyGeomag(
+    // resolve declination/geomag targets through the provider seam (no-op
+    // without a configured provider — opts0.geomag defaults to None);
+    // with mission keys every mission gets its own field target
+    val geo = GliderStages.applyGeomagPerMission(
       GliderStages.deriveGlider(gliderRaw), opts0, missionCols)
+    val glider = geo.glider; val opts = geo.opts
     var adcp = AdcpStages.align(adcpRaw, glider, missionCols)
     // the alignment window collapses a single-mission dataset to one
     // partition; fan back out so the (embarrassingly parallel) elementwise
@@ -41,8 +43,12 @@ object AdcpPipeline {
     adcp = adcp.repartition(adcp.sparkSession.sparkContext.defaultParallelism)
     adcp = AdcpStages.remapDepth(opts)(adcp)
     // correct_heading is gated (:451-460): when disabled the compass
-    // heading stays raw and declination is NOT added
+    // heading stays raw and declination is NOT added. With mission keys
+    // each mission's compass solves against its own field target
+    // (reference cardinality: one solve per mission, :315-339)
     adcp = if (!opts.correctAdcpHeading) adcp
+           else if (solveHeading && missionCols.nonEmpty)
+             HeadingCorrection.perMission(opts, geo.targets, missionCols)(adcp)
            else if (solveHeading) HeadingCorrection(opts)(adcp)
            else HeadingCorrection.correctedHeading(opts,
              HeadingCorrection.Calibration(

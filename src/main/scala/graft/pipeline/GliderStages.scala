@@ -39,12 +39,28 @@ object GliderStages {
     *
     * Returns the (possibly declination-augmented) glider and Options with
     * `geomagTargetMilligauss` resolved. With several missions the scalar
-    * target resolves from the first mission key (ascending) — per-mission
-    * heading solves should shard by mission before calling.
+    * Options target resolves from the first mission key (ascending);
+    * [[applyGeomagPerMission]] additionally returns every mission's own
+    * target for per-mission heading solves.
     */
   def applyGeomag(glider: DataFrame, opts: Options,
-      missionCols: Seq[String] = Nil): (DataFrame, Options) = opts.geomag match {
-    case None => (glider, opts)
+      missionCols: Seq[String] = Nil): (DataFrame, Options) = {
+    val r = applyGeomagPerMission(glider, opts, missionCols)
+    (r.glider, r.opts)
+  }
+
+  /** [[applyGeomag]] plus the per-mission field-strength map: one provider
+    * lookup per mission (median lat/lon + mean time, the reference's exact
+    * call per run, process_adcp.py:315-339), keyed by the mission column
+    * values. Empty without a provider — callers fall back to
+    * `opts.geomagTargetMilligauss`.
+    */
+  final case class GeomagResult(glider: DataFrame, opts: Options,
+      targets: Map[Seq[Any], Double])
+
+  def applyGeomagPerMission(glider: DataFrame, opts: Options,
+      missionCols: Seq[String] = Nil): GeomagResult = opts.geomag match {
+    case None => GeomagResult(glider, opts, Map.empty)
     case Some(p) =>
       val mCols = missionCols.map(col)
       val stats = glider.groupBy(mCols: _*).agg(
@@ -53,6 +69,11 @@ object GliderStages {
         median(col("latitude")).as("med_lat"), median(col("longitude")).as("med_lon"))
       val rows = stats.orderBy(mCols: _*).collect() // one row per mission
       val first = rows.head
+      val targets = rows.map { r =>
+        (missionCols.map(c => r.getAs[Any](c)): Seq[Any]) ->
+          p.fieldStrengthMilligauss(r.getAs[Double]("med_lat"),
+            r.getAs[Double]("med_lon"), r.getAs[Double]("mean_t"))
+      }.toMap
       val target = p.fieldStrengthMilligauss(
         first.getAs[Double]("med_lat"), first.getAs[Double]("med_lon"),
         first.getAs[Double]("mean_t"))
@@ -79,7 +100,7 @@ object GliderStages {
             glider.sparkSession.sparkContext.parallelize(dimRows.toSeq), dimSchema)
           glider.join(broadcast(dim), missionCols)
         }
-      (out, opts.copy(geomagTargetMilligauss = target))
+      GeomagResult(out, opts.copy(geomagTargetMilligauss = target), targets)
   }
 
   /** Dive-averaged current (get_DAC, process_adcp.py:1327-1430):
