@@ -6,17 +6,24 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted partition-wise in batches.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs in this
-  * environment): a deterministic fake standing where a real decoder would
-  * run. The Spark-side plumbing — binary schema, struct metadata, batched
-  * mapPartitions (the JVM analog of a vectorized Python mapInPandas), and
-  * the resulting typed feature columns — is real and tested. At scale the
-  * batch shape bounds peak memory per task: `batchSize` payloads decoded at
-  * a time, never a whole partition.
+  * Two REAL in-sandbox decoders run by header dispatch — binary PPM (P6)
+  * images parsed byte-for-byte from the Netpbm header+raster layout, and
+  * zlib-compressed float64 tensors ("GZT1" frames) inflated via
+  * java.util.zip — with the original deterministic byte-histogram decode as
+  * the fallback for unrecognized payloads (heavier codecs like JPEG/audio
+  * aren't available in this environment; they would slot into the same
+  * dispatch). The Spark-side shape is the part that matters at 100 TB:
+  * binary schema, struct metadata, batched mapPartitions (the JVM analog of
+  * a vectorized Python mapInPandas), and typed feature columns out. The
+  * batch bounds peak memory per task: `batchSize` payloads decoded at a
+  * time, never a whole partition.
   */
 object Multimodal {
 
-  /** Decoded media record (what a real image decoder would emit). */
+  /** Decoded media record. `features` is decoder-specific:
+    * PPM -> [meanR, meanG, meanB, maxval]; tensor -> [min, max, mean, l2];
+    * fallback -> 4-bin byte histogram.
+    */
   final case class Decoded(
       doc_id: Long,
       n_bytes: Long,
@@ -35,31 +42,117 @@ object Multimodal {
         octet_length(col("payload")).as("n_bytes"),
         lit("fake/raw").as("mime")))
 
-  /** Batched partition-wise decode. STUB decoder: byte-sum "checksum",
-    * 4-bin byte histogram as the "feature vector", dims derived from the
-    * checksum — a real codec call goes exactly here, one batch at a time.
+  /** Binary PPM (P6): "P6" magic, whitespace/comment-separated width,
+    * height, maxval tokens, ONE whitespace byte, then width*height*3 raw
+    * RGB bytes (1 byte/sample for maxval < 256 — the common case; 16-bit
+    * samples are rejected to the fallback). Returns None unless the payload
+    * parses exactly, trailing-byte check included.
     */
-  def decodeStub(withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decodePpm(id: Long, b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 9 || b(0) != 'P' || b(1) != '6') return None
+    var i = 2
+    def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+    // Netpbm header token: skip whitespace and '#'-to-newline comments
+    def nextInt(): Long = {
+      while (i < b.length && (isWs(b(i)) || b(i) == '#')) {
+        if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else i += 1
+      }
+      var v = -1L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = (if (v < 0) 0L else v) * 10 + (b(i) - '0'); i += 1
+        if (v > Int.MaxValue) return -1L
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val mx = nextInt()
+    if (w <= 0 || h <= 0 || mx <= 0 || mx > 255) return None
+    if (i >= b.length || !isWs(b(i))) return None
+    i += 1 // exactly one whitespace byte after maxval
+    val n = w * h * 3
+    if (b.length - i != n) return None
+    var sum = 0L; val ch = new Array[Long](3)
+    var j = 0
+    while (j < n) {
+      val v = b(i + j) & 0xff
+      sum += v; ch(j % 3) += v
+      j += 1
+    }
+    val px = (w * h).toDouble
+    Some(Decoded(id, b.length.toLong, sum, w.toInt, h.toInt,
+      Array(ch(0) / px, ch(1) / px, ch(2) / px, mx.toDouble)))
+  }
+
+  /** zlib float64 tensor frame: "GZT1" magic, big-endian int32 rows, cols,
+    * then a zlib stream inflating to exactly rows*cols big-endian doubles.
+    * Returns None unless magic, inflate, and length all check out.
+    */
+  def decodeTensor(id: Long, b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'Z' || b(2) != 'T' || b(3) != '1')
+      return None
+    val bb = java.nio.ByteBuffer.wrap(b, 4, 8)
+    val rows = bb.getInt; val cols = bb.getInt
+    if (rows <= 0 || cols <= 0 || rows.toLong * cols > (Int.MaxValue >> 3))
+      return None
+    val n = rows * cols
+    val out = new Array[Byte](n * 8)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, 12, b.length - 12)
+      val got = inf.inflate(out)
+      if (got != out.length || !inf.finished()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    var sum = 0L; var j = 0
+    while (j < out.length) { sum += out(j) & 0xff; j += 1 }
+    val db = java.nio.ByteBuffer.wrap(out)
+    var mn = Double.PositiveInfinity; var mxv = Double.NegativeInfinity
+    var tot = 0.0; var sq = 0.0
+    var k = 0
+    while (k < n) {
+      val v = db.getDouble
+      if (v < mn) mn = v
+      if (v > mxv) mxv = v
+      tot += v; sq += v * v
+      k += 1
+    }
+    Some(Decoded(id, b.length.toLong, sum, cols, rows,
+      Array(mn, mxv, tot / n, math.sqrt(sq))))
+  }
+
+  /** Fallback for unrecognized payloads: byte-sum "checksum", 4-bin byte
+    * histogram features, dims derived from the checksum — deterministic, so
+    * plumbing stays testable for arbitrary bytes.
+    */
+  private[operators] def decodeFallback(id: Long, bytes: Array[Byte]): Decoded = {
+    var sum = 0L
+    val hist = new Array[Double](4)
+    var i = 0
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sum += v
+      hist(v / 64) += 1.0
+      i += 1
+    }
+    Decoded(id, bytes.length.toLong, sum,
+      (16 + sum % 16).toInt, (16 + (sum / 16) % 16).toInt, hist)
+  }
+
+  def decodeOne(id: Long, bytes: Array[Byte]): Decoded =
+    decodePpm(id, bytes)
+      .orElse(decodeTensor(id, bytes))
+      .getOrElse(decodeFallback(id, bytes))
+
+  /** Batched partition-wise decode with per-payload format dispatch (PPM /
+    * zlib tensor / fallback). One batch decoded at a time.
+    */
+  def decode(withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
     val spark = withPayload.sparkSession
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // ??? <- real decoder (e.g. JPEG/PNG/audio frames) would process
-          // `batch` here; deterministic fake below keeps the plumbing testable.
-          batch.iterator.map { case (id, bytes) =>
-            var sum = 0L
-            val hist = new Array[Double](4)
-            var i = 0
-            while (i < bytes.length) {
-              val v = bytes(i) & 0xff
-              sum += v
-              hist(v / 64) += 1.0
-              i += 1
-            }
-            Decoded(id, bytes.length.toLong, sum,
-              (16 + sum % 16).toInt, (16 + (sum / 16) % 16).toInt, hist)
-          }
+          batch.iterator.map { case (id, bytes) => decodeOne(id, bytes) }
         }
       }
       .toDF()

@@ -68,7 +68,7 @@ object VectorQueries {
     // stub decode (real codec slot), emitting typed feature columns.
     "q59_multimodal_decode" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      Multimodal.decodeStub(Multimodal.attachPayload(docs, "doc_id", "text"))
+      Multimodal.decode(Multimodal.attachPayload(docs, "doc_id", "text"))
         .select(col("doc_id"), col("n_bytes"), col("byte_sum"),
           col("width").cast("long").as("width"), col("height").cast("long").as("height"))
         .orderBy("doc_id")

@@ -122,7 +122,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("payload plumbing + batched stub decode roundtrips byte stats") {
     val docs = Seq((7L, "abc")).toDF("doc_id", "text")
-    val out = Multimodal.decodeStub(Multimodal.attachPayload(docs, "doc_id", "text"))
+    val out = Multimodal.decode(Multimodal.attachPayload(docs, "doc_id", "text"))
       .collect().head
     assert(out.getAs[Long]("n_bytes") == 3L)
     assert(out.getAs[Long]("byte_sum") == ('a' + 'b' + 'c').toLong)
@@ -131,7 +131,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("decode batches never exceed batchSize") {
     val docs = (1 to 100).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
-    val out = Multimodal.decodeStub(Multimodal.attachPayload(docs, "doc_id", "text"), 8)
+    val out = Multimodal.decode(Multimodal.attachPayload(docs, "doc_id", "text"), 8)
     assert(out.count() == 100)
   }
 }
