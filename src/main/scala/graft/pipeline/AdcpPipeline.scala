@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object AdcpPipeline {
 
+  // every persist the pipeline creates internally (stage barriers, the DAC
+  // glider) is registered here so entry-point callers can release them once
+  // the final sink has materialized — the cache discipline the Axes
+  // scaladoc asks of callers, extended to the pipeline's own barriers
+  private val trackedPersists =
+    new scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def trackPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedPersists.synchronized { trackedPersists += p }
+    p
+  }
+
+  /** Unpersist every cache the pipeline created (stage barriers, DAC
+    * glider). Call after the final output has been materialized/written;
+    * long-lived sessions otherwise accumulate cached RDDs across runs.
+    */
+  def releaseCaches(): Unit = trackedPersists.synchronized {
+    trackedPersists.foreach(_.unpersist())
+    trackedPersists.clear()
+  }
+
   /** shear_from_adcp (:2046-2057): glider-aligned, QC'd, regridded,
     * 3-beam-solved, ENU-rotated shear per ping.
     *
@@ -27,8 +49,7 @@ object AdcpPipeline {
       cellSize: Double, blankingDistance: Double,
       solveHeading: Boolean = true,
       missionCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
-    def barrier(df: DataFrame): DataFrame =
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def barrier(df: DataFrame): DataFrame = trackPersist(df)
     // resolve declination/geomag targets through the provider seam (no-op
     // without a configured provider — opts0.geomag defaults to None);
     // with mission keys every mission gets its own field target
@@ -99,8 +120,7 @@ object AdcpPipeline {
     // the DAC-augmented glider feeds ~10 downstream scans (axes + every
     // gridded variable + profile datetimes); persist it or each scan
     // re-runs the dead-reckoning windows and interp joins
-    val glider = GliderStages.getDac(adcp0, glider0, missionCols)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val glider = trackPersist(GliderStages.getDac(adcp0, glider0, missionCols))
     val adcp = btRaw match {
       case Some(bt) => GliderStages.bottomTrack(opts)(adcp0, bt, missionCols)
       case None => adcp0

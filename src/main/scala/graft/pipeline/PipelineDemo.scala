@@ -29,8 +29,14 @@ object PipelineDemo {
       shear, GliderStages.deriveGlider(Fixture.glider(spark)),
       Fixture.opts, None, spark)
     val finiteE = ds.where(col("ADCP_E").isNotNull && !isnan(col("ADCP_E"))).count()
-    println(f"""{"pings":$nPings,"mean_sh_e":$meanShE%.6f,"grid_cells_with_E":$finiteE,"profiles":${axes.nProfiles},"depth_bins":${axes.nY}}""")
+    // model the cache discipline the Axes scaladoc asks of callers: once
+    // the output is materialized, release the grid dim-frame, the
+    // pipeline's internal barriers, and this demo's own cache
     axes.release()
+    AdcpPipeline.releaseCaches()
+    shear.unpersist()
+    val clean = spark.sharedState.cacheManager.isEmpty
+    println(f"""{"pings":$nPings,"mean_sh_e":$meanShE%.6f,"grid_cells_with_E":$finiteE,"profiles":${axes.nProfiles},"depth_bins":${axes.nY},"caches_released":$clean}""")
     spark.stop()
   }
 }
