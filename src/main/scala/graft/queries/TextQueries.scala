@@ -71,6 +71,39 @@ object TextQueries {
           exactMeanMilli(size(Text.tokens(col("text"))), 0).as("avg_tokens_milli"),
           exactMeanMilli(length(col("text")), 0).as("avg_chars_milli"))
         .orderBy("lang")
+    }),
+
+    // Vocabulary building: per-token document frequency + collection
+    // frequency, top-50 under a total order (df, tf, tok — tok is unique
+    // per group so the limit is deterministic). explode -> groupBy(tok) is
+    // the classic wordcount shape: partial aggregation combines map-side,
+    // and the distinct-doc count expands to (tok, doc_id) pairs first —
+    // both scale linearly in corpus token count.
+    "q45_vocab_df" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+        .orderBy(col("df").desc, col("tf").desc, col("tok"))
+        .limit(50)
+    }),
+
+    // Within-document repetition (the Gopher duplicate-n-gram quality
+    // signal): fraction of word 2-grams that are repeats, as an exact
+    // integer per-mille. Pure per-row array algebra — no shuffle, no UDF;
+    // the shingle array is proportional to the document itself so the row
+    // stays bounded at any corpus scale.
+    "q46_repetition" -> ((s, dir) => {
+      val sh = Text.shingles(Text.tokens(col("text")), 2)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(sh).cast("long").as("n_total"),
+          size(array_distinct(sh)).cast("long").as("n_distinct"))
+        .withColumn("rep_milli",
+          when(col("n_total") > 0,
+            expr("((n_total - n_distinct) * 1000) div n_total"))
+            .otherwise(0L))
+        .orderBy("doc_id")
     })
   )
 
@@ -101,6 +134,22 @@ object TextQueries {
       s"""SELECT lang, count(*) AS n_docs,
           ${sqlExactMeanMilli(s"len($toksSql)", 0)} AS avg_tokens_milli,
           ${sqlExactMeanMilli("length(text)", 0)} AS avg_chars_milli
-          FROM documents GROUP BY lang ORDER BY lang"""
+          FROM documents GROUP BY lang ORDER BY lang""",
+
+    "q45_vocab_df" ->
+      s"""SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
+          FROM (SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+          GROUP BY tok ORDER BY df DESC, tf DESC, tok LIMIT 50""",
+
+    "q46_repetition" ->
+      s"""SELECT doc_id, n_total, n_distinct,
+          CAST(CASE WHEN n_total > 0
+            THEN ((n_total - n_distinct) * 1000) // n_total
+            ELSE 0 END AS BIGINT) AS rep_milli
+          FROM (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_total,
+                  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
+                FROM (SELECT doc_id, ${TextSql.shingles(toksSql, 2)} AS sh
+                      FROM documents))
+          ORDER BY doc_id"""
   )
 }

@@ -60,6 +60,22 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup for a continuously-ingested document stream:
+    * content-hash each row, then `dropDuplicatesWithinWatermark` keeps the
+    * first arrival of each hash and expires dedup state once the watermark
+    * passes — bounded state, unlike a plain `dropDuplicates` whose state
+    * grows with the whole corpus. The batch twin of this operator is
+    * [[graft.operators.Dedup.exact]]; the hash arithmetic
+    * ([[graft.functions.Text.hash48Builtin]]) is identical, so a streaming
+    * ingest and a batch backfill dedupe against the same keys.
+    */
+  def dedupStream(docs: DataFrame, textCol: String, eventTimeCol: String,
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withColumn("__key_hash", graft.functions.Text.hash48Builtin(col(textCol)))
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark("__key_hash")
+      .drop("__key_hash")
+
   /** Run a streaming query over a parquet directory to a memory sink and
     * block until all available input is processed (local smoke harness).
     */

@@ -31,6 +31,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup keeps one row per content hash within the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-").toString
+    // 3 distinct texts over 9 rows, all inside one watermark window
+    val rows = (0 until 9).map { i =>
+      (i.toLong, s"doc text ${i % 3}",
+        new java.sql.Timestamp(1700000000000L + i * 1000L))
+    }
+    spark.createDataFrame(rows).toDF("doc_id", "text", "event_time")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val streamed = StreamingOps.runToMemory(spark, dir, "dedup_test",
+      df => StreamingOps.dedupStream(df, "text", "event_time"),
+      OutputMode.Append())
+    val kept = streamed.select("text").collect().map(_.getString(0)).sorted
+    assert(kept.length == 3, s"expected 3 survivors, got ${kept.length}")
+    assert(kept.toSeq == Seq("doc text 0", "doc text 1", "doc text 2"))
+    // survivors are the FIRST arrival of each hash
+    val ids = streamed.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(0L, 1L, 2L))
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val input = Seq(
       StreamingOps.SessionInput(1L, 1000L, 2.0),
