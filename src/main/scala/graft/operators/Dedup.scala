@@ -131,10 +131,18 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // the edge list is the BIG side of every round's join and the join key
+    // is always y — persist it already hash-partitioned on y so the cached
+    // exchange is reused each round instead of re-shuffling the edges per
+    // iteration. At local/test scale AQE broadcasts the labels side and the
+    // edges are never shuffled anyway (the repartition is then a one-time
+    // noise-level cost); the reuse matters once labels exceed the broadcast
+    // threshold and the per-round join becomes a shuffled hash join.
     val sym = pairs
       .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
       .union(pairs
         .select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .repartition(col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.groupBy("x").agg(min("y").as("__mn"))
       .select(col("x"), least(col("x"), col("__mn")).as("p"))

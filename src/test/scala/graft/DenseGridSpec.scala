@@ -57,6 +57,39 @@ class DenseGridSpec extends AnyFunSuite {
     axes.release()
   }
 
+  test("dense output exports to per-mission netCDF via dataset_to_nc.py") {
+    import scala.sys.process._
+    val have = Process(Seq("python3", "-c", "import pyarrow, numpy, pandas"))
+      .!(ProcessLogger(_ => ())) == 0
+    assume(have, "python3 with pyarrow/numpy/pandas not available")
+    val axes = GridOutput.axes(gliderDf, Options(), Seq("mission"))
+    val dense = GridOutput.makeDataset(sparseOut, axes, dense = true)
+    val dir = java.nio.file.Files.createTempDirectory("nc_export").toString
+    dense.coalesce(1).write.mode("overwrite").parquet(s"$dir/dense.parquet")
+    val rc = Process(Seq("python3", "tools/dataset_to_nc.py",
+      "--in", s"$dir/dense.parquet", "--out", s"$dir/out.nc",
+      "--mission-col", "mission")).!(ProcessLogger(_ => ()))
+    assert(rc == 0, s"dataset_to_nc.py failed (rc=$rc)")
+    // one file per mission (reference cardinality), shapes = nY x nX and
+    // the populated cell values survive bit-exact
+    val check = Process(Seq("python3", "-c",
+      """import sys; sys.path.insert(0, 'tools')
+        |import numpy as np
+        |from nc_to_parquet import read_netcdf_classic
+        |a1, _, _ = read_netcdf_classic(sys.argv[1])
+        |a2, _, _ = read_netcdf_classic(sys.argv[2])
+        |assert a1['date_float'].shape == (10, 4), a1['date_float'].shape
+        |assert a2['date_float'].shape == (10, 2), a2['date_float'].shape
+        |assert a1['date_float'][0, 0] == 100.0
+        |assert a1['date_float'][3, 0] == 101.0
+        |assert a2['date_float'][9, 0] == 200.0
+        |assert np.isnan(a2['date_float'][:, 1]).all()
+        |print('ok')""".stripMargin,
+      s"$dir/out__1.nc", s"$dir/out__2.nc")).!!
+    assert(check.trim.endsWith("ok"))
+    axes.release()
+  }
+
   test("single-mission dense fill (no mission columns)") {
     val glider = (0 until 4).map(p => (p.toDouble, 5.0))
       .toDF("profile_number", "pressure")
