@@ -27,6 +27,11 @@ object AdcpPipeline {
   /** Unpersist every cache the pipeline created (stage barriers, DAC
     * glider). Call after the final output has been materialized/written;
     * long-lived sessions otherwise accumulate cached RDDs across runs.
+    *
+    * Session-wide by design (like `spark.catalog.clearCache` scoped to
+    * this pipeline's caches): with concurrent pipeline runs in one JVM it
+    * releases the barriers of ALL in-flight runs, so serialize runs or
+    * call it only at a quiescent point.
     */
   def releaseCaches(): Unit = trackedPersists.synchronized {
     trackedPersists.foreach(_.unpersist())

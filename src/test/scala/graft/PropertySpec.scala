@@ -89,4 +89,56 @@ class PropertySpec extends AnyFunSuite {
         s"missed minimum ($a, $b): ${res.x.toSeq}")
     }
   }
+
+  test("repetition ratio is bounded and exact on constructed documents") {
+    import graft.functions.Text
+    val r = rng
+    // random word soup plus exact known cases
+    val random = (1 to 60).map { i =>
+      (i.toLong, (1 to (r.nextInt(30) + 1))
+        .map(_ => s"w${r.nextInt(8)}").mkString(" "))
+    }
+    val known = Seq(
+      (1001L, "a b a b a b"),   // 2-grams: ab ba ab ba ab -> 5 total 2 distinct
+      (1002L, "x y z"),         // all distinct -> 0
+      (1003L, "solo"))          // too short -> n_total 0 -> 0
+    val df = (random ++ known).toDF("doc_id", "text")
+    val sh = Text.shingles(Text.tokens(col("text")), 2)
+    val got = df.select(col("doc_id"),
+        size(sh).cast("long").as("n_total"),
+        size(array_distinct(sh)).cast("long").as("n_distinct"))
+      .withColumn("rep_milli",
+        when(col("n_total") > 0,
+          expr("((n_total - n_distinct) * 1000) div n_total")).otherwise(0L))
+      .collect().map(row => row.getLong(0) ->
+        ((row.getLong(1), row.getLong(2), row.getLong(3)))).toMap
+    got.values.foreach { case (nt, nd, rep) =>
+      assert(rep >= 0 && rep < 1000, s"rep_milli out of [0,1000): $rep")
+      assert(nd <= nt, "distinct 2-grams cannot exceed total")
+    }
+    assert(got(1001L) == ((5L, 2L, 600L)))
+    assert(got(1002L) == ((2L, 2L, 0L)))
+    assert(got(1003L) == ((0L, 0L, 0L)))
+  }
+
+  test("vocab document frequency never exceeds doc count; tf >= df") {
+    import graft.functions.Text
+    val r = rng
+    val n = 40
+    val docs = (1 to n).map { i =>
+      (i.toLong, (1 to (r.nextInt(20) + 1))
+        .map(_ => s"t${r.nextInt(12)}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val stats = docs
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy("tok")
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .collect()
+    assert(stats.nonEmpty)
+    stats.foreach { row =>
+      val (df_, tf) = (row.getLong(1), row.getLong(2))
+      assert(df_ >= 1 && df_ <= n, s"df out of [1,$n]: $df_")
+      assert(tf >= df_, s"collection frequency $tf < document frequency $df_")
+    }
+  }
 }
