@@ -60,6 +60,63 @@ object StreamingOps {
       }
   }
 
+  // event_time must ride along in the typed row: the watermark attaches to
+  // that attribute, and projecting it away before the stateful operator
+  // would strip the watermark the event-time timeout needs
+  final case class GliderPing(profile_number: Double, time_us: Long,
+      pressure: Double, event_time: java.sql.Timestamp)
+  final case class ProfileSummary(profile_number: Double, n_pings: Long,
+      max_pressure: Double, t_start_us: Long, t_end_us: Long)
+  /** Open-profile accumulator (public: the state encoder's generated code
+    * constructs and reads it from outside this object).
+    */
+  final case class ProfileState(nPings: Long, maxPressure: Double,
+      tMin: Long, tMax: Long)
+
+  /** Streaming per-profile summaries for live glider telemetry — the
+    * streaming analog of the batch pipeline's per-profile aggregations
+    * (max depth, ping count, time span). A profile is an open session
+    * keyed by profile_number; it closes and emits exactly once when the
+    * event-time watermark passes the last ping plus `gap` — i.e. when the
+    * glider has demonstrably moved on. flatMapGroupsWithState +
+    * EventTimeTimeout keeps state bounded: one small struct per OPEN
+    * profile, closed profiles leave state immediately.
+    *
+    * Input must already carry a watermark on `eventTimeCol` (the caller
+    * sets `withWatermark` so the delay is chosen where the source skew is
+    * known).
+    */
+  def profileSummaries(pings: Dataset[GliderPing], gapSeconds: Long = 300):
+      Dataset[ProfileSummary] = {
+    import pings.sparkSession.implicits._
+    pings
+      .groupByKey(_.profile_number)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (profile: Double, rows: Iterator[GliderPing],
+            state: GroupState[ProfileState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ProfileSummary(profile, s.nPings, s.maxPressure,
+              s.tMin, s.tMax))
+          } else {
+            val prev = state.getOption.getOrElse(
+              ProfileState(0L, Double.MinValue, Long.MaxValue, Long.MinValue))
+            var (n, maxP, lo, hi) =
+              (prev.nPings, prev.maxPressure, prev.tMin, prev.tMax)
+            rows.foreach { p =>
+              n += 1; maxP = math.max(maxP, p.pressure)
+              lo = math.min(lo, p.time_us); hi = math.max(hi, p.time_us)
+            }
+            state.update(ProfileState(n, maxP, lo, hi))
+            // close once the watermark passes the profile's last ping + gap
+            state.setTimeoutTimestamp(hi / 1000L + gapSeconds * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup for a continuously-ingested document stream:
     * content-hash each row, then `dropDuplicatesWithinWatermark` keeps the
     * first arrival of each hash and expires dedup state once the watermark

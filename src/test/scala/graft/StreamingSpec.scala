@@ -51,6 +51,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("streaming profile summaries close on event-time gap") {
+    import StreamingOps.{GliderPing, ProfileSummary}
+    val dir = java.nio.file.Files.createTempDirectory("graft-profile-stream-")
+    val base = 1700000000000000L // us
+    def writeBatch(name: String, rows: Seq[(Double, Long, Double)]): Unit =
+      rows.toDF("profile_number", "time_us", "pressure")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    // batch 1: profiles 0 and 1 (interleaved pings, 1 s apart)
+    writeBatch("b1", Seq(
+      (0.0, base, 5.0), (0.0, base + 1000000L, 15.0),
+      (1.0, base + 2000000L, 7.0), (1.0, base + 3000000L, 3.0)))
+    // batch 2: profile 2 far later -> watermark passes 0/1 + gap
+    writeBatch("b2", Seq((2.0, base + 3600L * 1000000L, 9.0)))
+    // batch 3: another later ping so the timeout actually fires
+    writeBatch("b3", Seq((2.0, base + 7200L * 1000000L, 11.0)))
+
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/{b1,b2,b3}")
+    val summaries = {
+      import spark.implicits._
+      val typed = stream
+        .withColumn("event_time", timestamp_micros(col("time_us")))
+        .withWatermark("event_time", "10 seconds")
+        .select("profile_number", "time_us", "pressure", "event_time")
+        .as[GliderPing]
+      StreamingOps.profileSummaries(typed, gapSeconds = 60)
+    }
+    val q = summaries.writeStream
+      .outputMode("append").format("memory").queryName("profiles_test").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("profiles_test").collect()
+      .map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    // profiles 0 and 1 closed; profile 2 still open (no later watermark)
+    assert(got.keySet == Set(0.0, 1.0), s"closed profiles: ${got.keySet}")
+    assert(got(0.0) == ((2L, 15.0, base, base + 1000000L)))
+    assert(got(1.0) == ((2L, 7.0, base + 2000000L, base + 3000000L)))
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val input = Seq(
       StreamingOps.SessionInput(1L, 1000L, 2.0),
