@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted partition-wise in batches.
   *
-  * Two REAL in-sandbox decoders run by header dispatch — binary PPM (P6)
-  * images parsed byte-for-byte from the Netpbm header+raster layout, and
+  * Three REAL in-sandbox decoders run by header dispatch — binary PPM (P6)
+  * images parsed byte-for-byte from the Netpbm header+raster layout,
   * zlib-compressed float64 tensors ("GZT1" frames) inflated via
-  * java.util.zip — with the original deterministic byte-histogram decode as
-  * the fallback for unrecognized payloads (heavier codecs like JPEG/audio
+  * java.util.zip, and RIFF/WAVE PCM-16 audio (chunk walk + sample
+  * statistics) — with the original deterministic byte-histogram decode as
+  * the fallback for unrecognized payloads (heavier codecs like JPEG
   * aren't available in this environment; they would slot into the same
   * dispatch). The Spark-side shape is the part that matters at 100 TB:
   * binary schema, struct metadata, batched mapPartitions (the JVM analog of
@@ -22,7 +23,8 @@ object Multimodal {
 
   /** Decoded media record. `features` is decoder-specific:
     * PPM -> [meanR, meanG, meanB, maxval]; tensor -> [min, max, mean, l2];
-    * fallback -> 4-bin byte histogram.
+    * WAV -> [rms, peak, meanAbs, sampleRate]; fallback -> 4-bin byte
+    * histogram.
     */
   final case class Decoded(
       doc_id: Long,
@@ -120,6 +122,54 @@ object Multimodal {
       Array(mn, mxv, tot / n, math.sqrt(sq))))
   }
 
+  /** RIFF/WAVE PCM-16 audio: "RIFF"+"WAVE" magic, chunk walk (unknown
+    * chunks skipped with word alignment), a PCM `fmt ` chunk (format 1,
+    * 16-bit) and a `data` chunk of interleaved little-endian int16 frames.
+    * width = channels, height = frames; features = [rms, peak, meanAbs]
+    * normalized to [-1, 1] full scale, plus the sample rate. Anything that
+    * doesn't parse exactly falls through to the next decoder.
+    */
+  def decodeWav(id: Long, b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+    def le32(o: Int): Long = (b(o) & 0xffL) | (b(o + 1) & 0xffL) << 8 |
+      (b(o + 2) & 0xffL) << 16 | (b(o + 3) & 0xffL) << 24
+    def le16(o: Int): Int = (b(o) & 0xff) | (b(o + 1) & 0xff) << 8
+    var i = 12
+    var channels = -1; var rate = -1L
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
+      val sz = le32(i + 4)
+      if (sz < 0 || sz > Int.MaxValue || i + 8 + sz > b.length) return None
+      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+        if (sz < 16) return None
+        if (le16(i + 8) != 1 || le16(i + 22) != 16) return None // PCM, 16-bit
+        channels = le16(i + 10); rate = le32(i + 12)
+      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' &&
+          b(i + 3) == 'a') {
+        dataOff = i + 8; dataLen = sz.toInt
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0 || dataOff < 0 || dataLen <= 0) return None
+    val nSamp = dataLen / 2
+    if (nSamp == 0 || dataLen % 2 != 0 || nSamp % channels != 0) return None
+    var sum = 0L; var j = 0
+    while (j < b.length) { sum += b(j) & 0xff; j += 1 }
+    var sq = 0.0; var absSum = 0.0; var peak = 0.0
+    var k = 0
+    while (k < nSamp) {
+      val o = dataOff + k * 2
+      val s = ((b(o) & 0xff) | (b(o + 1) << 8)).toShort.toDouble / 32768.0
+      sq += s * s; absSum += math.abs(s)
+      if (math.abs(s) > peak) peak = math.abs(s)
+      k += 1
+    }
+    Some(Decoded(id, b.length.toLong, sum, channels, nSamp / channels,
+      Array(math.sqrt(sq / nSamp), peak, absSum / nSamp, rate.toDouble)))
+  }
+
   /** Fallback for unrecognized payloads: byte-sum "checksum", 4-bin byte
     * histogram features, dims derived from the checksum — deterministic, so
     * plumbing stays testable for arbitrary bytes.
@@ -141,6 +191,7 @@ object Multimodal {
   def decodeOne(id: Long, bytes: Array[Byte]): Decoded =
     decodePpm(id, bytes)
       .orElse(decodeTensor(id, bytes))
+      .orElse(decodeWav(id, bytes))
       .getOrElse(decodeFallback(id, bytes))
 
   /** Batched partition-wise decode with per-payload format dispatch (PPM /

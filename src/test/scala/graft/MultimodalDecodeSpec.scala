@@ -67,6 +67,44 @@ class MultimodalDecodeSpec extends AnyFunSuite {
       || Multimodal.decodeTensor(9L, broken).isDefined) // no exception is the assertion
   }
 
+  // minimal stereo PCM-16 WAV: samples per channel interleaved L,R
+  private def wavBytes(rate: Int, samples: Array[Short], channels: Int,
+      extraChunk: Boolean = false): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val extra = if (extraChunk) 8 + 4 else 0 // "LIST" chunk of 4 bytes
+    val bb = java.nio.ByteBuffer.allocate(44 + extra + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + extra + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    if (extraChunk) // unknown chunk before fmt: the walker must skip it
+      bb.put("LIST".getBytes("US-ASCII")).putInt(4).putInt(0)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("PCM-16 WAV decodes: channels, frames, rms/peak stats, chunk skip") {
+    val samples = Array[Short](16384, -16384, 32767, 0) // L R L R
+    for (extra <- Seq(false, true)) {
+      val d = Multimodal.decodeWav(5L, wavBytes(8000, samples, 2, extra)).get
+      assert(d.width == 2 && d.height == 2) // 2 channels x 2 frames
+      val norm = samples.map(_ / 32768.0)
+      assert(math.abs(d.features(0) -
+        math.sqrt(norm.map(v => v * v).sum / 4)) < 1e-12)
+      assert(d.features(1) == 32767.0 / 32768.0)
+      assert(math.abs(d.features(2) - norm.map(math.abs).sum / 4) < 1e-12)
+      assert(d.features(3) == 8000.0)
+    }
+    // 8-bit or float WAVs reject to the fallback rather than mis-decode
+    val bad = wavBytes(8000, samples, 2)
+    bad(34) = 8 // bits-per-sample LSB
+    assert(Multimodal.decodeWav(5L, bad).isEmpty)
+    assert(Multimodal.decodeOne(5L, bad).features.length == 4) // fallback
+  }
+
   test("decode dispatches per payload inside one DataFrame, any batch size") {
     val rows = Seq(
       (1L, ppmBytes()),

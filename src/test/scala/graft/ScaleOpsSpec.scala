@@ -49,4 +49,25 @@ class IvfSpec extends AnyFunSuite {
     // within its cell): ranks are 1..5 per query
     assert(ivf.size <= 8 * 5)
   }
+
+  test("saved/loaded IVF index probes identically and prunes partitions") {
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 4)
+    val idx = Similarity.buildIvfIndex(e, 8, 64)
+    val direct = Similarity.probeIvf(idx, q, 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.centroids == idx.centroids, "centroids round-trip")
+    val probe = Similarity.probeIvf(loaded, q, 5, nProbe = 2)
+    val fromDisk = probe
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromDisk == direct, "loaded index must probe identically")
+    // the probe over the loaded index must be a partition-PRUNED scan:
+    // cell is the parquet partition column and the join key
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
+      s"expected partition pruning on cell in:\n${plan.take(2000)}")
+  }
 }
