@@ -76,10 +76,28 @@ object Dedup {
     sigs.select(col(idCol), posexplode(bandSig).as(Seq("band", "bsig")))
   }
 
-  /** Candidate pairs from band-bucket collisions (a < b, distinct). */
-  def candidates(bandDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandDf.select(col("band"), col("bsig"), col(idCol).as("doc_a"))
-    val b = bandDf.select(col("band"), col("bsig"), col(idCol).as("doc_b"))
+  /** Candidate pairs from band-bucket collisions (a < b, distinct).
+    *
+    * `maxBucket` is the scale safety valve: a degenerate bucket (boilerplate
+    * shingle content hashing thousands of docs into one band signature)
+    * turns the self-join quadratic. Buckets larger than the cap are dropped
+    * entirely — their members collide on OTHER bands with high probability
+    * when genuinely near-duplicate, and a bucket that large carries almost
+    * no discriminating signal. The cap count is one extra aggregation on
+    * the same (band, bsig) shuffle key the join needs anyway.
+    */
+  def candidates(bandDf: DataFrame, idCol: String,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val pruned = maxBucket match {
+      case None => bandDf
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("bsig"))
+        bandDf.withColumn("__bn", count(lit(1)).over(w))
+          .where(col("__bn") <= cap).drop("__bn")
+    }
+    val a = pruned.select(col("band"), col("bsig"), col(idCol).as("doc_a"))
+    val b = pruned.select(col("band"), col("bsig"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "bsig"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
@@ -102,11 +120,32 @@ object Dedup {
 
   /** End-to-end MinHash-LSH near-dup candidates with exact Jaccard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 16, nBands: Int = 8): DataFrame = {
+      k: Int = 16, nBands: Int = 8,
+      maxBucket: Option[Int] = None): DataFrame = {
     // signatures feed both the banding and the Jaccard verification;
     // materialize once (one md5 pass over every shingle, the dominant cost)
     val sigs = signatures(docs, idCol, textCol, k).cache()
-    withJaccard(candidates(bands(sigs, idCol, k, nBands), idCol), sigs, idCol)
+    withJaccard(candidates(bands(sigs, idCol, k, nBands), idCol, maxBucket),
+      sigs, idCol)
+  }
+
+  /** Full corpus dedup: LSH candidate pairs, exact-Jaccard threshold,
+    * duplicate clusters via [[connectedComponents]], keep the minimum doc
+    * id per cluster (plus every unpaired doc). This is the operator a
+    * training-data pipeline actually runs: corpus in, deduplicated corpus
+    * out. Every stage is the scale-safe form above — banded self-join,
+    * bounded candidate verification, iterative-join clustering.
+    */
+  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8, k: Int = 16, nBands: Int = 8,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val dups = minhashLsh(docs, idCol, textCol, k, nBands, maxBucket)
+      .where(col("jaccard") >= jaccardThreshold)
+      .select("doc_a", "doc_b")
+    val losers = connectedComponents(dups)
+      .where(col("node") =!= col("component")) // keeper = component minimum
+      .select(col("node").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Duplicate-cluster resolution: connected components over a near-dup
@@ -162,7 +201,10 @@ object Dedup {
           Seq("p"), "left")
         .select(col("x"), coalesce(col("__pp"), col("p")).as("p"))
         .localCheckpoint()
-      val s = next.agg(sum(col("p").cast("decimal(38,0)"))).first().getDecimal(0)
+      // empty edge list -> sum is null; normalize to ZERO so the fixpoint
+      // check converges instead of spinning to maxIter
+      val s = Option(next.agg(sum(col("p").cast("decimal(38,0)")))
+        .first().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       converged = prevSum != null && prevSum.compareTo(s) == 0
       prevSum = s
       labels.unpersist()

@@ -83,6 +83,39 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
     assert(got == expect, s"got $got")
   }
+
+  test("connected components converge immediately on an empty edge list") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty, maxIter = 5).count() == 0)
+  }
+
+  test("dedupCorpus keeps min-id per duplicate cluster plus singletons") {
+    // cluster {1,2,3} (exact + near dups), singleton 4
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text",
+        jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L), s"kept ${kept.toSeq}")
+    // a corpus with no duplicates above threshold passes through whole
+    val keptAll = Dedup.dedupCorpus(docs, "doc_id", "text",
+        jaccardThreshold = 1.01)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptAll.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("maxBucket cap drops degenerate buckets, keeps normal pairs") {
+    // 30 copies of the same boilerplate text -> every band bucket has 30
+    // members; cap 10 drops them. The unrelated near-dup pair survives.
+    val boiler = (100L until 130L)
+      .map(i => (i, "lorem ipsum dolor sit amet consectetur adipiscing elit"))
+    val all = (docs.as[(Long, String)].collect().toSeq ++ boiler)
+      .toDF("doc_id", "text")
+    val capped = Dedup.minhashLsh(all, "doc_id", "text", 16, 8,
+        maxBucket = Some(10))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L },
+      "boilerplate bucket must be dropped by the cap")
+    assert(capped.contains((1L, 2L)), "normal dup pair must survive the cap")
+  }
 }
 
 class SimilaritySpec extends AnyFunSuite {
