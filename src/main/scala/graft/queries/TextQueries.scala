@@ -104,6 +104,20 @@ object TextQueries {
             expr("((n_total - n_distinct) * 1000) div n_total"))
             .otherwise(0L))
         .orderBy("doc_id")
+    }),
+
+    // The corpus quality gate (operators/Corpus.qualityFilter): language
+    // recognized, composite quality above threshold, repetition below —
+    // filtering on the integerized quality (fp parity proven by q42) so
+    // the predicate is engine-exact at the boundary.
+    "q47_quality_filter" -> ((s, dir) => {
+      graft.operators.Corpus
+        .withQualitySignals(table(s, dir, "documents"), "text")
+        .withColumn("quality_milli", fp(col("quality")))
+        .where(col("lang_pred") =!= "und" &&
+          col("quality_milli") >= 300 && col("rep_milli") <= 500)
+        .select("doc_id", "lang_pred", "quality_milli", "rep_milli")
+        .orderBy("doc_id")
     })
   )
 
@@ -150,6 +164,24 @@ object TextQueries {
                   CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
                 FROM (SELECT doc_id, ${TextSql.shingles(toksSql, 2)} AS sh
                       FROM documents))
+          ORDER BY doc_id""",
+
+    "q47_quality_filter" ->
+      s"""SELECT doc_id, lang_pred, quality_milli, rep_milli FROM (
+            SELECT doc_id, lang_pred, quality_milli,
+              CAST(CASE WHEN n_total > 0
+                THEN ((n_total - n_distinct) * 1000) // n_total
+                ELSE 0 END AS BIGINT) AS rep_milli
+            FROM (
+              SELECT doc_id,
+                ${TextSql.langId("toks")} AS lang_pred,
+                ${sqlFp(TextSql.qualityScore("text", "toks"))} AS quality_milli,
+                CAST(len(sh) AS BIGINT) AS n_total,
+                CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
+              FROM (SELECT doc_id, text, $toksSql AS toks,
+                      ${TextSql.shingles(toksSql, 2)} AS sh FROM documents)))
+          WHERE lang_pred <> 'und' AND quality_milli >= 300
+            AND rep_milli <= 500
           ORDER BY doc_id"""
   )
 }

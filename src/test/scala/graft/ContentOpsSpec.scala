@@ -102,6 +102,25 @@ class DedupSpec extends AnyFunSuite {
     assert(keptAll.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("preprocess = quality gate then dedup, end to end") {
+    import graft.operators.Corpus
+    val corpus = Seq(
+      // high-quality English pair of near-dups -> keep min id only
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the hills"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs to the hill"),
+      // high-quality singleton
+      (3L, "a bright morning is the best time to walk in the quiet park"),
+      // degenerate repetition -> dropped by the gate
+      (4L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      // no recognizable language -> dropped by the gate
+      (5L, "zzz qqq xxx vvv kkk www yyy mmm nnn ppp rrr ttt")
+    ).toDF("doc_id", "text")
+    val kept = Corpus.preprocess(corpus, "doc_id", "text",
+        minQuality = 0.3, maxRepMilli = 500, jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L), s"kept ${kept.toSeq}")
+  }
+
   test("maxBucket cap drops degenerate buckets, keeps normal pairs") {
     // 30 copies of the same boilerplate text -> every band bucket has 30
     // members; cap 10 drops them. The unrelated near-dup pair survives.
