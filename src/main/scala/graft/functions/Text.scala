@@ -115,9 +115,23 @@ object Text {
 
   /** Language-ID: highest stopword hit count wins; deterministic precedence
     * = declaration order on ties; "und" (undetermined) when all zero.
+    *
+    * Plan-shape warning: each per-language score below is a full
+    * filter-scan of the token array, and the `greatest`/`when` chain
+    * references every score several times — after CollapseProject each
+    * reference re-evaluates its scan. Fine for a single projection of a
+    * single column; inside a wider composition use the exploded-token
+    * aggregate form ([[graft.operators.Corpus.withQualitySignals]]) and
+    * feed the per-language counts to [[langIdFrom]] instead.
     */
-  def langId(toks: Column): Column = {
-    val scores = stopwords.map { case (lang, words) => lang -> vocabCount(toks, words) }
+  def langId(toks: Column): Column =
+    langIdFrom(stopwords.map { case (lang, words) => lang -> vocabCount(toks, words) })
+
+  /** The langId decision rule over precomputed per-language scores — the
+    * shared tail of the Column form ([[langId]]) and the exploded-token
+    * aggregate form, so both compute the identical winner.
+    */
+  def langIdFrom(scores: Seq[(String, Column)]): Column = {
     val maxScore = greatest(scores.map(_._2): _*)
     val best = scores.foldRight(lit("und")) { case ((lang, sc), rest) =>
       when(sc === maxScore, lit(lang)).otherwise(rest)
@@ -129,11 +143,20 @@ object Text {
     * stopword density, mean token length (the reference-style heuristic mix
     * of ratio features).
     */
-  def qualityScore(text: Column, toks: Column): Column = {
-    val nTok = size(toks).cast("double")
+  def qualityScore(text: Column, toks: Column): Column =
+    qualityScoreFrom(text, size(toks).cast("double"),
+      vocabCount(toks, stopwords.flatMap(_._2)).cast("double"))
+
+  /** The quality-score arithmetic over precomputed token count and union
+    * stopword-hit count (both already cast to double) — shared by
+    * [[qualityScore]] and the exploded-token aggregate path so the IEEE
+    * operation sequence (and therefore the integerized milli value the
+    * driver hashes) is bit-identical in both.
+    */
+  def qualityScoreFrom(text: Column, nTok: Column, stopCnt: Column): Column = {
     val lenScore = least(nTok / 100.0, lit(1.0))
     val punctScore = lit(1.0) - least(punctRatio(text) * 10.0, lit(1.0))
-    val stopRatio = vocabCount(toks, stopwords.flatMap(_._2)).cast("double") / nTok
+    val stopRatio = stopCnt / nTok
     val meanLen = (length(text).cast("double") - nTok + 1.0) / nTok
     val lenOk = least(meanLen / 8.0, lit(1.0))
     lit(0.3) * lenScore + lit(0.3) * punctScore + lit(0.2) * stopRatio + lit(0.2) * lenOk

@@ -1,13 +1,14 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Text
 
 /** Corpus-level preprocessing compositions for training-data pipelines:
   * the quality gate (language + quality score + within-doc repetition) and
-  * the full filter->dedup pass. Everything is pure Column algebra over one
-  * scan plus [[Dedup]]'s scale-safe stages — no UDFs, no driver loops.
+  * the full filter->dedup pass. Everything is one exploded-token aggregate
+  * pass plus [[Dedup]]'s scale-safe stages — no UDFs, no driver loops.
   */
 object Corpus {
 
@@ -16,19 +17,58 @@ object Corpus {
     * [0,1]), `rep_milli` (duplicate word-2-gram per-mille — the Gopher
     * repetition signal, exact integer so any engine computes it
     * identically).
+    *
+    * Plan shape: every per-token signal comes from ONE posexplode of the
+    * token array — per-language stopword hits and the union hit count as
+    * conditional counts (the stopword lists are tiny compile-time
+    * constants, so `isin` stays in whole-stage codegen), the 2-gram
+    * repetition via the window-lead shingling idiom
+    * ([[Dedup.signatures]]) — then a single groupBy(id) joined back to the
+    * doc-level length/punctuation columns. The naive Column-algebra form
+    * (`Text.langId(toks)` + `Text.qualityScore` + shingle arrays inline)
+    * re-evaluated `split(text)` and its filter-scans at every one of the
+    * ~100 places CollapseProject inlined them — a ~100x plan blowup that
+    * made this the slowest operator in the engine. The aggregate form
+    * evaluates each token exactly once and the decision arithmetic
+    * ([[Text.langIdFrom]] / [[Text.qualityScoreFrom]]) is shared with the
+    * scalar path, so results are bit-identical.
+    *
+    * `idCol` must be a non-null unique document key (it is the shuffle and
+    * re-join key); all other `docs` columns pass through untouched.
     */
-  def withQualitySignals(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = Text.tokens(col(textCol))
-    val sh = Text.shingles(toks, 2)
-    docs
-      .withColumn("lang_pred", Text.langId(toks))
-      .withColumn("quality", Text.qualityScore(col(textCol), toks))
-      .withColumn("__nt", size(sh).cast("long"))
-      .withColumn("__nd", size(array_distinct(sh)).cast("long"))
-      .withColumn("rep_milli",
-        when(col("__nt") > 0,
-          expr("((__nt - __nd) * 1000) div __nt")).otherwise(0L))
-      .drop("__nt", "__nd")
+  def withQualitySignals(docs: DataFrame, textCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    val exploded = docs.select(col(idCol),
+      posexplode(Text.tokens(col(textCol))).as(Seq("__pos", "__w")))
+    // word 2-grams via window lead; identical window expressions are
+    // computed once by the Window operator, and groupBy(idCol) below reuses
+    // the same hash partitioning — one shuffle for the whole token pass
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val next = lead(col("__w"), 1).over(wDoc)
+    val shingled = exploded.withColumn("__s2",
+      when(next.isNotNull, concat_ws(" ", col("__w"), next)))
+    val langAggs = Text.stopwords.map { case (lang, ws) =>
+      count(when(col("__w").isin(ws: _*), 1)).as(s"__c_$lang")
+    }
+    val unionStop = Text.stopwords.flatMap(_._2).distinct
+    val aggs = shingled.groupBy(col(idCol)).agg(
+      count(lit(1)).as("__ntok"),
+      Seq(count(col("__s2")).as("__nt"),
+        countDistinct(col("__s2")).as("__nd"),
+        count(when(col("__w").isin(unionStop: _*), 1)).as("__cstop"))
+        ++ langAggs: _*)
+    // left join: a doc whose text is null has no exploded rows -> all-null
+    // aggregates, reproducing the scalar path (lang "und", null quality,
+    // repetition 0)
+    val joined = docs.join(aggs, Seq(idCol), "left")
+    val scores = Text.stopwords.map { case (lang, _) => lang -> col(s"__c_$lang") }
+    val repMilli = when(col("__nt") > 0,
+      expr("((__nt - __nd) * 1000) div __nt")).otherwise(0L)
+    joined.select(docs.columns.map(col) ++ Seq(
+      Text.langIdFrom(scores).as("lang_pred"),
+      Text.qualityScoreFrom(col(textCol), col("__ntok").cast("double"),
+        col("__cstop").cast("double")).as("quality"),
+      repMilli.as("rep_milli")): _*)
   }
 
   /** The quality gate: keep documents in a recognized language with
@@ -37,8 +77,9 @@ object Corpus {
     */
   def qualityFilter(docs: DataFrame, textCol: String,
       minQuality: Double = 0.3, maxRepMilli: Long = 500,
-      dropUndetermined: Boolean = true): DataFrame = {
-    val scored = withQualitySignals(docs, textCol)
+      dropUndetermined: Boolean = true,
+      idCol: String = "doc_id"): DataFrame = {
+    val scored = withQualitySignals(docs, textCol, idCol)
     val langOk =
       if (dropUndetermined) col("lang_pred") =!= "und" else lit(true)
     scored.where(langOk && col("quality") >= minQuality &&
@@ -52,8 +93,8 @@ object Corpus {
   def preprocess(docs: DataFrame, idCol: String, textCol: String,
       minQuality: Double = 0.3, maxRepMilli: Long = 500,
       jaccardThreshold: Double = 0.8,
-      maxBucket: Option[Int] = None): DataFrame =
+      maxBucket: Option[Int] = Dedup.defaultMaxBucket): DataFrame =
     Dedup.dedupCorpus(
-      qualityFilter(docs, textCol, minQuality, maxRepMilli),
+      qualityFilter(docs, textCol, minQuality, maxRepMilli, idCol = idCol),
       idCol, textCol, jaccardThreshold, maxBucket = maxBucket)
 }

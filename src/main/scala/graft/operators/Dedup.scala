@@ -17,6 +17,18 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Default LSH bucket cap for the end-to-end corpus operators
+    * ([[dedupCorpus]] / [[graft.operators.Corpus.preprocess]]): the
+    * headline dedup path must be quadratic-proof in its default
+    * configuration — a boilerplate-heavy corpus can hash thousands of
+    * docs into one band bucket, and an uncapped self-join on that bucket
+    * is O(bucket^2). 1000 keeps the worst bucket's pair count at ~500k
+    * (seconds of work) while genuinely near-duplicate docs still collide
+    * on their other, discriminating bands. Pass `maxBucket = None`
+    * explicitly to opt out.
+    */
+  val defaultMaxBucket: Option[Int] = Some(1000)
+
   /** Exact dedup via content hash: one row per distinct text with the
     * keeper (min id) and duplicate count.
     */
@@ -110,9 +122,14 @@ object Dedup {
     val sa = sigs.select(col(idCol).as("doc_a"), array_distinct(col("shingles")).as("__sa"))
     val sb = sigs.select(col(idCol).as("doc_b"), array_distinct(col("shingles")).as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))
-    // LSH bounds the candidate-pair count, so pairs is the broadcastable
-    // side at any scale; the shingle tables stream with no shuffle.
-    broadcast(pairs).join(sa, "doc_a").join(sb, "doc_b")
+    // With the bucket cap on, LSH bounds the candidate-pair count and AQE
+    // broadcasts the pairs side at runtime (it just came out of the
+    // distinct() shuffle, so its exact size is known), letting the shingle
+    // tables stream with no shuffle. On an adversarial corpus where the
+    // pair count exceeds the broadcast threshold (cap opted out), AQE
+    // falls back to a shuffled join instead of OOMing the driver — which
+    // is why this is deliberately NOT a forced broadcast() hint.
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jaccard",
         inter.cast("double") / (size(col("__sa")) + size(col("__sb")) - inter))
       .drop("__sa", "__sb")
@@ -138,7 +155,7 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8, k: Int = 16, nBands: Int = 8,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
     val dups = minhashLsh(docs, idCol, textCol, k, nBands, maxBucket)
       .where(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b")

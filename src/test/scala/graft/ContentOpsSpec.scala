@@ -121,6 +121,30 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L), s"kept ${kept.toSeq}")
   }
 
+  test("default cap: degenerate-bucket corpus completes; dups recalled via other bands") {
+    // 2000 docs sharing a long boilerplate prefix: most band signatures are
+    // boilerplate-minima-only, so every band has a >1000-doc bucket — the
+    // configuration that is quadratic (8 x ~1500^2 candidate pairs) without
+    // the DEFAULT cap. The exact-dup pair 9001/9002 sits inside those
+    // degenerate buckets too, but its distinctive suffix owns the minima of
+    // its remaining bands, forming a size-2 bucket — proving capped docs'
+    // genuine dups are still caught via their other, discriminating bands.
+    val boiler = "the quick brown fox jumps over the lazy dog while the rain " +
+      "in spain falls mainly on the plain and all work and no play makes " +
+      "jack a dull boy said the walrus to the carpenter on a sunny day"
+    val base = (1L to 2000L).map(i => (i, s"$boiler unique$i marker$i tail$i"))
+    val pairText = s"$boiler completely distinctive ending sentence about " +
+      "narwhals and glaciers drifting north past luminous fjords"
+    val all = (base ++ Seq((9001L, pairText), (9002L, pairText)))
+      .toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(all, "doc_id", "text", jaccardThreshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(9001L) && !kept.contains(9002L),
+      "exact dup inside a capped corpus must still dedup via non-degenerate bands")
+    assert((1L to 2000L).forall(kept.contains),
+      "sub-threshold boilerplate docs must all survive")
+  }
+
   test("maxBucket cap drops degenerate buckets, keeps normal pairs") {
     // 30 copies of the same boilerplate text -> every band bucket has 30
     // members; cap 10 drops them. The unrelated near-dup pair survives.

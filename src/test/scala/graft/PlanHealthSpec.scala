@@ -48,6 +48,19 @@ class PlanHealthSpec extends AnyFunSuite {
       "cumsum window not partitioned by user_id")
   }
 
+  test("withQualitySignals tokenizes exactly once (no expression re-evaluation)") {
+    // Round-5 regression class: the Column-algebra signal form let
+    // CollapseProject inline split(text) + its filter-scans into every
+    // reference (~100x plan blowup, 26 s warm for q47 at sf0.1). Lock the
+    // single-pass shape: the optimized plan must contain exactly one
+    // split() of the text column.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.Corpus.withQualitySignals(docs, "text")
+      .queryExecution.optimizedPlan.toString
+    val splits = "split\\(".r.findAllIn(plan).size
+    assert(splits == 1, s"expected exactly one split(text) in the optimized plan, found $splits")
+  }
+
   test("grid xbin lookup is a broadcast dim-join, not a plan literal") {
     // q62 drives GridOutput.withXbin: the profile->xbin map must enter the
     // plan as a broadcast join against the dim frame — an O(profiles)
