@@ -17,6 +17,23 @@ object DedupQueries {
   private val toksSql = TextSql.tokens("text")
 
   val queries: Map[String, Q] = Map(
+    // The full corpus-preprocessing composition (Corpus.preprocess =
+    // quality gate -> LSH near-dup removal with the default bucket cap,
+    // cluster resolution, keep min-id): the operator a training pipeline
+    // actually runs, exercised gate->dedup END TO END. The oracle
+    // replicates the engine's exact candidate generation (same hash
+    // arithmetic, banding, cap) and resolves clusters with a recursive
+    // transitive closure, so no LSH-recall assumption is needed — both
+    // sides see the identical edge list.
+    "q48_dedup_corpus" -> ((s, dir) => {
+      graft.operators.Corpus.preprocess(table(s, dir, "documents"),
+          "doc_id", "text", minQuality = 0.3, maxRepMilli = 500,
+          jaccardThreshold = 0.8)
+        .select(col("doc_id"), col("lang_pred"),
+          fp(col("quality")).as("quality_milli"), col("rep_milli"))
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup: content-hash groupBy, keeper = min id.
     "q50_dedup_exact" -> ((s, dir) => {
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
@@ -87,34 +104,79 @@ object DedupQueries {
     })
   )
 
-  private def minhashSqlCte: String = {
+  /** The engine's exact MinHash+LSH pipeline as a DuckDB CTE chain over
+    * `src` (identical hash arithmetic, banding, and optional bucket cap) —
+    * prepend behind WITH and consume `pairs` / `dsh`.
+    */
+  private def minhashCtes(src: String, maxBucket: Option[Int] = None): String = {
     val sigExprs = TextSql.minhashSigExprs("hs", K)
       .mkString("[", ",\n            ", "]")
     val rows = K / BANDS
     val bandSig = (1 to rows)
       .map(r => s"CAST(sig[b * $rows + $r] AS VARCHAR)")
       .mkString(" || ',' || ")
-    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    val capped = maxBucket match {
+      case None => "bands"
+      case Some(cap) =>
+        s"""(SELECT * FROM bands
+             QUALIFY count(*) OVER (PARTITION BY b, bsig) <= $cap)"""
+    }
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM $src),
         sh AS (SELECT doc_id, ${TextSql.shingles("toks")} AS sh FROM d WHERE len(toks) >= 3),
         h AS (SELECT doc_id, sh, ${TextSql.hashedArray("sh")} AS hs FROM sh),
         sig AS (SELECT doc_id, sh, $sigExprs AS sig FROM h),
         bands AS (SELECT doc_id, b, $bandSig AS bsig
                   FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
         pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                  FROM bands a JOIN bands b ON a.b = b.b AND a.bsig = b.bsig
+                  FROM $capped a JOIN $capped b ON a.b = b.b AND a.bsig = b.bsig
                   WHERE a.doc_id < b.doc_id),
         dsh AS (SELECT doc_id,
           list_distinct(list_transform(${TextSql.hashedArray("sh")}, x -> x)) AS ds FROM h)"""
   }
 
   val oracle: Map[String, String] = Map(
+    // Gate (raw-double quality >= 0.3: both engines evaluate the identical
+    // IEEE op sequence, so the comparison is engine-exact), then the
+    // engine's own LSH pipeline over the gated set, Jaccard-thresholded
+    // edges, connected components as a recursive transitive closure
+    // (loser = any node that can reach a smaller id), keepers = gated
+    // minus losers.
+    "q48_dedup_corpus" ->
+      s"""WITH RECURSIVE gated AS (
+            SELECT doc_id, text, lang_pred, quality_milli, rep_milli FROM (
+              SELECT doc_id, text,
+                ${TextSql.langId("toks")} AS lang_pred,
+                ${TextSql.qualityScore("text", "toks")} AS quality,
+                ${sqlFp(TextSql.qualityScore("text", "toks"))} AS quality_milli,
+                CAST(CASE WHEN len(sh2) > 0
+                  THEN ((len(sh2) - len(list_distinct(sh2))) * 1000) // len(sh2)
+                  ELSE 0 END AS BIGINT) AS rep_milli
+              FROM (SELECT doc_id, text, $toksSql AS toks,
+                      ${TextSql.shingles(toksSql, 2)} AS sh2 FROM documents))
+            WHERE lang_pred <> 'und' AND quality >= 0.3 AND rep_milli <= 500),
+          ${minhashCtes("gated", Some(1000))},
+          jac AS (SELECT doc_a, doc_b FROM pairs
+                  JOIN dsh sa ON sa.doc_id = doc_a
+                  JOIN dsh sb ON sb.doc_id = doc_b
+                  WHERE CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+                    / (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds))) >= 0.8),
+          sym AS (SELECT doc_a AS x, doc_b AS y FROM jac
+                  UNION ALL SELECT doc_b, doc_a FROM jac),
+          reach AS (SELECT x, y FROM sym
+                    UNION
+                    SELECT reach.x, s.y FROM reach JOIN sym s ON reach.y = s.x),
+          losers AS (SELECT DISTINCT x AS doc_id FROM reach WHERE y < x)
+          SELECT doc_id, lang_pred, quality_milli, rep_milli FROM gated
+          WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+          ORDER BY doc_id""",
+
     "q50_dedup_exact" ->
       s"""SELECT ${TextSql.hash48("text")} AS key_hash,
           min(doc_id) AS keeper, count(*) AS n_docs
           FROM documents GROUP BY 1 ORDER BY keeper""",
 
     "q51_dedup_minhash_lsh" ->
-      s"""$minhashSqlCte
+      s"""WITH ${minhashCtes("documents")}
           SELECT doc_a, doc_b,
             CAST(round(1000.0 * (CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
               / (len(sa.ds) + len(sb.ds) - len(list_intersect(sa.ds, sb.ds))))) AS BIGINT) AS jac_milli
