@@ -437,11 +437,50 @@ object GridOutput {
       .agg(var_pop("ADCP_E").as("var_e"), var_pop("ADCP_N").as("var_n"),
         var_pop(sqrt(pow(col("ADCP_E"), 2) + pow(col("ADCP_N"), 2))).as("var_mag"))
 
-  /** CSV export of the gridded output (the reference notebook's
-    * exportCSVfiles, ProcessADCPSeaExplorer.ipynb cell 103).
+  /** CSV export of the tall gridded output. Distributed partitioned write
+    * by default; `singleFile = true` coalesces to one part for grids small
+    * enough to fit a single task (the old always-coalesce behavior made
+    * every export single-task regardless of size).
     */
-  def exportCsv(ds: DataFrame, path: String): Unit =
-    ds.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+  def exportCsv(ds: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) ds.coalesce(1) else ds)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Per-variable CSV export matching the reference notebook's
+    * exportCSVfiles (ProcessADCPSeaExplorer.ipynb cell 103), which writes
+    * one `<key>.csv` dense matrix per gridded variable (np.savetxt: rows =
+    * depth bins, one column per profile). Each variable becomes the
+    * directory `path/<var>/` holding a ybin-keyed wide CSV: a `ybin`
+    * column, then one column per xbin in ascending order. Rows are
+    * range-partitioned and sorted by ybin so the part files concatenate in
+    * depth order; `singleFile = true` instead globally sorts and writes
+    * one part — the notebook's exact one-file-per-variable layout, for
+    * grids that fit a task. Mission columns, when present, become
+    * partitionBy subdirectories so every mission gets its own matrix tree.
+    *
+    * The collected xbin domain is O(profiles) driver rows — the matrix has
+    * that many columns by construction, so any grid too wide for that
+    * collect could not be written as a matrix CSV at all.
+    */
+  def exportCsvPerVariable(out: DataFrame, axes: Axes, path: String,
+      variables: Seq[String] = Nil, singleFile: Boolean = false): Unit = {
+    val vars = if (variables.nonEmpty) variables
+      else out.columns.filterNot(axes.key.contains).toSeq
+    val xbins: Seq[Any] = out.select("xbin").where(col("xbin").isNotNull)
+      .distinct().orderBy("xbin").collect().map(_.get(0)).toSeq
+    vars.foreach { v =>
+      val wide = out
+        .groupBy((axes.missionCols :+ "ybin").map(col): _*)
+        .pivot("xbin", xbins)
+        .agg(first(col(v)))
+      val sorted =
+        if (singleFile) wide.orderBy("ybin").coalesce(1)
+        else wide.repartitionByRange(col("ybin")).sortWithinPartitions("ybin")
+      val writer = sorted.write.mode("overwrite").option("header", "true")
+      (if (axes.missionCols.nonEmpty) writer.partitionBy(axes.missionCols: _*)
+       else writer).csv(s"$path/$v")
+    }
+  }
 
   /** Final dataset (make_dataset, :2029-2043): the tall grid plus
     * per-profile mean datetime — ds.date_float.mean(dim='depth_bin'), the
