@@ -31,6 +31,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming q38 in complete mode equals the batch driver query exactly") {
+    // the unified-API claim, proven: the EXACT driver-contract q38 result
+    // (oracle-checked against DuckDB) reproduced by the same transform
+    // running as a streaming query. Complete mode emits every window, so
+    // equality is total, not just over watermark-closed windows.
+    val sf = "/root/testdata/sf0.01"
+    val dir = java.nio.file.Files.createTempDirectory("graft-q38-stream-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val streamed = StreamingOps.runToMemory(spark, dir, "q38_stream",
+      df => StreamingOps.tumblingStats(df), OutputMode.Complete())
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val s = key(streamed)
+    val b = key(SparkEntry.queries("q38_tumbling_window")(spark, sf))
+    assert(b.nonEmpty && s == b,
+      s"streaming/batch divergence: ${(s diff b).size} extra, ${(b diff s).size} missing")
+  }
+
   test("streaming dedup keeps one row per content hash within the watermark") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedup-stream-").toString
     // 3 distinct texts over 9 rows, all inside one watermark window
