@@ -29,6 +29,27 @@ object Dedup {
     */
   val defaultMaxBucket: Option[Int] = Some(1000)
 
+  // same cache discipline as AdcpPipeline: operators persist the frames
+  // they scan more than once, callers release after the sink materializes
+  private val trackedPersists =
+    new scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def trackPersist(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackedPersists.synchronized { trackedPersists += p }
+    p
+  }
+
+  /** Unpersist every cache the dedup operators created (minhash signature
+    * tables, corpus inputs). Call after the deduplicated output has been
+    * materialized/written; session-wide across concurrent runs, like
+    * [[graft.pipeline.AdcpPipeline.releaseCaches]].
+    */
+  def releaseCaches(): Unit = trackedPersists.synchronized {
+    trackedPersists.foreach(_.unpersist())
+    trackedPersists.clear()
+  }
+
   /** Exact dedup via content hash: one row per distinct text with the
     * keeper (min id) and duplicate count.
     */
@@ -141,7 +162,7 @@ object Dedup {
       maxBucket: Option[Int] = None): DataFrame = {
     // signatures feed both the banding and the Jaccard verification;
     // materialize once (one md5 pass over every shingle, the dominant cost)
-    val sigs = signatures(docs, idCol, textCol, k).cache()
+    val sigs = trackPersist(signatures(docs, idCol, textCol, k))
     withJaccard(candidates(bands(sigs, idCol, k, nBands), idCol, maxBucket),
       sigs, idCol)
   }
@@ -153,9 +174,13 @@ object Dedup {
     * out. Every stage is the scale-safe form above — banded self-join,
     * bounded candidate verification, iterative-join clustering.
     */
-  def dedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+  def dedupCorpus(docs0: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8, k: Int = 16, nBands: Int = 8,
       maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
+    // docs feeds both the signature pass and the final anti-join; persist
+    // so an expensive upstream (e.g. the preprocess quality gate) computes
+    // once, not once per consumer
+    val docs = trackPersist(docs0)
     val dups = minhashLsh(docs, idCol, textCol, k, nBands, maxBucket)
       .where(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b")
