@@ -42,6 +42,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("aggregate-form quality signals equal the scalar Column form (random docs)") {
+    // the exploded-token aggregate path (Corpus.withQualitySignals) and
+    // the scalar Column-algebra path (Text.langId/qualityScore + inline
+    // shingles) must be the SAME function — on arbitrary docs, not just
+    // the oracle corpus: random words drawn from stopwords of every
+    // language + junk + punctuation, including one-token docs (empty text
+    // is outside the contract: ANSI division-by-zero in punctRatio throws
+    // identically in both forms)
+    val r = rng
+    val pool = graft.functions.Text.stopwords.flatMap(_._2) ++
+      Seq("xyzzy", "qq.q", "a", "!!", "some,word", "longerwordhere", "z")
+    val docs = (1L to 200L).map { i =>
+      val n = 1 + r.nextInt(11) // 1..11 tokens
+      (i, (0 until n).map(_ => pool(r.nextInt(pool.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = graft.functions.Text.tokens(col("text"))
+    val sh = graft.functions.Text.shingles(toks, 2)
+    val scalar = docs
+      .withColumn("lang_pred", graft.functions.Text.langId(toks))
+      .withColumn("quality", graft.functions.Text.qualityScore(col("text"), toks))
+      .withColumn("__nt", size(sh).cast("long"))
+      .withColumn("__nd", size(array_distinct(sh)).cast("long"))
+      .withColumn("rep_milli",
+        when(col("__nt") > 0, expr("((__nt - __nd) * 1000) div __nt")).otherwise(0L))
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("rep_milli"))
+    val agg = graft.operators.Corpus.withQualitySignals(docs, "text")
+      .select(col("doc_id"), col("lang_pred"), col("quality"), col("rep_milli"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(row => (row.getLong(0), row.getString(1),
+        Option(row.get(2)).map(_.asInstanceOf[Double]), row.getLong(3)))
+    val (s, a) = (rows(scalar), rows(agg))
+    assert(s.length == a.length)
+    s.zip(a).foreach { case (sr, ar) =>
+      assert(sr == ar, s"scalar $sr != aggregate $ar") // bit-identical doubles
+    }
+  }
+
   test("cumsum of diff recovers the series up to its first element") {
     val r = rng
     val w = Windows.ordered(Seq(col("i")), Seq(col("k")))
