@@ -121,6 +121,18 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.toSeq == Seq(1L, 3L), s"kept ${kept.toSeq}")
   }
 
+  test("releaseCaches frees the dedup persists (CC checkpoints stay with the result)") {
+    val sc = spark.sparkContext
+    Dedup.releaseCaches() // start from a known state
+    val before = sc.getPersistentRDDs.size
+    Dedup.dedupCorpus(docs, "doc_id", "text", jaccardThreshold = 0.5).count()
+    val during = sc.getPersistentRDDs.size
+    assert(during > before, "dedupCorpus should persist its input and signatures")
+    Dedup.releaseCaches()
+    assert(sc.getPersistentRDDs.size < during,
+      "releaseCaches must free the tracked dedup persists")
+  }
+
   test("default cap: degenerate-bucket corpus completes; dups recalled via other bands") {
     // 2000 docs sharing a long boilerplate prefix: most band signatures are
     // boilerplate-minima-only, so every band has a >1000-doc bucket — the
