@@ -50,7 +50,8 @@ object Multimodal {
     * samples are rejected to the fallback). Returns None unless the payload
     * parses exactly, trailing-byte check included.
     */
-  def decodePpm(id: Long, b: Array[Byte]): Option[Decoded] = {
+  /** Exact P6 parse: (width, height, maxval, raster offset), or None. */
+  private def parsePpm(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
     if (b.length < 9 || b(0) != 'P' || b(1) != '6') return None
     var i = 2
     def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
@@ -71,18 +72,50 @@ object Multimodal {
     if (w <= 0 || h <= 0 || mx <= 0 || mx > 255) return None
     if (i >= b.length || !isWs(b(i))) return None
     i += 1 // exactly one whitespace byte after maxval
-    val n = w * h * 3
-    if (b.length - i != n) return None
-    var sum = 0L; val ch = new Array[Long](3)
-    var j = 0
-    while (j < n) {
-      val v = b(i + j) & 0xff
-      sum += v; ch(j % 3) += v
-      j += 1
+    if (b.length - i != w * h * 3) return None
+    Some((w.toInt, h.toInt, mx.toInt, i))
+  }
+
+  def decodePpm(id: Long, b: Array[Byte]): Option[Decoded] =
+    parsePpm(b).map { case (w, h, mx, off) =>
+      val n = w * h * 3
+      var sum = 0L; val ch = new Array[Long](3)
+      var j = 0
+      while (j < n) {
+        val v = b(off + j) & 0xff
+        sum += v; ch(j % 3) += v
+        j += 1
+      }
+      val px = (w * h).toDouble
+      Decoded(id, b.length.toLong, sum, w, h,
+        Array(ch(0) / px, ch(1) / px, ch(2) / px, mx.toDouble))
     }
-    val px = (w * h).toDouble
-    Some(Decoded(id, b.length.toLong, sum, w.toInt, h.toInt,
-      Array(ch(0) / px, ch(1) / px, ch(2) / px, mx.toDouble)))
+
+  /** Nearest-neighbor resize of a P6 payload to newW x newH, emitted as a
+    * new valid P6 payload (canonical header) — the "resize" step of a
+    * media pipeline, real bytes in and out. None unless the input parses
+    * as exact P6.
+    */
+  def resizePpm(b: Array[Byte], newW: Int, newH: Int): Option[Array[Byte]] = {
+    if (newW <= 0 || newH <= 0) return None
+    parsePpm(b).map { case (w, h, mx, off) =>
+      val header = s"P6\n$newW $newH\n$mx\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + newW * newH * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0; var p = header.length
+      while (y < newH) {
+        val sy = (y.toLong * h / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * w / newW).toInt
+          val so = off + (sy * w + sx) * 3
+          out(p) = b(so); out(p + 1) = b(so + 1); out(p + 2) = b(so + 2)
+          p += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** zlib float64 tensor frame: "GZT1" magic, big-endian int32 rows, cols,
@@ -120,6 +153,47 @@ object Multimodal {
     }
     Some(Decoded(id, b.length.toLong, sum, cols, rows,
       Array(mn, mxv, tot / n, math.sqrt(sq))))
+  }
+
+  /** Every `stride`-th frame of a GZT1 tensor payload (rows = frames),
+    * re-deflated as a new valid GZT1 payload — the "frame-sample" step of
+    * a video/tensor pipeline, real bytes in and out. None unless the input
+    * parses, inflates, and length-checks exactly.
+    */
+  def sampleTensorFrames(b: Array[Byte], stride: Int): Option[Array[Byte]] = {
+    if (stride < 1) return None
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'Z' || b(2) != 'T' || b(3) != '1')
+      return None
+    val bb = java.nio.ByteBuffer.wrap(b, 4, 8)
+    val rows = bb.getInt; val cols = bb.getInt
+    if (rows <= 0 || cols <= 0 || rows.toLong * cols > (Int.MaxValue >> 3))
+      return None
+    val raw = new Array[Byte](rows * cols * 8)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(b, 12, b.length - 12)
+      val got = inf.inflate(raw)
+      if (got != raw.length || !inf.finished()) return None
+    } catch { case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    val keptRows = (0 until rows by stride).toArray
+    val rowBytes = cols * 8
+    val sampled = new Array[Byte](keptRows.length * rowBytes)
+    keptRows.zipWithIndex.foreach { case (r, i) =>
+      System.arraycopy(raw, r * rowBytes, sampled, i * rowBytes, rowBytes)
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(sampled); defl.finish()
+    val bos = new java.io.ByteArrayOutputStream(sampled.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) {
+      val n = defl.deflate(tmp)
+      bos.write(tmp, 0, n)
+    }
+    defl.end()
+    val head = java.nio.ByteBuffer.allocate(12)
+    head.put("GZT1".getBytes("US-ASCII")).putInt(keptRows.length).putInt(cols)
+    Some(head.array() ++ bos.toByteArray)
   }
 
   /** RIFF/WAVE PCM-16 audio: "RIFF"+"WAVE" magic, chunk walk (unknown
@@ -208,4 +282,40 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Batched partition-wise payload->payload transform (same bounded-batch
+    * shape as [[decode]]): payloads `f` recognizes are replaced, everything
+    * else passes through untouched, and the metadata struct is refreshed to
+    * the new byte length.
+    */
+  private def transformPayloads(withPayload: DataFrame, batchSize: Int)(
+      f: Array[Byte] => Option[Array[Byte]]): DataFrame = {
+    val spark = withPayload.sparkSession
+    import spark.implicits._
+    withPayload.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            (id, f(bytes).getOrElse(bytes))
+          }
+        }
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("media_meta", struct(
+        octet_length(col("payload")).as("n_bytes"), lit("fake/raw").as("mime")))
+  }
+
+  /** Resize every P6 image payload to newW x newH (nearest neighbor);
+    * non-image payloads pass through.
+    */
+  def resize(withPayload: DataFrame, newW: Int, newH: Int,
+      batchSize: Int = 64): DataFrame =
+    transformPayloads(withPayload, batchSize)(resizePpm(_, newW, newH))
+
+  /** Keep every `stride`-th frame of every tensor payload; non-tensor
+    * payloads pass through.
+    */
+  def frameSample(withPayload: DataFrame, stride: Int,
+      batchSize: Int = 64): DataFrame =
+    transformPayloads(withPayload, batchSize)(sampleTensorFrames(_, stride))
 }

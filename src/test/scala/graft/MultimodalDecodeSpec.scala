@@ -105,6 +105,56 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(Multimodal.decodeOne(5L, bad).features.length == 4) // fallback
   }
 
+  test("nearest-neighbor PPM resize emits valid P6 with the right pixels") {
+    // 2x2 -> 1x1 keeps pixel (0,0); 2x2 -> 4x4 maps (x,y) -> (x/2, y/2)
+    val one = Multimodal.resizePpm(ppmBytes(), 1, 1).get
+    val d1 = Multimodal.decodePpm(0L, one).get
+    assert(d1.width == 1 && d1.height == 1)
+    assert(d1.features.toSeq == Seq(10.0, 20.0, 30.0, 255.0))
+    val four = Multimodal.resizePpm(ppmBytes(), 4, 4).get
+    val d4 = Multimodal.decodePpm(0L, four).get
+    assert(d4.width == 4 && d4.height == 4)
+    // each source pixel replicated 2x2 -> channel means unchanged
+    assert(d4.features.toSeq == Seq(80.0, 90.0, 100.0, 255.0))
+    assert(Multimodal.resizePpm("nope".getBytes, 2, 2).isEmpty)
+    assert(Multimodal.resizePpm(ppmBytes(), 0, 2).isEmpty)
+  }
+
+  test("tensor frame-sample keeps every k-th frame, re-emitted as valid GZT1") {
+    val vs = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0) // 4 frames x 2
+    val sampled = Multimodal.sampleTensorFrames(tensorBytes(4, 2, vs), 2).get
+    val d = Multimodal.decodeTensor(0L, sampled).get
+    assert(d.height == 2 && d.width == 2) // frames 0 and 2 kept
+    val kept = Array(1.0, 2.0, 5.0, 6.0)
+    assert(d.features(0) == 1.0 && d.features(1) == 6.0)
+    assert(d.features(2) == kept.sum / 4)
+    assert(d.features(3) == math.sqrt(kept.map(v => v * v).sum))
+    // stride 1 round-trips to identical stats
+    val same = Multimodal.sampleTensorFrames(tensorBytes(4, 2, vs), 1).get
+    assert(Multimodal.decodeTensor(0L, same).get.features.toSeq ==
+      Multimodal.decodeTensor(0L, tensorBytes(4, 2, vs)).get.features.toSeq)
+    assert(Multimodal.sampleTensorFrames(ppmBytes(), 2).isEmpty)
+  }
+
+  test("resize and frameSample transform matching payloads in a DataFrame, pass others") {
+    val rows = Seq(
+      (1L, ppmBytes()),
+      (2L, tensorBytes(4, 2, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))),
+      (3L, "plain text".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "payload")
+    val resized = Multimodal.decode(Multimodal.resize(df, 1, 1, batchSize = 2))
+      .orderBy("doc_id").collect()
+    assert(resized(0).getInt(resized(0).fieldIndex("width")) == 1) // PPM resized
+    assert(resized(1).getInt(resized(1).fieldIndex("height")) == 4) // tensor untouched
+    val sampled = Multimodal.decode(Multimodal.frameSample(df, 2, batchSize = 2))
+      .orderBy("doc_id").collect()
+    assert(sampled(0).getInt(sampled(0).fieldIndex("width")) == 2) // PPM untouched
+    assert(sampled(1).getInt(sampled(1).fieldIndex("height")) == 2) // 4 -> 2 frames
+    // passthrough payload byte-identical (same fallback byte_sum)
+    val sum = "plain text".getBytes("UTF-8").map(_ & 0xff).sum
+    assert(sampled(2).getLong(sampled(2).fieldIndex("byte_sum")) == sum)
+  }
+
   test("decode dispatches per payload inside one DataFrame, any batch size") {
     val rows = Seq(
       (1L, ppmBytes()),
