@@ -19,7 +19,8 @@ object PlanAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q01_scan_filter_project", "q13_join_broadcast", "q04_grid2d_mean",
-        "q10_interp_join", "q51_dedup_minhash_lsh", "q55_ann_bruteforce")
+        "q10_interp_join", "q51_dedup_minhash_lsh", "q55_ann_bruteforce",
+        "q47_quality_filter", "q48_dedup_corpus")
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"== $name: not found")
