@@ -44,6 +44,19 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF probe-all: nProbe = nCells visits every inverted list, so the
+    // result is mathematically identical to brute force (each candidate
+    // lives in exactly one cell) — no recall assumption, and the q55
+    // brute-force SQL is an exact oracle for the whole IVF path
+    // (build -> assign -> probe -> in-cell ranking).
+    "q56c_ann_ivf_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopK(e.where(col("vec_id") < 8), e, 5, 8, DIM, nProbe = 8)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -79,6 +92,18 @@ object VectorQueries {
 
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
+          c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
+          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                     FROM c, q WHERE vec_id <> q_id),
+          ranked AS (SELECT q_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+            ${sqlFp("cosine", 6)} AS cos_micro
+          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "q56c_ann_ivf_exact" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
           c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
           scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine

@@ -50,6 +50,21 @@ class IvfSpec extends AnyFunSuite {
     assert(ivf.size <= 8 * 5)
   }
 
+  test("probe-all IVF (nProbe = nCells) equals brute force exactly") {
+    // the q56c oracle premise: visiting every inverted list recovers the
+    // full candidate set (each vector lives in exactly one cell), so the
+    // ranking must be identical to brute force — including cosine values
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("cosine") * 1e6).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val brute = rows(Similarity.bruteForceTopK(q, e, 5))
+    val probeAll = rows(Similarity.ivfTopK(q, e, 5, 8, 64, nProbe = 8))
+    assert(probeAll == brute, "probe-all IVF must reproduce brute force bit-for-bit")
+  }
+
   test("saved/loaded IVF index probes identically and prunes partitions") {
     val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 4)
