@@ -29,26 +29,43 @@ object Dedup {
     */
   val defaultMaxBucket: Option[Int] = Some(1000)
 
-  // same cache discipline as AdcpPipeline: operators persist the frames
-  // they scan more than once, callers release after the sink materializes
-  private val trackedPersists =
-    new scala.collection.mutable.ArrayBuffer[DataFrame]()
-
-  private def trackPersist(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    trackedPersists.synchronized { trackedPersists += p }
-    p
-  }
-
-  /** Unpersist every cache the dedup operators created (minhash signature
-    * tables, corpus inputs). Call after the deduplicated output has been
-    * materialized/written; session-wide across concurrent runs, like
-    * [[graft.pipeline.AdcpPipeline.releaseCaches]].
+  /** Tracks the frames one dedup run persists so the caller can free them
+    * after its sink materializes — a per-run handle, so two concurrent
+    * corpus runs each release only their own caches. Operators default to
+    * the shared [[Dedup.sessionScope]] (single-tenant callers keep the old
+    * `Dedup.releaseCaches()` behavior); fleet-style callers pass their own
+    * scope per run. Caveat: Spark's cache manager is plan-keyed, so two
+    * runs over a literally-identical input frame share one cache entry and
+    * releasing either scope frees it — isolation holds across distinct
+    * inputs, which is the actual concurrent-fleet scenario.
     */
-  def releaseCaches(): Unit = trackedPersists.synchronized {
-    trackedPersists.foreach(_.unpersist())
-    trackedPersists.clear()
+  final class CacheScope {
+    private val frames = new scala.collection.mutable.ArrayBuffer[DataFrame]()
+    private[Dedup] def track(df: DataFrame): DataFrame = {
+      val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frames.synchronized { frames += p }
+      p
+    }
+    /** The frames currently tracked (test/diagnostic visibility). */
+    def tracked: Seq[DataFrame] = frames.synchronized { frames.toSeq }
+    /** Unpersist every frame this scope tracked and forget them. */
+    def release(): Unit = frames.synchronized {
+      frames.foreach(_.unpersist())
+      frames.clear()
+    }
   }
+
+  /** Default scope for callers that don't manage one: session-wide, freed
+    * by [[releaseCaches]] — same cache discipline as AdcpPipeline.
+    */
+  val sessionScope: CacheScope = new CacheScope
+
+  /** Unpersist every cache the default-scope dedup operators created
+    * (minhash signature tables, corpus inputs). Call after the deduplicated
+    * output has been materialized/written. Runs given their own
+    * [[CacheScope]] are unaffected — release those via `scope.release()`.
+    */
+  def releaseCaches(): Unit = sessionScope.release()
 
   /** Exact dedup via content hash: one row per distinct text with the
     * keeper (min id) and duplicate count.
@@ -159,10 +176,11 @@ object Dedup {
   /** End-to-end MinHash-LSH near-dup candidates with exact Jaccard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, nBands: Int = 8,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      scope: CacheScope = sessionScope): DataFrame = {
     // signatures feed both the banding and the Jaccard verification;
     // materialize once (one md5 pass over every shingle, the dominant cost)
-    val sigs = trackPersist(signatures(docs, idCol, textCol, k))
+    val sigs = scope.track(signatures(docs, idCol, textCol, k))
     withJaccard(candidates(bands(sigs, idCol, k, nBands), idCol, maxBucket),
       sigs, idCol)
   }
@@ -176,12 +194,13 @@ object Dedup {
     */
   def dedupCorpus(docs0: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8, k: Int = 16, nBands: Int = 8,
-      maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
+      maxBucket: Option[Int] = defaultMaxBucket,
+      scope: CacheScope = sessionScope): DataFrame = {
     // docs feeds both the signature pass and the final anti-join; persist
     // so an expensive upstream (e.g. the preprocess quality gate) computes
     // once, not once per consumer
-    val docs = trackPersist(docs0)
-    val dups = minhashLsh(docs, idCol, textCol, k, nBands, maxBucket)
+    val docs = scope.track(docs0)
+    val dups = minhashLsh(docs, idCol, textCol, k, nBands, maxBucket, scope)
       .where(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b")
     val losers = connectedComponents(dups)
@@ -198,16 +217,21 @@ object Dedup {
     *
     * Algorithm: min-label propagation with path compression. Each round is
     * (1) p(x) := min(p(x), min over neighbors y of p(y)) — a hash join of
-    * the edge list with the label table — then (2) p(x) := p(p(x)) — the
-    * label table composed with itself, which doubles the effective hop
-    * distance, giving O(log diameter) rounds instead of O(diameter) on
-    * chain-shaped clusters. State is one (node, label) row per paired doc,
+    * the edge list with the label table, the round's only edge-scale job —
+    * then (2) two pointer-doubling hops p(x) := p(p(x)) composed from the
+    * round's materialized label table (label-scale only), giving
+    * O(log diameter) rounds instead of O(diameter) on chain-shaped
+    * clusters. State is one (node, label) row per paired doc,
     * hash-partitioned on node; no single-partition stage, no driver-side
-    * graph, and each round ends at a localCheckpoint so the plan does not
-    * grow with iteration count. Convergence is detected by the exact
-    * decimal sum of labels (labels are monotone non-increasing, so an
-    * unchanged sum means a fixpoint; at the fixpoint labels are constant
-    * across every edge, i.e. the component minimum).
+    * graph, and each round checkpoints so the plan does not grow with
+    * iteration count. Convergence: each round carries a per-row changed
+    * flag (post-compression label != the round's starting label) counted
+    * into an accumulator by the SAME eager-checkpoint job that materializes
+    * the round — no separate convergence action, and an already-converged
+    * input (or empty edge list) exits after its first round. A task retry
+    * can only overcount the accumulator, i.e. force a harmless extra round,
+    * never a premature exit; at the fixpoint labels are constant across
+    * every edge, i.e. the component minimum.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
@@ -225,32 +249,56 @@ object Dedup {
         .select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
       .repartition(col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val spark = pairs.sparkSession
+    val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
+    // evaluated once per label-table row inside the checkpoint job; off the
+    // edge join's hot path, so the non-codegen UDF costs nothing measurable
+    val markChanged = udf { changed: Boolean =>
+      if (changed) changedAcc.add(1L); changed
+    }
     var labels = sym.groupBy("x").agg(min("y").as("__mn"))
       .select(col("x"), least(col("x"), col("__mn")).as("p"))
       .localCheckpoint()
-    var prevSum: java.math.BigDecimal = null
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val nbr = sym
         .join(labels.select(col("x").as("y"), col("p").as("__py")), "y")
         .groupBy("x").agg(min("__py").as("__pn"))
+      // checkpoint the propagation result BEFORE the compression self-joins:
+      // they then read the materialized label table instead of recomputing
+      // the edge join per branch (their subtrees differ by the __p0
+      // projection, so exchange reuse could not dedupe them). Measured at
+      // sf0.1 against the lazy alternatives, this split is the fastest
+      // shape: the heavy edge-join job runs exactly once per round.
       val prop = labels.join(nbr, Seq("x"), "left")
-        .select(col("x"),
+        .select(col("x"), col("p").as("__p0"),
           least(col("p"), coalesce(col("__pn"), col("p"))).as("p"))
-      val next = prop
+        .localCheckpoint() // job 1: the round's only edge-join job
+      val before = changedAcc.value
+      // two compression hops per round: each is a self-join of the CACHED
+      // prop/c1 (label-table-only, broadcast at any realistic label size),
+      // so the extra hop is nearly free while squaring the pointer-doubling
+      // factor — long chains converge in about half the heavy rounds
+      val c1 = prop
         .join(prop.select(col("x").as("p"), col("p").as("__pp")),
           Seq("p"), "left")
-        .select(col("x"), coalesce(col("__pp"), col("p")).as("p"))
-        .localCheckpoint()
-      // empty edge list -> sum is null; normalize to ZERO so the fixpoint
-      // check converges instead of spinning to maxIter
-      val s = Option(next.agg(sum(col("p").cast("decimal(38,0)")))
-        .first().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
-      converged = prevSum != null && prevSum.compareTo(s) == 0
-      prevSum = s
+        .select(col("x"), coalesce(col("__pp"), col("p")).as("p"),
+          col("__p0"))
+      val next = c1
+        .join(c1.select(col("x").as("p"), col("p").as("__pp2")),
+          Seq("p"), "left")
+        .select(col("x"), coalesce(col("__pp2"), col("p")).as("p"),
+          col("__p0"))
+        // __chg must survive into the checkpointed output or the pruner
+        // would drop it unevaluated — select it, checkpoint, then project
+        .withColumn("__chg", markChanged(col("p") =!= col("__p0")))
+        .select("x", "p", "__chg")
+        .localCheckpoint() // job 2: label-table-only compress + change count
+      converged = changedAcc.value == before
       labels.unpersist()
-      labels = next
+      prop.unpersist()
+      labels = next.select("x", "p")
       iter += 1
     }
     sym.unpersist()

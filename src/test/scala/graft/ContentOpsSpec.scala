@@ -133,6 +133,28 @@ class DedupSpec extends AnyFunSuite {
       "releaseCaches must free the tracked dedup persists")
   }
 
+  test("per-run cache scopes release independently") {
+    // two interleaved corpus runs on DISTINCT corpora with their own
+    // scopes: releasing run A's scope must not touch run B's persists (the
+    // session-global trackedPersists this replaces freed BOTH). Distinct
+    // inputs matter: Spark's cache manager is plan-keyed, so two runs over
+    // the literally-identical frame share one cache entry by design.
+    val scopeA = new Dedup.CacheScope
+    val scopeB = new Dedup.CacheScope
+    val docsB = docs.withColumn("doc_id", col("doc_id") + 100L)
+    Dedup.dedupCorpus(docs, "doc_id", "text", jaccardThreshold = 0.5,
+      scope = scopeA).count()
+    Dedup.dedupCorpus(docsB, "doc_id", "text", jaccardThreshold = 0.5,
+      scope = scopeB).count()
+    assert(scopeA.tracked.nonEmpty && scopeB.tracked.nonEmpty)
+    scopeA.release()
+    assert(scopeA.tracked.isEmpty)
+    assert(scopeB.tracked.forall(
+        _.storageLevel != org.apache.spark.storage.StorageLevel.NONE),
+      "scope B's persists must survive scope A's release")
+    scopeB.release()
+  }
+
   test("default cap: degenerate-bucket corpus completes; dups recalled via other bands") {
     // 2000 docs sharing a long boilerplate prefix: most band signatures are
     // boilerplate-minima-only, so every band has a >1000-doc bucket — the
