@@ -61,6 +61,38 @@ class PlanHealthSpec extends AnyFunSuite {
     assert(splits == 1, s"expected exactly one split(text) in the optimized plan, found $splits")
   }
 
+  test("unpruned-scan detector fires on a full wide read, stays quiet when pruned") {
+    // synthetic formatted-explain fragments: the audit must flag a scan of
+    // every documents column and pass a pruned one
+    val tables = Map("documents" -> 5, "region" -> 3)
+    val full =
+      """Location: InMemoryFileIndex [file:/x/documents.parquet]
+        |ReadSchema: struct<doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint>
+        |""".stripMargin
+    val pruned =
+      """Location: InMemoryFileIndex [file:/x/documents.parquet]
+        |ReadSchema: struct<doc_id:bigint,text:string>
+        |""".stripMargin
+    val narrowDim =
+      """Location: InMemoryFileIndex [file:/x/region.parquet]
+        |ReadSchema: struct<r_regionkey:bigint,r_name:string,r_comment:string>
+        |""".stripMargin
+    assert(PlanAudit.unprunedScans(full, tables) == Seq(("documents", 5)))
+    assert(PlanAudit.unprunedScans(pruned, tables).isEmpty)
+    assert(PlanAudit.unprunedScans(narrowDim, tables).isEmpty,
+      "narrow dims are exempt from the wide-read rule")
+  }
+
+  test("unpruned-scan detector catches q48's whole-document read on the real plan") {
+    // q48 returns the surviving full docs, so its documents read is
+    // legitimately unpruned AND the detector must see it (it is allowlisted
+    // in PlanAudit.main, not invisible to the check)
+    val found = PlanAudit.unprunedScans(explain("q48_dedup_corpus"),
+      Map("documents" -> 5))
+    assert(found.contains(("documents", 5)),
+      s"expected the full documents read to be detected, got $found")
+  }
+
   test("grid xbin lookup is a broadcast dim-join, not a plan literal") {
     // q62 drives GridOutput.withXbin: the profile->xbin map must enter the
     // plan as a broadcast join against the dim frame — an O(profiles)
