@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` columns with typed
-  * metadata, decoded/feature-extracted partition-wise in batches.
+  * metadata, decoded/feature-extracted partition-wise.
   *
   * Three REAL in-sandbox decoders run by header dispatch — binary PPM (P6)
   * images parsed byte-for-byte from the Netpbm header+raster layout,
@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   * the fallback for unrecognized payloads (heavier codecs like JPEG
   * aren't available in this environment; they would slot into the same
   * dispatch). The Spark-side shape is the part that matters at 100 TB:
-  * binary schema, struct metadata, batched mapPartitions (the JVM analog of
-  * a vectorized Python mapInPandas), and typed feature columns out. The
-  * batch bounds peak memory per task: `batchSize` payloads decoded at a
-  * time, never a whole partition.
+  * binary schema, struct metadata, a streaming mapPartitions (Spark pulls
+  * one row at a time through the iterator, so peak memory per task is one
+  * payload — no batch buffering needed or pretended), and typed feature
+  * columns out. What IS amortized per task: one shared [[Codecs]] instance
+  * (zlib Inflater/Deflater native objects + scratch buffer, reset between
+  * payloads) instead of an allocate/free pair per payload.
   */
 object Multimodal {
 
@@ -118,11 +120,51 @@ object Multimodal {
     }
   }
 
+  /** Per-task codec state shared across payloads: the zlib native objects
+    * and the deflate scratch buffer are the only per-payload allocations a
+    * decode round-trip repeats, so one reset-and-reuse instance per
+    * mapPartitions task amortizes them. NOT thread-safe (one per task).
+    */
+  final class Codecs {
+    private val inflater = new java.util.zip.Inflater()
+    private val deflater = new java.util.zip.Deflater()
+    private val scratch = new Array[Byte](8192)
+
+    /** Inflate b[off..] into exactly out.length bytes; false on any
+      * mismatch or corrupt stream. Resets the shared inflater first.
+      */
+    def inflateExact(b: Array[Byte], off: Int, out: Array[Byte]): Boolean = {
+      inflater.reset()
+      try {
+        inflater.setInput(b, off, b.length - off)
+        inflater.inflate(out) == out.length && inflater.finished()
+      } catch { case _: java.util.zip.DataFormatException => false }
+    }
+
+    /** Deflate data with the shared deflater + scratch buffer. */
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      deflater.reset()
+      deflater.setInput(data); deflater.finish()
+      val bos = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+      while (!deflater.finished())
+        bos.write(scratch, 0, deflater.deflate(scratch))
+      bos.toByteArray
+    }
+
+    /** Free the native zlib state (for one-shot use outside a task). */
+    def close(): Unit = { inflater.end(); deflater.end() }
+  }
+
   /** zlib float64 tensor frame: "GZT1" magic, big-endian int32 rows, cols,
     * then a zlib stream inflating to exactly rows*cols big-endian doubles.
     * Returns None unless magic, inflate, and length all check out.
     */
   def decodeTensor(id: Long, b: Array[Byte]): Option[Decoded] = {
+    val c = new Codecs
+    try decodeTensor(id, b, c) finally c.close()
+  }
+
+  def decodeTensor(id: Long, b: Array[Byte], codecs: Codecs): Option[Decoded] = {
     if (b.length < 14 || b(0) != 'G' || b(1) != 'Z' || b(2) != 'T' || b(3) != '1')
       return None
     val bb = java.nio.ByteBuffer.wrap(b, 4, 8)
@@ -131,13 +173,7 @@ object Multimodal {
       return None
     val n = rows * cols
     val out = new Array[Byte](n * 8)
-    val inf = new java.util.zip.Inflater()
-    try {
-      inf.setInput(b, 12, b.length - 12)
-      val got = inf.inflate(out)
-      if (got != out.length || !inf.finished()) return None
-    } catch { case _: java.util.zip.DataFormatException => return None
-    } finally inf.end()
+    if (!codecs.inflateExact(b, 12, out)) return None
     var sum = 0L; var j = 0
     while (j < out.length) { sum += out(j) & 0xff; j += 1 }
     val db = java.nio.ByteBuffer.wrap(out)
@@ -161,6 +197,12 @@ object Multimodal {
     * parses, inflates, and length-checks exactly.
     */
   def sampleTensorFrames(b: Array[Byte], stride: Int): Option[Array[Byte]] = {
+    val c = new Codecs
+    try sampleTensorFrames(b, stride, c) finally c.close()
+  }
+
+  def sampleTensorFrames(b: Array[Byte], stride: Int,
+      codecs: Codecs): Option[Array[Byte]] = {
     if (stride < 1) return None
     if (b.length < 14 || b(0) != 'G' || b(1) != 'Z' || b(2) != 'T' || b(3) != '1')
       return None
@@ -169,31 +211,17 @@ object Multimodal {
     if (rows <= 0 || cols <= 0 || rows.toLong * cols > (Int.MaxValue >> 3))
       return None
     val raw = new Array[Byte](rows * cols * 8)
-    val inf = new java.util.zip.Inflater()
-    try {
-      inf.setInput(b, 12, b.length - 12)
-      val got = inf.inflate(raw)
-      if (got != raw.length || !inf.finished()) return None
-    } catch { case _: java.util.zip.DataFormatException => return None
-    } finally inf.end()
+    if (!codecs.inflateExact(b, 12, raw)) return None
     val keptRows = (0 until rows by stride).toArray
     val rowBytes = cols * 8
     val sampled = new Array[Byte](keptRows.length * rowBytes)
     keptRows.zipWithIndex.foreach { case (r, i) =>
       System.arraycopy(raw, r * rowBytes, sampled, i * rowBytes, rowBytes)
     }
-    val defl = new java.util.zip.Deflater()
-    defl.setInput(sampled); defl.finish()
-    val bos = new java.io.ByteArrayOutputStream(sampled.length / 2 + 64)
-    val tmp = new Array[Byte](8192)
-    while (!defl.finished()) {
-      val n = defl.deflate(tmp)
-      bos.write(tmp, 0, n)
-    }
-    defl.end()
+    val deflated = codecs.deflate(sampled)
     val head = java.nio.ByteBuffer.allocate(12)
     head.put("GZT1".getBytes("US-ASCII")).putInt(keptRows.length).putInt(cols)
-    Some(head.array() ++ bos.toByteArray)
+    Some(head.array() ++ deflated)
   }
 
   /** RIFF/WAVE PCM-16 audio: "RIFF"+"WAVE" magic, chunk walk (unknown
@@ -262,43 +290,46 @@ object Multimodal {
       (16 + sum % 16).toInt, (16 + (sum / 16) % 16).toInt, hist)
   }
 
-  def decodeOne(id: Long, bytes: Array[Byte]): Decoded =
+  def decodeOne(id: Long, bytes: Array[Byte]): Decoded = {
+    val c = new Codecs
+    try decodeOne(id, bytes, c) finally c.close()
+  }
+
+  def decodeOne(id: Long, bytes: Array[Byte], codecs: Codecs): Decoded =
     decodePpm(id, bytes)
-      .orElse(decodeTensor(id, bytes))
+      .orElse(decodeTensor(id, bytes, codecs))
       .orElse(decodeWav(id, bytes))
       .getOrElse(decodeFallback(id, bytes))
 
-  /** Batched partition-wise decode with per-payload format dispatch (PPM /
-    * zlib tensor / fallback). One batch decoded at a time.
+  /** Partition-wise decode with per-payload format dispatch (PPM / zlib
+    * tensor / WAV / fallback). The iterator streams — one payload in memory
+    * at a time — and one [[Codecs]] instance per task amortizes the zlib
+    * native allocations across every payload the task decodes.
     */
-  def decode(withPayload: DataFrame, batchSize: Int = 64): DataFrame = {
+  def decode(withPayload: DataFrame): DataFrame = {
     val spark = withPayload.sparkSession
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) => decodeOne(id, bytes) }
-        }
+        val codecs = new Codecs // shared across the task, reset per payload
+        it.map { case (id, bytes) => decodeOne(id, bytes, codecs) }
       }
       .toDF()
   }
 
-  /** Batched partition-wise payload->payload transform (same bounded-batch
-    * shape as [[decode]]): payloads `f` recognizes are replaced, everything
-    * else passes through untouched, and the metadata struct is refreshed to
-    * the new byte length.
+  /** Partition-wise payload->payload transform (same streaming shape as
+    * [[decode]], same per-task [[Codecs]] reuse): payloads `f` recognizes
+    * are replaced, everything else passes through untouched, and the
+    * metadata struct is refreshed to the new byte length.
     */
-  private def transformPayloads(withPayload: DataFrame, batchSize: Int)(
-      f: Array[Byte] => Option[Array[Byte]]): DataFrame = {
+  private def transformPayloads(withPayload: DataFrame)(
+      f: (Array[Byte], Codecs) => Option[Array[Byte]]): DataFrame = {
     val spark = withPayload.sparkSession
     import spark.implicits._
     withPayload.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          batch.iterator.map { case (id, bytes) =>
-            (id, f(bytes).getOrElse(bytes))
-          }
-        }
+        val codecs = new Codecs
+        it.map { case (id, bytes) => (id, f(bytes, codecs).getOrElse(bytes)) }
       }
       .toDF("doc_id", "payload")
       .withColumn("media_meta", struct(
@@ -308,14 +339,12 @@ object Multimodal {
   /** Resize every P6 image payload to newW x newH (nearest neighbor);
     * non-image payloads pass through.
     */
-  def resize(withPayload: DataFrame, newW: Int, newH: Int,
-      batchSize: Int = 64): DataFrame =
-    transformPayloads(withPayload, batchSize)(resizePpm(_, newW, newH))
+  def resize(withPayload: DataFrame, newW: Int, newH: Int): DataFrame =
+    transformPayloads(withPayload)((b, _) => resizePpm(b, newW, newH))
 
   /** Keep every `stride`-th frame of every tensor payload; non-tensor
     * payloads pass through.
     */
-  def frameSample(withPayload: DataFrame, stride: Int,
-      batchSize: Int = 64): DataFrame =
-    transformPayloads(withPayload, batchSize)(sampleTensorFrames(_, stride))
+  def frameSample(withPayload: DataFrame, stride: Int): DataFrame =
+    transformPayloads(withPayload)(sampleTensorFrames(_, stride, _))
 }

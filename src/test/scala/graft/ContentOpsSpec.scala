@@ -230,7 +230,7 @@ class MultimodalSpec extends AnyFunSuite {
   val spark = TestSpark.spark
   import spark.implicits._
 
-  test("payload plumbing + batched stub decode roundtrips byte stats") {
+  test("payload plumbing + streaming decode roundtrips byte stats") {
     val docs = Seq((7L, "abc")).toDF("doc_id", "text")
     val out = Multimodal.decode(Multimodal.attachPayload(docs, "doc_id", "text"))
       .collect().head
@@ -239,9 +239,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.getAs[Seq[Double]]("features").sum == 3.0)
   }
 
-  test("decode batches never exceed batchSize") {
+  test("decode streams whole partitions through one shared codec") {
     val docs = (1 to 100).map(i => (i.toLong, "x" * i)).toDF("doc_id", "text")
-    val out = Multimodal.decode(Multimodal.attachPayload(docs, "doc_id", "text"), 8)
+    val out = Multimodal.decode(Multimodal.attachPayload(docs, "doc_id", "text"))
     assert(out.count() == 100)
   }
 }

@@ -142,11 +142,11 @@ class MultimodalDecodeSpec extends AnyFunSuite {
       (2L, tensorBytes(4, 2, Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))),
       (3L, "plain text".getBytes("UTF-8")))
     val df = rows.toDF("doc_id", "payload")
-    val resized = Multimodal.decode(Multimodal.resize(df, 1, 1, batchSize = 2))
+    val resized = Multimodal.decode(Multimodal.resize(df, 1, 1))
       .orderBy("doc_id").collect()
     assert(resized(0).getInt(resized(0).fieldIndex("width")) == 1) // PPM resized
     assert(resized(1).getInt(resized(1).fieldIndex("height")) == 4) // tensor untouched
-    val sampled = Multimodal.decode(Multimodal.frameSample(df, 2, batchSize = 2))
+    val sampled = Multimodal.decode(Multimodal.frameSample(df, 2))
       .orderBy("doc_id").collect()
     assert(sampled(0).getInt(sampled(0).fieldIndex("width")) == 2) // PPM untouched
     assert(sampled(1).getInt(sampled(1).fieldIndex("height")) == 2) // 4 -> 2 frames
@@ -155,22 +155,38 @@ class MultimodalDecodeSpec extends AnyFunSuite {
     assert(sampled(2).getLong(sampled(2).fieldIndex("byte_sum")) == sum)
   }
 
-  test("decode dispatches per payload inside one DataFrame, any batch size") {
+  test("decode dispatches per payload inside one DataFrame") {
     val rows = Seq(
       (1L, ppmBytes()),
       (2L, tensorBytes(1, 3, Array(2.0, 4.0, 6.0))),
       (3L, "just some text".getBytes("UTF-8")))
     val df = rows.toDF("doc_id", "payload")
-    for (bs <- Seq(1, 64)) {
-      val out = Multimodal.decode(df, bs).orderBy("doc_id").collect()
-      assert(out.length == 3)
-      assert(out(0).getInt(out(0).fieldIndex("width")) == 2) // PPM
-      assert(out(1).getInt(out(1).fieldIndex("height")) == 1) // tensor rows
-      assert(out(1).getSeq[Double](out(1).fieldIndex("features")) ==
-        Seq(2.0, 6.0, 4.0, math.sqrt(4 + 16 + 36)))
-      // text payload takes the fallback path deterministically
-      val sum = "just some text".getBytes("UTF-8").map(_ & 0xff).sum
-      assert(out(2).getLong(out(2).fieldIndex("byte_sum")) == sum)
-    }
+    val out = Multimodal.decode(df).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out(0).getInt(out(0).fieldIndex("width")) == 2) // PPM
+    assert(out(1).getInt(out(1).fieldIndex("height")) == 1) // tensor rows
+    assert(out(1).getSeq[Double](out(1).fieldIndex("features")) ==
+      Seq(2.0, 6.0, 4.0, math.sqrt(4 + 16 + 36)))
+    // text payload takes the fallback path deterministically
+    val sum = "just some text".getBytes("UTF-8").map(_ & 0xff).sum
+    assert(out(2).getLong(out(2).fieldIndex("byte_sum")) == sum)
+  }
+
+  test("a shared Codecs instance survives corrupt streams and many resets") {
+    // per-task codec reuse is only sound if a failed inflate leaves the
+    // shared inflater reusable and repeated reset cycles stay bit-exact
+    val c = new Multimodal.Codecs
+    val good = tensorBytes(2, 2, Array(1.0, 2.0, 3.0, 4.0))
+    val corrupt = good.take(16) ++ Array.fill[Byte](8)(0x55)
+    try {
+      val first = Multimodal.decodeTensor(0L, good, c).get
+      assert(Multimodal.decodeTensor(1L, corrupt, c).isEmpty)
+      (1 to 50).foreach { i =>
+        val again = Multimodal.decodeTensor(i.toLong, good, c).get
+        assert(again.features.toSeq == first.features.toSeq)
+        val sampled = Multimodal.sampleTensorFrames(good, 2, c).get
+        assert(Multimodal.decodeTensor(0L, sampled, c).get.height == 1)
+      }
+    } finally c.close()
   }
 }
