@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * which pin O(paired docs) label rows for as long as the result frame is
   * live — unpersisting a localCheckpoint severs truncated lineage rather
   * than triggering recompute, so they are deliberately not tracked.
-  * Measured: 100k docs 23.6 s (4.2k docs/s), 200k docs 32.4 s (6.2k
-  * docs/s) at local[32] — throughput grows with scale as per-round fixed
-  * costs amortize.
+  * Measured at local[32] (round 7): 200k docs 23.1 s (8.7k docs/s), 1M
+  * docs 201 s (~5k docs/s — single machine, fixed cores); 200k
+  * boilerplate-adversarial docs 18.9 s with the pre-cap worst bucket at
+  * 172k docs collapsing to 6 post-cap. Shuffle partitions scale with the
+  * ~60x shingle explode (n/10k, min 32) — see BASELINE.md round 7.
   */
 object CorpusBench {
 
@@ -63,6 +65,29 @@ object CorpusBench {
       .select(col("id").as("doc_id"), col("text"))
   }
 
+  /** Adversarial boilerplate corpus: EVERY doc opens with the same
+    * 40-token backbone (a fixed vocabulary prefix — think shared license
+    * headers or site chrome) followed by a few hash-drawn unique tokens.
+    * The backbone owns most band-signature minima, so band buckets
+    * degenerate to a large fraction of the corpus — the configuration
+    * where an uncapped LSH self-join is quadratic and the default
+    * [[Dedup.defaultMaxBucket]] must engage. Exact-dup pairs
+    * (id % 20 in {0,1}) still dedup via their discriminating suffix bands.
+    */
+  def synthBoiler(spark: SparkSession, n: Long, nUnique: Int = 6): DataFrame = {
+    val backbone = (0 until 40).map(i => vocab(i % vocab.size)).mkString(" ")
+    val v = typedLit(vocab)
+    val nv = vocab.size
+    val seed = when(col("id") % 20 < 2, col("id") - col("id") % 20)
+      .otherwise(col("id"))
+    val uniq = transform(sequence(lit(1), lit(nUnique)),
+      i => concat(element_at(v, pmod(xxhash64(seed, i), lit(nv)).cast("int") + 1),
+        conv(pmod(xxhash64(seed, i + 100), lit(46655)), 10, 36)))
+    spark.range(n)
+      .withColumn("text", concat(lit(backbone + " "), concat_ws(" ", uniq)))
+      .select(col("id").as("doc_id"), col("text"))
+  }
+
   private def peakHeapMb: Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
@@ -70,12 +95,24 @@ object CorpusBench {
       .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
   }
 
+  /** Usage: `runMain graft.operators.CorpusBench [nDocs] [normal|boiler]`.
+    * Boiler mode additionally measures LSH bucket pressure: the pre-cap
+    * worst band bucket (how adversarial the corpus is) and the post-cap
+    * worst bucket, and exits nonzero if the cap failed to bound it.
+    */
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 100000L
+    val mode = if (args.length > 1) args(1) else "normal"
+    // shuffle partitions sized like a real deployment would: the shingle
+    // explode multiplies rows ~60x, so at 1M docs a 32-way shuffle makes
+    // ~2M-row tasks that stall on sort spill — scale partitions with the
+    // corpus (overridable for experiments)
+    val shufflePartitions = sys.env.getOrElse("GRAFT_BENCH_PARTITIONS",
+      math.max(32L, n / 10000L).toString)
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-corpus-bench")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -83,7 +120,7 @@ object CorpusBench {
 
     // materialize the input first so the timed section measures the
     // pipeline, not the synthesis
-    val docs = synth(spark, n)
+    val docs = (if (mode == "boiler") synthBoiler(spark, n) else synth(spark, n))
       .repartition(32).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
 
@@ -91,12 +128,31 @@ object CorpusBench {
     val kept = Corpus.preprocess(docs, "doc_id", "text").count()
     val secs = (System.nanoTime() - t0) / 1e9
 
+    // bucket-pressure report (boiler mode): worst band bucket before and
+    // after the default cap, from the same signature/banding path the
+    // pipeline ran
+    val bucketStats = if (mode == "boiler") {
+      val cap = Dedup.defaultMaxBucket.get
+      val sizes = Dedup.bands(
+          Dedup.signatures(docs, "doc_id", "text", 16), "doc_id", 16, 8)
+        .groupBy("band", "bsig").count()
+        .agg(max("count").as("worst"),
+          max(when(col("count") <= cap, col("count"))).as("worstCapped"))
+        .first()
+      val (worst, worstCapped) = (sizes.getLong(0), sizes.getLong(1))
+      if (worstCapped > cap) {
+        System.err.println(s"CAP FAILED: post-cap bucket $worstCapped > $cap")
+        spark.stop(); sys.exit(1)
+      }
+      s""","worst_bucket_precap":$worst,"worst_bucket_capped":$worstCapped,"cap":$cap"""
+    } else ""
+
     Dedup.releaseCaches()
     docs.unpersist(blocking = true)
     val cachedAfter = spark.sparkContext.getPersistentRDDs.size
-    println(s"""{"metric":"corpus_preprocess","n_docs":$nDocs,"kept":$kept,""" +
+    println(s"""{"metric":"corpus_preprocess","mode":"$mode","n_docs":$nDocs,"kept":$kept,""" +
       s""""sec":${math.round(secs * 10) / 10.0},"docs_per_s":${math.round(nDocs / secs)},""" +
-      s""""peak_heap_mb":$peakHeapMb,"cached_rdds_after_release":$cachedAfter}""")
+      s""""peak_heap_mb":$peakHeapMb,"cached_rdds_after_release":$cachedAfter$bucketStats}""")
     spark.stop()
   }
 }
