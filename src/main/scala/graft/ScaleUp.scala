@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Synthesize an sf1-scale rehearsal dataset by replicating sf0.1 10x with
+  * key offsets — the scale-up evidence run for the headline queries when no
+  * driver-generated sf1 exists. `runMain graft.ScaleUp [factor] [outDir]`.
+  *
+  * Replication semantics (chosen so every headline query does genuinely
+  * more work in the same key/bin domains rather than filtering the extra
+  * rows away):
+  *  - events: event_id offset per copy; ts jittered +i microseconds so the
+  *    day/value bins and per-user series keep their ranges but interpolation
+  *    knots stay distinct; user_id kept, so windows deepen 10x.
+  *  - documents: doc_id offset per copy; copies carry a " repI" suffix, so
+  *    each original doc becomes a 10-way NEAR-dup cluster (a few trailing
+  *    shingles differ) — LSH, Jaccard verification, and cluster resolution
+  *    all scale with the data instead of short-circuiting on exact hashes.
+  */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val copies = spark.range(factor).select(col("id").cast("int").as("__rep"))
+
+    // events: ts arrives as bigint ns (nanosAsLong); written back as plain
+    // bigint, which Common.events consumes identically (ts div 1000)
+    val ev = graft.queries.Common.table(spark, srcDir, "events")
+    ev.crossJoin(broadcast(copies))
+      .select(
+        (col("event_id") + col("__rep") * lit(1000000000L)).as("event_id"),
+        (col("ts") + col("__rep").cast("long") * lit(1000L)).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val docs = graft.queries.Common.table(spark, srcDir, "documents")
+    docs.crossJoin(broadcast(copies))
+      .select(
+        (col("doc_id") + col("__rep") * lit(10000000L)).as("doc_id"),
+        when(col("__rep") === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" rep"), col("__rep"))).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + when(col("__rep") === 0, 0).otherwise(5)).as("n_chars"))
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    println(s"wrote ${factor}x events+documents from $srcDir to $outDir")
+    spark.stop()
+  }
+}
