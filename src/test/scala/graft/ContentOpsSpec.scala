@@ -89,6 +89,40 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.connectedComponents(empty, maxIter = 5).count() == 0)
   }
 
+  test("connected components match a union-find oracle on 20 random graphs") {
+    // seeded-random property lock on the accumulator-convergence rewrite:
+    // chains, stars, cliques, and disconnected mixes of up to 60 nodes,
+    // each checked against a driver-side union-find ground truth
+    val r = new scala.util.Random(4242)
+    (1 to 20).foreach { trial =>
+      val nNodes = 4 + r.nextInt(57)
+      val nodes = (0 until nNodes).map(_ => r.nextLong(1000000L)).distinct
+      val nEdges = 1 + r.nextInt(nodes.size * 2)
+      val edges = (0 until nEdges).map { _ =>
+        (nodes(r.nextInt(nodes.size)), nodes(r.nextInt(nodes.size)))
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val root = find(p); parent(x) = root; root }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonical truth: every paired node -> min reachable node id
+        val members = parent.keys.toSeq
+        val truth = members.groupBy(find).flatMap { case (_, ms) =>
+          val m = ms.min; ms.map(_ -> m)
+        }
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got == truth, s"trial $trial: ${edges.size} edges, got $got expected $truth")
+      }
+    }
+  }
+
   test("dedupCorpus keeps min-id per duplicate cluster plus singletons") {
     // cluster {1,2,3} (exact + near dups), singleton 4
     val kept = Dedup.dedupCorpus(docs, "doc_id", "text",
