@@ -166,6 +166,175 @@ object Similarity {
     probeIvf(buildIvfIndex(candidates, nCells, dim, idCol, vecCol),
       queries, k, nProbe, idCol, vecCol)
 
+  /** Product-quantization codebooks: `m` subspaces of `dsub` dims, `ksub`
+    * centroids each — m*ksub*dsub doubles total (e.g. 8x16x8 = 1 KB for
+    * 64-dim vectors), driver-held and entering probe plans as literals.
+    * Encoded vectors store m small ints instead of dim floats: 64x4 B ->
+    * 8 B per vector, the compression that keeps a 100 TB embedding corpus'
+    * index in cluster memory.
+    */
+  final case class PqCodebooks(m: Int, ksub: Int, dsub: Int,
+      centroids: Seq[Seq[Seq[Double]]])
+
+  /** The s-th subvector (1-indexed slice) of a vector column. */
+  private def subVec(v: org.apache.spark.sql.Column, s: Int, dsub: Int) =
+    slice(v, s * dsub + 1, dsub)
+
+  /** Windowed sequential dot: folds `c` against the n-length window of
+    * `v` starting at 1-based offset `off`+1, via element_at lookups over
+    * a constant index sequence (Catalyst folds it to one literal array).
+    * Same left-to-right accumulation order as [[Vec.dot]], but zero
+    * per-evaluation allocation — CRITICAL: `v` must be a bound attribute
+    * (or constant), never a slice/transform expression, because
+    * element_at re-evaluates its array argument in full on every lookup.
+    */
+  private def dotOff(v: org.apache.spark.sql.Column,
+      off: org.apache.spark.sql.Column,
+      c: org.apache.spark.sql.Column, n: Int) =
+    aggregate(sequence(lit(1), lit(n)), lit(0.0),
+      (acc, j) => acc + element_at(v, j + off) * element_at(c, j))
+
+  /** Nearest centroid of the subspace whose window starts at `off` (0-based
+    * element offset into the full vector attribute `v`): argmin ||x-c||^2
+    * = argmax (x.c - ||c||^2/2). The centroid matrix enters the plan as
+    * ONE literal array column looped over with `transform` at runtime, so
+    * the expression tree is O(1) in ksub — an unrolled per-centroid form
+    * blows past the JVM method-size codegen limit at ksub=256 and falls
+    * back to ~100x slower interpreted eval. Single pass: argmax via
+    * array_max over (score, cell) structs.
+    */
+  private def nearestSubCell(v: org.apache.spark.sql.Column,
+      off: org.apache.spark.sql.Column, cents: Seq[Seq[Double]]) = {
+    val dsub = cents.head.size
+    val centsLit = typedlit(cents.map(_.toArray).toArray)
+    val halvesLit = typedlit(cents.map(c => c.map(x => x * x).sum / 2.0).toArray)
+    array_max(transform(sequence(lit(0), lit(cents.size - 1)), i =>
+      struct((dotOff(v, off, element_at(centsLit, i + 1), dsub) -
+        element_at(halvesLit, i + 1)).as("d"), i.as("cell"))))
+      .getField("cell")
+  }
+
+  /** Train PQ codebooks: deterministic seed directions per subspace
+    * refined by `iters` distributed Lloyd iterations (same recipe as
+    * [[buildIvfIndex]], per subspace). One pass over the data per
+    * iteration trains ALL subspaces — the explode is over the tiny
+    * (subspace, dim) grid, not the corpus — and the only collect is the
+    * m x ksub x dsub centroid tensor (e.g. 8x256x8 = 16k doubles).
+    */
+  def trainPq(candidates: DataFrame, m: Int, ksub: Int, dim: Int,
+      vecCol: String = "embedding", iters: Int = 3): PqCodebooks = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val dsub = dim / m
+    var cents = (0 until m).map(s =>
+      Vec.planes(ksub, dsub + 1).map(_.drop(1)).map(p =>
+        p.map(x => x * (s + 1) / m.toDouble))) // distinct seeds per subspace
+    val c0 = candidates.select(Vec.asDouble(col(vecCol)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 0 until iters) {
+      // one row per (vector, subspace): assign, then mean per (s, cell, pos)
+      val assigned = c0.select(explode(array((0 until m).map { s =>
+        struct(lit(s).as("s"), subVec(col("v"), s, dsub).as("sv"),
+          nearestSubCell(col("v"), lit(s * dsub), cents(s)).as("cell"))
+      }: _*)).as("a")).select(col("a.s"), col("a.sv"), col("a.cell"))
+      val means = assigned
+        .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("s", "cell", "d").agg(avg("x").as("mu"))
+        .groupBy("s", "cell")
+        .agg(sort_array(collect_list(struct(col("d"), col("mu")))).as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(1)).toSeq)
+        .toMap
+      cents = (0 until m).map(s => (0 until ksub).map(c =>
+        means.getOrElse((s, c), cents(s)(c))))
+    }
+    c0.unpersist()
+    PqCodebooks(m, ksub, dsub, cents)
+  }
+
+  /** Encode vectors to PQ codes: array of m centroid indices. Two-step
+    * select so the double-cast vector is a bound attribute inside the
+    * per-subspace argmax (CollapseProject keeps non-cheap multi-referenced
+    * expressions materialized, so the cast runs once per row, not once per
+    * element lookup).
+    */
+  def pqEncode(df: DataFrame, cb: PqCodebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    df.select(col(idCol).as("vec_id"), Vec.asDouble(col(vecCol)).as("__v"))
+      .select(col("vec_id"),
+        array((0 until cb.m).map(s =>
+          nearestSubCell(col("__v"), lit(s * cb.dsub), cb.centroids(s))): _*)
+          .as("code"))
+
+  /** PQ top-k by asymmetric distance computation (ADC): each query builds
+    * its m x ksub dot-product lookup table ONCE (against the exact query
+    * vector), then every candidate scores with m array lookups instead of
+    * a dim-length dot — the scan cost that makes compressed-domain search
+    * linear in codes, not floats. Approximate by construction; compose
+    * with an exact rerank of the shortlist ([[pqTopKRerank]]) for the
+    * production shape.
+    */
+  def pqTopK(queries: DataFrame, codes: DataFrame, k: Int, cb: PqCodebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // flat (s * ksub + c) -> centroid literal matrix, looped at runtime:
+    // keeps the table-build expression O(1) in m*ksub (codegen-safe)
+    val flat = typedlit(
+      (0 until cb.m).flatMap(s => cb.centroids(s)).map(_.toArray).toArray)
+    val tbl = transform(sequence(lit(0), lit(cb.m * cb.ksub - 1)), i => {
+      val s = floor(i.cast("double") / cb.ksub).cast("int")
+      dotOff(col("__qv"), s * cb.dsub, element_at(flat, i + 1), cb.dsub)
+    })
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), Vec.asDouble(col(vecCol)).as("__qv"))
+      .select(col("q_id"), tbl.as("tbl")))
+    val approx = (0 until cb.m).map(s =>
+      element_at(col("tbl"),
+        (lit(s * cb.ksub) + element_at(col("code"), s + 1) + 1).cast("int")))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    codes.crossJoin(q)
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_dot", approx)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "approx_dot")
+  }
+
+  /** PQ shortlist + exact rerank: ADC narrows the corpus to `shortlist`
+    * candidates per query, then the exact cosine runs only on those —
+    * compressed-domain scan over everything, float reads for a few dozen
+    * rows. Output matches [[bruteForceTopK]]'s schema.
+    */
+  def pqTopKRerank(queries: DataFrame, candidates: DataFrame, k: Int,
+      cb: PqCodebooks, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    pqTopKRerankCodes(queries, pqEncode(candidates, cb, idCol, vecCol),
+      candidates, k, cb, shortlist, idCol, vecCol)
+
+  /** [[pqTopKRerank]] against pre-encoded (persisted) codes — the
+    * build-once/probe-many shape: encode the corpus one time, serve every
+    * query batch from the compact codes, touch float vectors only for the
+    * shortlist rows. This is the variant a long-lived index uses.
+    */
+  def pqTopKRerankCodes(queries: DataFrame, codes: DataFrame,
+      candidates: DataFrame, k: Int, cb: PqCodebooks, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val short = pqTopK(queries, codes, shortlist, cb, idCol, vecCol)
+      .select(col("q_id"), col("vec_id"))
+    val c = candidates.select(col(idCol).as("vec_id"),
+      Vec.asDouble(col(vecCol)).as("c_vec"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      Vec.asDouble(col(vecCol)).as("q_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    short.join(c, "vec_id").join(q, "q_id")
+      .withColumn("cosine", Vec.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "cosine")
+  }
+
   /** Embedding near-dup: top-1 most-similar pair per group (or pairs above
     * a cosine threshold when one exists) within a blocking key — the
     * all-pairs search is bounded per block.

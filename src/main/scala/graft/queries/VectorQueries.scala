@@ -57,6 +57,21 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // PQ exact: an ADC shortlist spanning the whole corpus + exact rerank
+    // is mathematically identical to brute force (every candidate reaches
+    // the exact-cosine stage; ADC order is irrelevant to the final top-k),
+    // so the q55 brute-force SQL oracle-checks the entire PQ path:
+    // train -> encode -> ADC table -> compressed scan -> rerank.
+    "q56d_ann_pq_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cb = Similarity.trainPq(e, m = 8, ksub = 16, dim = DIM)
+      Similarity.pqTopKRerank(e.where(col("vec_id") < 8), e, 5, cb,
+        shortlist = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -119,6 +134,18 @@ object VectorQueries {
       s"""SELECT ${VecSql.lshBucket("v", Vec.planes(PLANES, DIM))} AS bucket, count(*) AS n
           FROM (SELECT $vSql AS v FROM embeddings)
           GROUP BY 1 ORDER BY bucket""",
+
+    "q56d_ann_pq_exact" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
+          c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
+          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                     FROM c, q WHERE vec_id <> q_id),
+          ranked AS (SELECT q_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+            ${sqlFp("cosine", 6)} AS cos_micro
+          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "q57_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, label, $vSql AS v FROM embeddings),

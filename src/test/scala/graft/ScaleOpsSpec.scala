@@ -65,6 +65,34 @@ class IvfSpec extends AnyFunSuite {
     assert(probeAll == brute, "probe-all IVF must reproduce brute force bit-for-bit")
   }
 
+  test("PQ-ADC recalls neighbors; exact rerank of the shortlist recovers most of top-k") {
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 8)
+    val cb = Similarity.trainPq(e, m = 8, ksub = 16, dim = 64)
+    assert(cb.centroids.size == 8 && cb.centroids.forall(_.size == 16) &&
+      cb.centroids.forall(_.forall(_.size == 8)))
+    // codes are m small ints — the 64x4B -> 8-slot compression claim
+    val codes = Similarity.pqEncode(e, cb)
+    val sample = codes.limit(5).collect()
+    assert(sample.forall(_.getSeq[Int](1).size == 8))
+    assert(codes.count() == e.count())
+
+    val brute = Similarity.bruteForceTopK(q, e, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = Similarity.pqTopK(q, codes, 10, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = (brute intersect adc).size.toDouble / brute.size
+    assert(adcRecall > 0.2, s"raw ADC recall $adcRecall too low")
+
+    val rerank = Similarity.pqTopKRerank(q, e, 10, cb, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rerankRecall = (brute intersect rerank).size.toDouble / brute.size
+    assert(rerankRecall >= adcRecall,
+      s"rerank ($rerankRecall) must not lose recall vs raw ADC ($adcRecall)")
+    assert(rerankRecall > 0.4, s"rerank recall $rerankRecall too low")
+    info(f"ADC recall@10 = $adcRecall%.2f, rerank(50) recall@10 = $rerankRecall%.2f")
+  }
+
   test("saved/loaded IVF index probes identically and prunes partitions") {
     val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 4)
