@@ -62,6 +62,7 @@ object PlanAudit {
 
     val violations = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val nBefore = violations.size
       try {
         val df = fn(spark, dir)
         val formatted = org.apache.spark.sql.execution.ExplainMode
@@ -72,10 +73,11 @@ object PlanAudit {
         violations ++= unprunedScans(full, tables)
           .filterNot { case (t, _) => fullReadAllowed((name, t)) }
           .map { case (t, n) => s"$name: unpruned scan of $t ($n/${tables(t)} cols)" }
-        println(s"audit $name: ok")
       } catch { case e: Throwable =>
         violations += s"$name: audit failed to plan (${e.getMessage})"
       }
+      if (violations.size == nBefore) println(s"audit $name: ok")
+      else violations.drop(nBefore).foreach(v => println(s"audit $name: VIOLATION — $v"))
     }
     headline.foreach(detail(spark, dir, _))
     spark.stop()
@@ -99,13 +101,35 @@ object PlanAudit {
       if (l.startsWith("Location:"))
         loc = tables.keys.find(t => l.contains(s"$t.parquet"))
       else if (l.startsWith("ReadSchema:")) {
-        val nCols = l.count(_ == ':') - 1 // struct<a:int,b:string,...>
+        val nCols = topLevelFieldCount(l)
         for (t <- loc if tables(t) >= wideMin && nCols >= tables(t))
           out += ((t, nCols))
         loc = None
       }
     }
     out.toSeq
+  }
+
+  /** Top-level field count of a `ReadSchema: struct<...>` line: commas at
+    * angle-bracket depth 0 inside the outer struct, +1. Counting `:` would
+    * overcount as soon as a table gains a nested struct column (each nested
+    * field adds a colon).
+    */
+  private[graft] def topLevelFieldCount(readSchemaLine: String): Int = {
+    val start = readSchemaLine.indexOf("struct<")
+    if (start < 0) return 0
+    val body = readSchemaLine.substring(start + "struct<".length)
+      .reverse.dropWhile(_ != '>').drop(1).reverse // strip trailing '>' of the outer struct
+    if (body.trim.isEmpty) return 0
+    var depth = 0
+    var n = 1
+    body.foreach {
+      case '<' => depth += 1
+      case '>' => depth -= 1
+      case ',' if depth == 0 => n += 1
+      case _ =>
+    }
+    n
   }
 
   /** Detailed scan/codegen/broadcast summary for one query (executes the

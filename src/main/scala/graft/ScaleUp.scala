@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * Replication semantics (chosen so every headline query does genuinely
   * more work in the same key/bin domains rather than filtering the extra
   * rows away):
-  *  - events: event_id offset per copy; ts jittered +i microseconds so the
-  *    day/value bins and per-user series keep their ranges but interpolation
-  *    knots stay distinct; user_id kept, so windows deepen 10x.
+  *  - events: event_id offset per copy; ts jittered +i NANOSECONDS — below
+  *    the source's microsecond granularity, so replica knots can never
+  *    collide with a genuine neighboring event — keeping day/value bins and
+  *    per-user series ranges while interpolation knots stay distinct;
+  *    user_id kept, so windows deepen 10x.
   *  - documents: doc_id offset per copy; copies carry a " repI" suffix, so
   *    each original doc becomes a 10-way NEAR-dup cluster (a few trailing
   *    shingles differ) — LSH, Jaccard verification, and cluster resolution
@@ -20,6 +22,9 @@ import org.apache.spark.sql.functions._
 object ScaleUp {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
+    // the ts jitter (+rep ns) is collision-free only while it stays below
+    // the source's 1000 ns granularity
+    require(factor <= 1000, s"factor $factor would push the ns jitter past 1us")
     val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = org.apache.spark.sql.SparkSession.builder()
@@ -36,7 +41,9 @@ object ScaleUp {
     ev.crossJoin(broadcast(copies))
       .select(
         (col("event_id") + col("__rep") * lit(1000000000L)).as("event_id"),
-        (col("ts") + col("__rep").cast("long") * lit(1000L)).as("ts"),
+        // +rep ns: source ts values are microsecond-granular (multiples of
+        // 1000 ns), so a sub-1000 jitter is collision-free by construction
+        (col("ts") + col("__rep").cast("long")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
@@ -48,7 +55,10 @@ object ScaleUp {
         when(col("__rep") === 0, col("text"))
           .otherwise(concat(col("text"), lit(" rep"), col("__rep"))).as("text"),
         col("lang"), col("source"),
-        (col("n_chars") + when(col("__rep") === 0, 0).otherwise(5)).as("n_chars"))
+        // suffix length computed from __rep itself, not a hardcoded 5 —
+        // " rep10" is 6 chars once factor > 10
+        (col("n_chars") + when(col("__rep") === 0, lit(0))
+          .otherwise(length(concat(lit(" rep"), col("__rep"))))).as("n_chars"))
       .repartition(64)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 

@@ -133,13 +133,22 @@ object CorpusBench {
     // pipeline ran
     val bucketStats = if (mode == "boiler") {
       val cap = Dedup.defaultMaxBucket.get
-      val sizes = Dedup.bands(
+      val banded = Dedup.bands(
           Dedup.signatures(docs, "doc_id", "text", 16), "doc_id", 16, 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val worst = banded.groupBy("band", "bsig").count()
+        .agg(max("count")).first().getLong(0)
+      // the REAL post-cap state: run the bands through the same pruning
+      // Dedup.candidates applies, then measure what survived — a broken
+      // window filter would surface here, where the old max(when(count<=cap))
+      // formulation was true by construction
+      val survivedRow = Dedup.pruneBuckets(banded, Dedup.defaultMaxBucket)
         .groupBy("band", "bsig").count()
-        .agg(max("count").as("worst"),
-          max(when(col("count") <= cap, col("count"))).as("worstCapped"))
-        .first()
-      val (worst, worstCapped) = (sizes.getLong(0), sizes.getLong(1))
+        .agg(max("count")).first()
+      // null = every bucket exceeded the cap and pruning dropped them all —
+      // a valid (if extreme) outcome, reported as 0 survivors
+      val worstCapped = if (survivedRow.isNullAt(0)) 0L else survivedRow.getLong(0)
+      banded.unpersist()
       if (worstCapped > cap) {
         System.err.println(s"CAP FAILED: post-cap bucket $worstCapped > $cap")
         spark.stop(); sys.exit(1)

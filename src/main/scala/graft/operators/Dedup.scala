@@ -138,7 +138,20 @@ object Dedup {
     */
   def candidates(bandDf: DataFrame, idCol: String,
       maxBucket: Option[Int] = None): DataFrame = {
-    val pruned = maxBucket match {
+    val pruned = pruneBuckets(bandDf, maxBucket)
+    val a = pruned.select(col("band"), col("bsig"), col(idCol).as("doc_a"))
+    val b = pruned.select(col("band"), col("bsig"), col(idCol).as("doc_b"))
+    a.join(b, Seq("band", "bsig"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** The bucket-cap pruning [[candidates]] applies, exposed so diagnostics
+    * (CorpusBench boiler mode) measure the REAL post-prune bucket state on
+    * the same code path the join runs, not a reimplementation of it.
+    */
+  def pruneBuckets(bandDf: DataFrame, maxBucket: Option[Int]): DataFrame =
+    maxBucket match {
       case None => bandDf
       case Some(cap) =>
         val w = org.apache.spark.sql.expressions.Window
@@ -146,12 +159,6 @@ object Dedup {
         bandDf.withColumn("__bn", count(lit(1)).over(w))
           .where(col("__bn") <= cap).drop("__bn")
     }
-    val a = pruned.select(col("band"), col("bsig"), col(idCol).as("doc_a"))
-    val b = pruned.select(col("band"), col("bsig"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "bsig"))
-      .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
 
   /** Exact shingle-set Jaccard on candidate pairs (native set intersection,
     * no per-element lambdas).
@@ -252,10 +259,14 @@ object Dedup {
     val spark = pairs.sparkSession
     val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
     // evaluated once per label-table row inside the checkpoint job; off the
-    // edge join's hot path, so the non-codegen UDF costs nothing measurable
+    // edge join's hot path, so the non-codegen UDF costs nothing measurable.
+    // Nondeterministic: the accumulator side effect must be evaluated
+    // exactly where it appears — a deterministic marking would entitle the
+    // optimizer to prune/collapse/duplicate it, corrupting the convergence
+    // count under a future plan-shape change.
     val markChanged = udf { changed: Boolean =>
       if (changed) changedAcc.add(1L); changed
-    }
+    }.asNondeterministic()
     var labels = sym.groupBy("x").agg(min("y").as("__mn"))
       .select(col("x"), least(col("x"), col("__mn")).as("p"))
       .localCheckpoint()

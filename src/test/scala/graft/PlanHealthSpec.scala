@@ -83,6 +83,23 @@ class PlanHealthSpec extends AnyFunSuite {
       "narrow dims are exempt from the wide-read rule")
   }
 
+  test("ReadSchema field counter handles nested struct columns") {
+    // colon-counting overcounts nested fields (ADVICE r7); the counter must
+    // count top-level fields only, so a 2-of-5 pruned read with a nested
+    // struct column is NOT flagged as unpruned
+    assert(PlanAudit.topLevelFieldCount(
+      "ReadSchema: struct<doc_id:bigint,meta:struct<w:int,h:int,codec:string>>") == 2)
+    assert(PlanAudit.topLevelFieldCount(
+      "ReadSchema: struct<a:int,b:map<string,struct<x:int,y:int>>,c:array<struct<z:int>>>") == 3)
+    assert(PlanAudit.topLevelFieldCount("ReadSchema: struct<>") == 0)
+    val nested =
+      """Location: InMemoryFileIndex [file:/x/documents.parquet]
+        |ReadSchema: struct<doc_id:bigint,meta:struct<w:int,h:int,codec:string>>
+        |""".stripMargin
+    assert(PlanAudit.unprunedScans(nested, Map("documents" -> 5)).isEmpty,
+      "pruned read with a nested struct column must not be flagged")
+  }
+
   test("unpruned-scan detector catches q48's whole-document read on the real plan") {
     // q48 returns the surviving full docs, so its documents read is
     // legitimately unpruned AND the detector must see it (it is allowlisted
