@@ -335,17 +335,77 @@ object Similarity {
       .select("q_id", "vec_id", "rank", "cosine")
   }
 
-  /** Embedding near-dup: top-1 most-similar pair per group (or pairs above
-    * a cosine threshold when one exists) within a blocking key — the
-    * all-pairs search is bounded per block.
+  /** Default per-block cap for [[nearDupPairs]] — the analog of
+    * [[Dedup.defaultMaxBucket]]: the within-block join is all-pairs, so one
+    * skewed blocking key (a dominant label — the embedding-space twin of the
+    * LSH boilerplate bucket) reverts the operator to O(block^2) without a
+    * valve. 1000 bounds any surviving bucket at ~500k pairs. Pass
+    * `maxBlock = None` to opt out.
+    */
+  val defaultMaxBlock: Option[Int] = Some(1000)
+
+  /** How many sign-LSH planes [[nearDupPairs]] can split an oversized block
+    * across: 2^12 = 4096 sub-buckets before the residual drop engages.
+    */
+  private val maxSubPlanes = 12
+
+  /** Dim-agnostic sign-LSH bucket: bit h = sign of the vector's projection
+    * onto a deterministic xxhash64-derived hyperplane, computed by HOF
+    * (`zip_with` x position + `aggregate`) so no static `dim` is needed.
+    * Interpreted lambdas make this ~10x slower per row than the codegen'd
+    * [[Vec.lshBucket]]; it is only ever evaluated on rows of OVERSIZED
+    * blocks (guarded by a lazy `when`), where the alternative is a
+    * quadratic join.
+    */
+  private def signBucketDyn(v: org.apache.spark.sql.Column, nPlanes: Int) =
+    (0 until nPlanes).map { h =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) =>
+          x * ((pmod(xxhash64(lit(h), i), lit(2001)) - 1000).cast("double") / 1000.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0.0, lit(1L << h)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Embedding near-dup: top-`topPerGroup` most-similar pairs per blocking
+    * key. The within-block search is all-pairs, so `maxBlock` is the scale
+    * safety valve: blocks over the cap are split into sign-LSH sub-buckets
+    * (near-identical vectors keep colliding, so true near-dups survive the
+    * split), and any sub-bucket STILL over the cap after 2^12 splits — only
+    * possible when thousands of vectors are near-identical, i.e. every pair
+    * is a trivial dup — is dropped, the same judgment call as
+    * [[Dedup.defaultMaxBucket]]. Blocks at or under the cap join exactly as
+    * before, so capped and uncapped results agree on non-degenerate data.
     */
   def nearDupPairs(df: DataFrame, groupCol: String, topPerGroup: Int = 1,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = df.select(col(groupCol).as("grp"), col(idCol).as("id_a"),
-      Vec.asDouble(col(vecCol)).as("va"))
-    val b = df.select(col(groupCol).as("grp"), col(idCol).as("id_b"),
-      Vec.asDouble(col(vecCol)).as("vb"))
-    val pairs = a.join(b, "grp").where(col("id_a") < col("id_b"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBlock: Option[Int] = defaultMaxBlock): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      Vec.asDouble(col(vecCol)).as("v"))
+    val keyed = maxBlock match {
+      case None => base.withColumn("sub", lit(0L))
+      case Some(cap) =>
+        val wg = Window.partitionBy(col("grp"))
+        // enough planes to split this block to <= cap expected per bucket,
+        // bounded by maxSubPlanes
+        val bits = least(lit(maxSubPlanes),
+          ceil(log(2.0, col("__n").cast("double") / cap)).cast("int"))
+        val mask = pow(lit(2.0), bits.cast("double")).cast("long") - 1
+        val sub = base.withColumn("__n", count(lit(1)).over(wg))
+          .withColumn("sub",
+            when(col("__n") <= cap, lit(0L))
+              .otherwise(signBucketDyn(col("v"), maxSubPlanes).bitwiseAND(mask)))
+          .drop("__n")
+        // hard guarantee: a sub-bucket the planes could not split (thousands
+        // of near-identical vectors) is dropped rather than joined
+        val ws = Window.partitionBy(col("grp"), col("sub"))
+        sub.withColumn("__sn", count(lit(1)).over(ws))
+          .where(col("__sn") <= cap).drop("__sn")
+    }
+    val a = keyed.select(col("grp"), col("sub"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = keyed.select(col("grp"), col("sub"), col("id").as("id_b"),
+      col("v").as("vb"))
+    val pairs = a.join(b, Seq("grp", "sub")).where(col("id_a") < col("id_b"))
       .withColumn("cosine", Vec.cosine(col("va"), col("vb")))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))

@@ -258,6 +258,44 @@ class SimilaritySpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(got.toSeq == Seq((0L, 1L))) // label 1 has a single vec -> no pair
   }
+
+  test("nearDupPairs maxBlock splits an oversized block and keeps near-dups") {
+    // one degenerate block (label 0, 40 spread vectors + a planted
+    // near-identical pair) over a cap of 10, plus one healthy block: the
+    // capped run must complete via sub-bucketing (no 40x40 join), still
+    // surface the planted near-dup (sign-LSH keeps near-identicals
+    // together), and leave the under-cap block's result identical
+    def v(seed: Long): Array[Float] = Array.tabulate(8) { d =>
+      (((seed * 2654435761L + d * 40503L) % 1999).toFloat / 1000f) - 1f
+    }
+    val spread = (0L until 40L).map(i => (i, v(i), 0))
+    val planted = Seq(
+      (100L, v(7).map(x => x * 1.001f), 0), // near-identical to vec 7
+      (200L, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f), 1),
+      (201L, Array(0.99f, 0.14f, 0f, 0f, 0f, 0f, 0f, 0f), 1))
+    val df = (spread ++ planted).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .nearDupPairs(df, "label", topPerGroup = 1, maxBlock = Some(10))
+      .select("grp", "id_a", "id_b").as[(Int, Long, Long)].collect().toSet
+    assert(got.contains((0, 7L, 100L)), s"planted near-dup lost: $got")
+    assert(got.contains((1, 200L, 201L)), s"under-cap block changed: $got")
+  }
+
+  test("nearDupPairs drops a sub-bucket the planes cannot split") {
+    // 30 IDENTICAL vectors in one block with cap 10: every sub-bucket
+    // assignment collides, so the residual drop must remove the block
+    // entirely (the Dedup.defaultMaxBucket judgment call) while a healthy
+    // block still returns its pair
+    val same = (0L until 30L).map(i => (i, Array(0.5f, -0.25f, 0.125f), 0))
+    val healthy = Seq(
+      (100L, Array(1f, 0f, 0f), 1),
+      (101L, Array(0.9f, 0.1f, 0f), 1))
+    val df = (same ++ healthy).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .nearDupPairs(df, "label", topPerGroup = 1, maxBlock = Some(10))
+      .select("grp", "id_a", "id_b").as[(Int, Long, Long)].collect().toSeq
+    assert(got == Seq((1, 100L, 101L)), s"expected only the healthy pair, got $got")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
