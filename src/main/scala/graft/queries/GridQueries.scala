@@ -91,6 +91,15 @@ object GridQueries {
         .orderBy("win_start_us", "event_type")
     }),
 
+    // Gap-based sessionization (Structured Streaming surface, SURVEY.md
+    // §7.5/§2.10): the batch twin of StreamingOps.gapSessionsStream — a new
+    // session when >12h passes between a user's events. StreamingSpec pins
+    // the flatMapGroupsWithState form to this oracle-checked one.
+    "q65_sessionize" -> ((s, dir) => {
+      graft.streaming.StreamingOps.gapSessions(events(s, dir), 43200000000L)
+        .orderBy("user_id", "session_id")
+    }),
+
     // verify_depth_bias computational core (process_adcp.py:1859-1950) on an
     // events-derived grid: travel direction from the across-profile latitude
     // gradient, 20 depth slabs, per-(var, slab, direction) 99-bin density
@@ -203,6 +212,23 @@ object GridQueries {
            event_type, count(*) AS n,
            CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+
+    "q65_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, epoch_us(ts) AS tus, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 43200000000
+                  THEN 1 ELSE 0 END AS f
+           FROM events),
+         s AS (
+           SELECT user_id, tus, value,
+             CAST(sum(f) OVER (PARTITION BY user_id ORDER BY tus
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+           FROM o)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(tus) AS t_start_us, max(tus) AS t_end_us,
+           CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
 
     "q10_interp_join" ->
       s"""${interpSql("view", "click", "value")}

@@ -117,6 +117,95 @@ object StreamingOps {
       }
   }
 
+  final case class SessionEvent(user_id: Long, ts_us: Long, value: Double,
+      event_time: java.sql.Timestamp)
+  final case class GapSession(user_id: Long, n_events: Long, t_start_us: Long,
+      t_end_us: Long, sum_cents: Long)
+  /** Open-session accumulator (public for the state encoder). */
+  final case class GapSessionState(n: Long, tStart: Long, tEnd: Long,
+      cents: Long)
+
+  /** Batch gap-based sessionization over events: a new session starts when
+    * the time since the user's previous event exceeds `gapUs`. Session ids
+    * are 0-based per user in time order (lag -> gap flag -> running sum —
+    * one window pass, partitioned by user, no shuffle beyond the groupBy
+    * that shares its key). This is the batch twin of [[gapSessionsStream]];
+    * the driver oracle (q65) checks this form, and the StreamingSpec
+    * equivalence run pins the streaming form to it.
+    */
+  def gapSessions(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts_us"))
+    events
+      .withColumn("__new", when(
+        col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("t_start_us"),
+        max(col("ts_us")).as("t_end_us"),
+        sum(round(col("value") * 100)).cast("long").as("sum_cents"))
+  }
+
+  /** Streaming gap-based sessionization: flatMapGroupsWithState with an
+    * event-time timeout. Each micro-batch's rows for a user are sorted and
+    * folded into the open-session state; a row past the gap closes the open
+    * session (emitted immediately) and opens a new one; the final open
+    * session closes when the watermark passes its last event plus the gap —
+    * state is one small struct per ACTIVE user, closed sessions leave state
+    * at once. Per-row cents use java BigDecimal HALF_UP on value*100 — the
+    * exact arithmetic of Spark's `round`, so a session's sum_cents is
+    * bit-equal to the batch twin's.
+    *
+    * Within-watermark reordering is handled by the per-batch sort; a row
+    * arriving AFTER the watermark already passed its session's close is
+    * dropped by the engine before the handler sees it — the standard
+    * late-data contract. Input must already carry a watermark on
+    * `event_time`.
+    */
+  def gapSessionsStream(events: Dataset[SessionEvent], gapUs: Long):
+      Dataset[GapSession] = {
+    import events.sparkSession.implicits._
+    def cents(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionEvent],
+            state: GroupState[GapSessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(GapSession(user, s.n, s.tStart, s.tEnd, s.cents))
+          } else {
+            val sorted = rows.toArray.sortBy(_.ts_us)
+            val closed = scala.collection.mutable.ArrayBuffer[GapSession]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur = cur match {
+                case Some(s) if e.ts_us - s.tEnd <= gapUs =>
+                  Some(GapSessionState(s.n + 1, s.tStart,
+                    math.max(s.tEnd, e.ts_us), s.cents + cents(e.value)))
+                case Some(s) =>
+                  closed += GapSession(user, s.n, s.tStart, s.tEnd, s.cents)
+                  Some(GapSessionState(1L, e.ts_us, e.ts_us, cents(e.value)))
+                case None =>
+                  Some(GapSessionState(1L, e.ts_us, e.ts_us, cents(e.value)))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close once the watermark passes the session's last event + gap
+              state.setTimeoutTimestamp(s.tEnd / 1000L + gapUs / 1000L)
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Streaming exact dedup for a continuously-ingested document stream:
     * content-hash each row, then `dropDuplicatesWithinWatermark` keeps the
     * first arrival of each hash and expires dedup state once the watermark

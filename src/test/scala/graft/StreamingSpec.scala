@@ -112,6 +112,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got(1.0) == ((2L, 7.0, base + 2000000L, base + 3000000L)))
   }
 
+  test("streaming gap sessions equal the batch q65 sessionizer on closed sessions") {
+    // the q65 equivalence claim: every session the watermark has closed must
+    // be bit-identical to the batch (oracle-checked) gap sessionizer's row,
+    // and exactly the sessions whose close time the final watermark passed
+    // must have been emitted
+    val sf = "/root/testdata/sf0.001"
+    val gapUs = 43200000000L // 12 h, the q65 constant
+    val wmDelayUs = 10L * 60 * 1000000 // 10 minutes
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-stream-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val streamed = StreamingOps.runToMemory(spark, dir, "sessions_test",
+      df => {
+        import spark.implicits._
+        StreamingOps.gapSessionsStream(
+          StreamingOps.withEventTime(df)
+            .withWatermark("event_time", "10 minutes")
+            .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+              col("value"), col("event_time"))
+            .as[StreamingOps.SessionEvent],
+          gapUs).toDF()
+      }, OutputMode.Append())
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "n_events", "t_start_us", "t_end_us", "sum_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = StreamingOps.gapSessions(
+      graft.queries.Common.events(spark, sf), gapUs)
+    // the engine's final watermark: max event time minus the delay; exactly
+    // the sessions closed before it (last event + gap < watermark) emit
+    val maxTs = graft.queries.Common.events(spark, sf)
+      .agg(max(col("ts_us"))).head().getLong(0)
+    val expectClosed = key(batch.where(
+      col("t_end_us") + gapUs < maxTs - wmDelayUs))
+    val got = key(streamed)
+    assert(expectClosed.nonEmpty && got == expectClosed,
+      s"streaming/batch session divergence: ${(got diff expectClosed).size} extra, " +
+        s"${(expectClosed diff got).size} missing of ${expectClosed.size}")
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val input = Seq(
       StreamingOps.SessionInput(1L, 1000L, 2.0),
