@@ -239,9 +239,20 @@ object Dedup {
     * can only overcount the accumulator, i.e. force a harmless extra round,
     * never a premature exit; at the fixpoint labels are constant across
     * every edge, i.e. the component minimum.
+    *
+    * Two-tier execution: the iterative loop's cost is round-FIXED (two
+    * checkpoint jobs per round regardless of data size — the round-7 floor
+    * at ~2s for a few-hundred-pair graph), so when the edge list is at most
+    * `collectThreshold` pairs it is collected — driver-bounded by
+    * construction, like the centroid matrices — and resolved by a
+    * path-halving union-find in O(pairs * alpha): one job instead of
+    * ~rounds x 2. Above the threshold (the 100 TB regime) the distributed
+    * loop runs unchanged. Both tiers produce the identical min-label
+    * component map; the property suite locks them against the same oracle.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+      bCol: String = "doc_b", maxIter: Int = 50,
+      collectThreshold: Long = 500000L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // the edge list is the BIG side of every round's join and the join key
     // is always y — persist it already hash-partitioned on y so the cached
@@ -257,6 +268,36 @@ object Dedup {
       .repartition(col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = pairs.sparkSession
+    // one cheap action either way: materializes the cache the loop would
+    // reuse, and tells us which tier to run (sym carries 2 rows per pair)
+    val nSymRows = sym.count()
+    if (nSymRows <= collectThreshold * 2) {
+      val edges = sym.select("x", "y").collect()
+      sym.unpersist()
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        if (!parent.contains(x)) parent(x) = x
+        while (parent(x) != x) {
+          val p = parent(x)
+          if (!parent.contains(p)) parent(p) = p
+          val g = parent(p)
+          parent(x) = g // path halving
+          x = g
+        }
+        x
+      }
+      edges.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        // always link the larger root under the smaller: every node's root
+        // chain is strictly decreasing, so the final root IS the component
+        // minimum — no relabel pass needed
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.map(k => (k, find(k)))
+        .toDF("node", "component")
+    }
     val changedAcc = spark.sparkContext.longAccumulator("cc_changed")
     // evaluated once per label-table row inside the checkpoint job; off the
     // edge join's hot path, so the non-codegen UDF costs nothing measurable.

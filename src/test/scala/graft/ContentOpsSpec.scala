@@ -75,18 +75,25 @@ class DedupSpec extends AnyFunSuite {
       (8L, 9L),
       (13L, 14L), (12L, 13L), (11L, 12L), (10L, 11L)
     ).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
     val expect = Map(
       1L -> 1L, 5L -> 1L, 2L -> 1L, 7L -> 1L,
       8L -> 8L, 9L -> 8L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L)
-    assert(got == expect, s"got $got")
+    // both tiers: the driver union-find (default threshold) and the
+    // distributed loop (threshold 0) must produce the identical map
+    val gotSmall = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(gotSmall == expect, s"driver tier: got $gotSmall")
+    val gotDist = Dedup.connectedComponents(edges, collectThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(gotDist == expect, s"distributed tier: got $gotDist")
   }
 
   test("connected components converge immediately on an empty edge list") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty, maxIter = 5).count() == 0)
+    assert(Dedup.connectedComponents(empty, maxIter = 5,
+      collectThreshold = 0L).count() == 0)
   }
 
   test("connected components match a union-find oracle on 20 random graphs") {
@@ -116,9 +123,14 @@ class DedupSpec extends AnyFunSuite {
         val truth = members.groupBy(find).flatMap { case (_, ms) =>
           val m = ms.min; ms.map(_ -> m)
         }
-        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        // alternate tiers across trials: odd trials force the distributed
+        // loop, even trials take the driver union-find path — both stay
+        // locked to the same oracle
+        val thr = if (trial % 2 == 1) 0L else 500000L
+        val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+            collectThreshold = thr)
           .as[(Long, Long)].collect().toMap
-        assert(got == truth, s"trial $trial: ${edges.size} edges, got $got expected $truth")
+        assert(got == truth, s"trial $trial (thr=$thr): ${edges.size} edges, got $got expected $truth")
       }
     }
   }
