@@ -20,36 +20,36 @@ import org.apache.spark.sql.functions._
   *    all scale with the data instead of short-circuiting on exact hashes.
   */
 object ScaleUp {
-  def main(args: Array[String]): Unit = {
-    val factor = if (args.nonEmpty) args(0).toInt else 10
+
+  private def copies(df: org.apache.spark.sql.DataFrame, factor: Int) = {
     // the ts jitter (+rep ns) is collision-free only while it stays below
     // the source's 1000 ns granularity
     require(factor <= 1000, s"factor $factor would push the ns jitter past 1us")
-    val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
-    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = org.apache.spark.sql.SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "64")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    df.sparkSession.range(factor).select(col("id").cast("int").as("__rep"))
+  }
 
-    val copies = spark.range(factor).select(col("id").cast("int").as("__rep"))
-
-    // events: ts arrives as bigint ns (nanosAsLong); written back as plain
-    // bigint, which Common.events consumes identically (ts div 1000)
-    val ev = graft.queries.Common.table(spark, srcDir, "events")
-    ev.crossJoin(broadcast(copies))
+  /** `factor` copies of the raw events table: offset event ids, +rep ns ts
+    * jitter (source ts values are microsecond-granular — multiples of
+    * 1000 ns — so a sub-1000 jitter is collision-free by construction and
+    * invisible to `ts div 1000` consumers: replicas land in the SAME bins
+    * and interpolation knots stay distinct).
+    */
+  def replicateEvents(ev: org.apache.spark.sql.DataFrame, factor: Int):
+      org.apache.spark.sql.DataFrame =
+    ev.crossJoin(broadcast(copies(ev, factor)))
       .select(
         (col("event_id") + col("__rep") * lit(1000000000L)).as("event_id"),
-        // +rep ns: source ts values are microsecond-granular (multiples of
-        // 1000 ns), so a sub-1000 jitter is collision-free by construction
         (col("ts") + col("__rep").cast("long")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
 
-    val docs = graft.queries.Common.table(spark, srcDir, "documents")
-    docs.crossJoin(broadcast(copies))
+  /** `factor` copies of documents: offset doc ids; each copy carries a
+    * " repI" suffix so every original becomes a factor-way NEAR-dup cluster
+    * (LSH/Jaccard/clustering scale with the data instead of
+    * short-circuiting on exact hashes).
+    */
+  def replicateDocs(docs: org.apache.spark.sql.DataFrame, factor: Int):
+      org.apache.spark.sql.DataFrame =
+    docs.crossJoin(broadcast(copies(docs, factor)))
       .select(
         (col("doc_id") + col("__rep") * lit(10000000L)).as("doc_id"),
         when(col("__rep") === 0, col("text"))
@@ -59,6 +59,24 @@ object ScaleUp {
         // " rep10" is 6 chars once factor > 10
         (col("n_chars") + when(col("__rep") === 0, lit(0))
           .otherwise(length(concat(lit(" rep"), col("__rep"))))).as("n_chars"))
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.nonEmpty) args(0).toInt else 10
+    val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "64")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // events: ts arrives as bigint ns (nanosAsLong); written back as plain
+    // bigint, which Common.events consumes identically (ts div 1000)
+    replicateEvents(graft.queries.Common.table(spark, srcDir, "events"), factor)
+      .repartition(64)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    replicateDocs(graft.queries.Common.table(spark, srcDir, "documents"), factor)
       .repartition(64)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 

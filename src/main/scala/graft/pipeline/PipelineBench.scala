@@ -50,13 +50,19 @@ object PipelineBench {
     def tag(df: org.apache.spark.sql.DataFrame, m: Int) =
       df.withColumn("mission", lit(m))
         .withColumn("time_ns", col("time_ns") + lit(m * 100000000000000L))
+    // multi mode tags time-shifted copies of ONE base frame: the fixture is
+    // deterministic, so per-mission regeneration would just retain 8
+    // identical driver-local row Seqs at once (at 600 profiles x 8 missions
+    // that alone OOMs a 24g driver); sharing the LocalRelation keeps one
     val (glider, adcpRaw) =
-      if (multi)
-        ((1 to nMissions).map(m => tag(Fixture.glider(spark, profiles), m))
-           .reduce(_.unionByName(_)).cache(),
-         (1 to nMissions).map(m => tag(Fixture.adcp(spark, profiles), m))
-           .reduce(_.unionByName(_)).cache())
-      else (Fixture.glider(spark, profiles).cache(),
+      if (multi) {
+        val g0 = Fixture.glider(spark, profiles)
+        val a0 = Fixture.adcp(spark, profiles)
+        ((1 to nMissions).map(m => tag(g0, m))
+           .reduce(_.unionByName(_)).repartition(32).cache(),
+         (1 to nMissions).map(m => tag(a0, m))
+           .reduce(_.unionByName(_)).repartition(32).cache())
+      } else (Fixture.glider(spark, profiles).cache(),
             Fixture.adcp(spark, profiles).cache())
     val nPings = adcpRaw.count(); glider.count() // materialize inputs first
 

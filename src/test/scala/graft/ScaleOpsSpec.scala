@@ -30,6 +30,50 @@ class SaltSpec extends AnyFunSuite {
   }
 }
 
+class ReplicationInvarianceSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  test("grid2d over ScaleUp's 10x events is count-scaled, mean-invariant vs sf0.1") {
+    // the property that would catch binning drift at scale boundaries: the
+    // +rep ns jitter must be invisible to `ts div 1000`, so every replica
+    // lands in its original's (xbin, ybin) cell — per-cell integerized sum
+    // and count scale EXACTLY by the factor, hence the mean is bit-invariant
+    val dir = "/root/testdata/sf0.1"
+    val T0us = 1704067200000000L
+    def cells(raw: org.apache.spark.sql.DataFrame): Map[(Long, Long), (Long, Long)] =
+      graft.core.Grid2d.grid2d(
+          raw.withColumn("ts_us", expr("ts div 1000"))
+            .withColumn("day",
+              (col("ts_us") - lit(T0us)).cast("double") / 8.64e10),
+          col("day"), 0.0, 1.0, 31,
+          col("value"), 0.0, 25.0, 20,
+          col("value"),
+          c => struct(sum((c * 1000).cast("long")).as("s"),
+            count(c).as("n")))
+        .collect().map { r =>
+          val v = r.getStruct(2)
+          (r.getLong(0), r.getLong(1)) -> ((v.getLong(0), v.getLong(1)))
+        }.toMap
+    val base = cells(graft.queries.Common.table(spark, dir, "events"))
+    val rep = cells(ScaleUp.replicateEvents(
+      graft.queries.Common.table(spark, dir, "events"), 10))
+    assert(rep.keySet == base.keySet,
+      s"replication changed the populated cell set: ${(rep.keySet diff base.keySet).take(5)}...")
+    base.foreach { case (cell, (s, n)) =>
+      assert(rep(cell) == ((s * 10, n * 10)),
+        s"cell $cell: base (sum=$s, n=$n), 10x ${rep(cell)} — expected exact 10x")
+    }
+  }
+
+  test("replicated interpolation knots stay distinct per user") {
+    // locks the jitter fix: (user_id, ts) must be unique after replication,
+    // or interpolation sees duplicate knots
+    val ev = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "events")
+    val rep = ScaleUp.replicateEvents(ev, 10)
+    assert(rep.select("user_id", "ts").distinct().count() == ev.count() * 10)
+  }
+}
+
 class IvfSpec extends AnyFunSuite {
   val spark = TestSpark.spark
 
