@@ -187,7 +187,11 @@ object StreamingOps {
             sorted.foreach { e =>
               cur = cur match {
                 case Some(s) if e.ts_us - s.tEnd <= gapUs =>
-                  Some(GapSessionState(s.n + 1, s.tStart,
+                  // min on tStart: a late-but-within-watermark row from a
+                  // LATER micro-batch may precede the open session's first
+                  // event; the batch twin (which sees fully sorted data)
+                  // reports that earlier start, so the stream must too
+                  Some(GapSessionState(s.n + 1, math.min(s.tStart, e.ts_us),
                     math.max(s.tEnd, e.ts_us), s.cents + cents(e.value)))
                 case Some(s) =>
                   closed += GapSession(user, s.n, s.tStart, s.tEnd, s.cents)

@@ -153,6 +153,44 @@ class StreamingSpec extends AnyFunSuite {
         s"${(expectClosed diff got).size} missing of ${expectClosed.size}")
   }
 
+  test("gap session absorbs a cross-batch late row into its start time") {
+    // a row older than the open session's first event, arriving one
+    // micro-batch later but inside the watermark, must extend the session
+    // BACKWARD (t_start_us takes the min) — the batch twin sorts globally
+    // and would report the earlier start
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-late-")
+    val base = 1700000000000000L // us
+    def writeBatch(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_us", "value")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    writeBatch("b1", Seq((7L, base, 1.0), (7L, base + 60000000L, 1.0)))
+    // b2: late row 30 s BEFORE the session start (watermark delay 10 min
+    // covers it), plus a fresh row keeping the session open
+    writeBatch("b2", Seq((7L, base - 30000000L, 1.0),
+      (7L, base + 120000000L, 1.0)))
+    // b3: far-future row pushes the watermark past the session's close
+    writeBatch("b3", Seq((7L, base + 7200L * 1000000L, 1.0)))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/{b1,b2,b3}")
+    val sessions = {
+      import spark.implicits._
+      StreamingOps.gapSessionsStream(
+        stream.withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "10 minutes")
+          .as[StreamingOps.SessionEvent],
+        gapUs = 600000000L) // 10 min gap
+    }
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions_test").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("late_sessions_test")
+      .select("user_id", "n_events", "t_start_us", "t_end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((7L, 4L, base - 30000000L, base + 120000000L)),
+      s"expected the late row folded into the session start, got ${got.toSeq}")
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val input = Seq(
       StreamingOps.SessionInput(1L, 1000L, 2.0),
