@@ -46,6 +46,13 @@ object PipelineBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val multi = mode == "multi"
+    // fail helpfully instead of grinding to an OOM: the 10x fleet shape
+    // (600 profiles x 8 missions = 960k pings) measured 72.6 GB peak heap
+    if (multi && profiles > 200 &&
+        Runtime.getRuntime.maxMemory < 40L * 1024 * 1024 * 1024)
+      System.err.println(s"WARN: multi mode at $profiles profiles wants " +
+        "SPARK_DRIVER_MEM=64g (measured ~72 GB sum-of-pool peaks at 600x8); " +
+        f"this JVM has ${Runtime.getRuntime.maxMemory / 1e9}%.0f GB")
     val missionCols = if (multi) Seq("mission") else Nil
     def tag(df: org.apache.spark.sql.DataFrame, m: Int) =
       df.withColumn("mission", lit(m))

@@ -162,7 +162,11 @@ object StreamingOps {
     * arriving AFTER the watermark already passed its session's close is
     * dropped by the engine before the handler sees it — the standard
     * late-data contract. Input must already carry a watermark on
-    * `event_time`.
+    * `event_time`. Memory: the handler materializes one user's rows for
+    * ONE micro-batch to sort them (persistent state stays a single small
+    * struct per open session) — bounded by per-user micro-batch volume,
+    * the usual sessionization envelope; cap trigger size for firehose
+    * users.
     */
   def gapSessionsStream(events: Dataset[SessionEvent], gapUs: Long):
       Dataset[GapSession] = {
