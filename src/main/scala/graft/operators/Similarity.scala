@@ -69,13 +69,31 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Seq[Seq[Double]], lists: DataFrame)
 
-  // array_max over (dot, cell) structs: every dot evaluated exactly once
-  // (a when-chain reduce would duplicate the subtrees at each level)
+  // Scored (dot, cell) structs per centroid, with the centroid matrix
+  // entering the plan as ONE literal array looped over with `transform` at
+  // runtime — O(1) expression-tree size in nCells, the same codegen-survival
+  // form as [[nearestSubCell]]: an unrolled per-centroid array would blow
+  // past the JVM method-size codegen limit at the nCells ≈ sqrt(N) a large
+  // corpus wants (~10k cells at 100M vectors) and fall back to ~100x slower
+  // interpreted eval. [[dotOff]] keeps the same left-to-right accumulation
+  // as the previous per-centroid Vec.dot form, so scores are bit-identical.
+  // Every dot is evaluated exactly once (array_max over structs, never a
+  // when-chain reduce that would duplicate subtrees). NOTE: `v` must be a
+  // bound attribute (see dotOff's contract).
+  private def cellScoresOf(v: org.apache.spark.sql.Column,
+      cents: Seq[Seq[Double]]) = {
+    val dim = cents.head.size
+    val centsLit = typedlit(cents.map(_.toArray).toArray)
+    transform(sequence(lit(0), lit(cents.size - 1)), i =>
+      struct(dotOff(v, lit(0), element_at(centsLit, i + 1), dim).as("d"),
+        i.as("cell")))
+  }
+
+  // argmax dot: max struct compares d first, ties toward the larger cell —
+  // identical ordering to the previous unrolled form
   private def nearestCell(v: org.apache.spark.sql.Column,
       cents: Seq[Seq[Double]]) =
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      struct(Vec.dot(v, array(c.map(lit): _*)).as("d"), lit(i).as("cell"))
-    }: _*)).getField("cell")
+    array_max(cellScoresOf(v, cents)).getField("cell")
 
   /** Build the IVF index: deterministic seed directions refined by one
     * distributed Lloyd iteration, then every candidate assigned to its
@@ -135,10 +153,11 @@ object Similarity {
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = index.centroids
-    val cellScores = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(Vec.dot(col("q_vec"), array(c.map(lit): _*)).as("d"), lit(i).as("cell"))
-    }: _*)
-    val probed = slice(reverse(array_sort(cellScores)), 1, nProbe)
+    // same O(1)-in-nCells literal-matrix form as the build-side assignment;
+    // q_vec is multi-referenced (kept + scored) so CollapseProject leaves it
+    // materialized and dotOff's bound-attribute contract holds
+    val probed = slice(reverse(array_sort(cellScoresOf(col("q_vec"), cents))),
+      1, nProbe)
     val q = broadcast(queries.select(col(idCol).as("q_id"),
         Vec.asDouble(col(vecCol)).as("q_vec"))
       .withColumn("probe", explode(probed))

@@ -137,6 +137,43 @@ class IvfSpec extends AnyFunSuite {
     info(f"ADC recall@10 = $adcRecall%.2f, rerank(50) recall@10 = $rerankRecall%.2f")
   }
 
+  test("1024-cell assignment stays codegen-compact and matches driver argmax") {
+    // the 100M-vector regime wants nCells ~ sqrt(N) ~ 10k; the old unrolled
+    // per-centroid expression grew O(nCells) and would blow the JVM method
+    // -size codegen limit exactly as nearestSubCell's comment documents.
+    // Lock the literal-matrix form: generated method size is O(1) in nCells
+    // (assert far under the 8000-byte JIT limit at 1024 cells), and the
+    // assignment agrees with a driver-computed argmax (same fold order).
+    import org.apache.spark.sql.execution.debug._
+    val base = graft.operators.AnnBench.synth(spark, 1000, 16, 50)
+    val idx = Similarity.buildIvfIndex(base, 1024, 16)
+    val stats = codegenStringSeq(idx.lists.queryExecution.executedPlan)
+    assert(stats.nonEmpty, "assignment plan must have whole-stage codegen subtrees")
+    stats.foreach { case (_, _, s) =>
+      assert(s.maxMethodCodeSize < 8000,
+        s"generated method ${s.maxMethodCodeSize} B breaches the JIT inline limit")
+    }
+    val cents = idx.centroids.map(_.toArray).toArray
+    def argmax(v: Seq[Double]): Int = {
+      var best = 0; var bestD = Double.NegativeInfinity
+      for (i <- cents.indices) {
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { d += v(j) * cents(i)(j); j += 1 }
+        if (d >= bestD) { bestD = d; best = i } // ties toward the larger cell
+      }
+      best
+    }
+    idx.lists.collect().foreach { r =>
+      val v = r.getSeq[Double](2)
+      assert(r.getInt(0) == argmax(v), s"vec ${r.getLong(1)} assigned to wrong cell")
+    }
+    // the probe side shares cellScoresOf; at 1024 cells it must still run
+    val probed = Similarity.probeIvf(idx, base.where(col("vec_id") < 4), 5,
+      nProbe = 3).count()
+    assert(probed > 0)
+  }
+
   test("saved/loaded IVF index probes identically and prunes partitions") {
     val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 4)
