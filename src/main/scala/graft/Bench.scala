@@ -1,6 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** One timed pass: per-query seconds, with a FAILED query recorded as the
+    * -1.0 sentinel (never its time-to-failure — a fast crash must not read
+    * as a perf win) plus a "name: message" error entry.
+    */
+  def pass(queries: Map[String, (SparkSession, String) => DataFrame],
+      spark: SparkSession, sfDir: String):
+      (Map[String, Double], Seq[String]) = {
+    val errors = Seq.newBuilder[String]
+    val times = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    (times, errors.result())
+  }
+
+  /** Three timed passes over `queries` -> the two JSON artifact lines.
+    * Pass 1 (cold) includes per-plan Janino whole-stage-codegen compilation
+    * and .cache() materialization — comparable with BASELINE.md / round-1
+    * cold numbers. Passes 2+3 run warm; each query reports the MIN of the
+    * two (the host is noisy — round-7 verdict adjudicated three ~3x phantom
+    * regressions that were pure interference — so per-query best-of-2 makes
+    * the recorded artifact steady-state by construction), and both raw warm
+    * passes ride along as queries_warm1/queries_warm2 so the min is
+    * auditable (cross-round note: rounds <= 7 recorded single-pass warm
+    * totals, so warm_total comparisons against them slightly favor newer
+    * rounds). Failures are first-class: a crashed query carries the -1.0
+    * sentinel in every per-query map (min propagates it: one failed warm
+    * pass marks the query), is EXCLUDED from the totals, and lands in the
+    * "errors" list on BOTH lines — an empty list is the all-green claim.
+    */
+  def render(queries: Map[String, (SparkSession, String) => DataFrame],
+      spark: SparkSession, sfDir: String): Seq[String] = {
+    val (cold, coldErrs) = pass(queries, spark, sfDir)
+    val (warm1, w1Errs) = pass(queries, spark, sfDir)
+    val (warm2, w2Errs) = pass(queries, spark, sfDir)
+    val warm = warm1.map { case (k, v) => k -> math.min(v, warm2(k)) }
+    val errors = (coldErrs ++ w1Errs ++ w2Errs).distinct
+    def js(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsErr(es: Seq[String]) =
+      es.map(e => "\"" + e.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\n\\r\\t]", " ") + "\"").mkString("[", ",", "]")
+    val coldTotal = cold.values.filter(_ >= 0).sum
+    val warmTotal = warm.values.filter(_ >= 0).sum
+    // headline totals go LAST on the line (and again on a final compact
+    // line): the artifact collector keeps the tail of long lines, so totals
+    // printed first would be the part that gets truncated away
+    Seq(
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm1":${js(warm1)},"queries_warm2":${js(warm2)},"errors":${jsErr(errors)},"warm_total":$warmTotal,"value":$coldTotal}""",
+      // distinct metric name: a JSONL consumer filtering metric=="total"
+      // must not double-count this compact repeat of the totals
+      s"""{"metric":"total_compact","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"n_queries":${cold.size},"n_errors":${errors.size},"errors":${jsErr(errors)},"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,33 +74,7 @@ object Bench {
     // warm the session (task scheduling, codegen compiler, parquet footers)
     // so the first timed query doesn't absorb ~3s of one-time startup cost
     spark.range(1000).selectExpr("sum(id)").count()
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    // Three timed passes. Pass 1 (cold) includes per-plan Janino
-    // whole-stage-codegen compilation and .cache() materialization —
-    // comparable with BASELINE.md / round-1 cold numbers. Passes 2+3 run
-    // warm and each query reports the MIN of the two: the host is noisy
-    // (round-7 verdict adjudicated three ~3x phantom regressions that were
-    // pure interference), and a per-query best-of-2 makes the recorded
-    // artifact steady-state by construction instead of by re-measurement.
-    val cold = pass()
-    val warm1 = pass()
-    val warm2 = pass()
-    val warm = warm1.map { case (k, v) => k -> math.min(v, warm2(k)) }
-    def js(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val coldTotal = if (cold.nonEmpty) cold.values.sum else 0.0
-    val warmTotal = if (warm.nonEmpty) warm.values.sum else 0.0
-    // headline totals go LAST on the line (and again on a final compact
-    // line): the artifact collector keeps the tail of long lines, so totals
-    // printed first would be the part that gets truncated away
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"warm_total":$warmTotal,"value":$coldTotal}""")
-    // distinct metric name: a JSONL consumer filtering metric=="total" must
-    // not double-count this compact repeat of the totals
-    println(s"""{"metric":"total_compact","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"n_queries":${cold.size},"sf":"$sfDir"}""")
+    render(SparkEntry.queries, spark, sfDir).foreach(println)
     spark.stop()
   }
 }

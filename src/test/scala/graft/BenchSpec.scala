@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Bench must be failure-honest: a crashed query carries the -1.0 sentinel
+  * (never its time-to-failure), is excluded from totals, and lands in the
+  * "errors" list on BOTH artifact lines; raw warm passes are emitted so the
+  * best-of-2 min is auditable.
+  */
+class BenchSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  private val queries = Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame](
+    "good" -> ((s, _) => s.range(10).toDF("id")),
+    "boom" -> ((s, _) => {
+      // fails at execution time (not analysis): the realistic sf0.1-only
+      // breakage shape — a query whose plan builds fine but crashes mid-run
+      // (a filter, so count()'s column pruning cannot optimize it away)
+      import org.apache.spark.sql.functions._
+      val blow = udf { x: Long =>
+        if (x > 2) throw new RuntimeException("mid-run failure"); true
+      }
+      s.range(5).toDF("id").where(blow(col("id")))
+    }))
+
+  test("a throwing query is a sentinel + error entry, not a fake duration") {
+    val Seq(full, compact) = Bench.render(queries, spark, "/unused")
+    implicit val fmts: Formats = DefaultFormats
+    val f = JsonMethods.parse(full)
+    val c = JsonMethods.parse(compact)
+
+    for (field <- Seq("queries", "queries_warm", "queries_warm1", "queries_warm2")) {
+      val m = (f \ field).extract[Map[String, Double]]
+      assert(m("boom") == -1.0, s"$field must carry the sentinel for boom")
+      assert(m("good") >= 0.0, s"$field must time the good query")
+    }
+    // totals exclude the sentinel (a -1 contribution would corrupt them)
+    assert((f \ "value").extract[Double] >= 0.0)
+    assert((f \ "warm_total").extract[Double] >= 0.0)
+    // both lines carry the error, named
+    for (j <- Seq(f, c)) {
+      val errs = (j \ "errors").extract[Seq[String]]
+      assert(errs.exists(_.startsWith("boom:")), s"errors must name boom in $j")
+      assert(!errs.exists(_.startsWith("good:")))
+    }
+    assert((c \ "n_errors").extract[Int] == 1)
+    // the warm min is reconstructible from the raw passes
+    val w = (f \ "queries_warm").extract[Map[String, Double]]
+    val w1 = (f \ "queries_warm1").extract[Map[String, Double]]
+    val w2 = (f \ "queries_warm2").extract[Map[String, Double]]
+    assert(w("good") == math.min(w1("good"), w2("good")))
+  }
+
+  test("an all-green run emits an empty errors list") {
+    val Seq(full, compact) = Bench.render(queries - "boom", spark, "/unused")
+    implicit val fmts: Formats = DefaultFormats
+    assert((JsonMethods.parse(full) \ "errors").extract[Seq[String]].isEmpty)
+    assert((JsonMethods.parse(compact) \ "n_errors").extract[Int] == 0)
+  }
+}
