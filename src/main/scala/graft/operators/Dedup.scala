@@ -137,7 +137,7 @@ object Dedup {
     * the same (band, bsig) shuffle key the join needs anyway.
     */
   def candidates(bandDf: DataFrame, idCol: String,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = defaultMaxBucket): DataFrame = {
     val pruned = pruneBuckets(bandDf, maxBucket)
     val a = pruned.select(col("band"), col("bsig"), col(idCol).as("doc_a"))
     val b = pruned.select(col("band"), col("bsig"), col(idCol).as("doc_b"))
@@ -180,10 +180,14 @@ object Dedup {
       .drop("__sa", "__sb")
   }
 
-  /** End-to-end MinHash-LSH near-dup candidates with exact Jaccard. */
+  /** End-to-end MinHash-LSH near-dup candidates with exact Jaccard.
+    * Capped by default ([[defaultMaxBucket]], like every public dedup entry
+    * point — the building-block API must be quadratic-proof out of the
+    * box); pass `maxBucket = None` for uncapped oracle-parity runs.
+    */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 16, nBands: Int = 8,
-      maxBucket: Option[Int] = None,
+      maxBucket: Option[Int] = defaultMaxBucket,
       scope: CacheScope = sessionScope): DataFrame = {
     // signatures feed both the banding and the Jaccard verification;
     // materialize once (one md5 pass over every shingle, the dominant cost)

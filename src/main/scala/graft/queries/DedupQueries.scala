@@ -42,8 +42,12 @@ object DedupQueries {
 
     // MinHash (16 hashes) + LSH (8 bands x 2) candidates, exact shingle
     // Jaccard on the candidate pairs only — the 100 TB-safe shape.
+    // maxBucket = None: the DuckDB oracle is uncapped, so this row checks
+    // uncapped-vs-uncapped parity at every sf (the capped DEFAULT path is
+    // covered by q48/dedupCorpus and ContentOpsSpec's cap test).
     "q51_dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text", K, BANDS)
+      Dedup.minhashLsh(table(s, dir, "documents"), "doc_id", "text", K, BANDS,
+          maxBucket = None)
         .select(col("doc_a"), col("doc_b"), fp(col("jaccard")).as("jac_milli"))
         .orderBy("doc_a", "doc_b")
     }),
