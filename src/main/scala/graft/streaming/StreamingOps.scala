@@ -158,9 +158,14 @@ object StreamingOps {
     * exact arithmetic of Spark's `round`, so a session's sum_cents is
     * bit-equal to the batch twin's.
     *
-    * Within-watermark reordering is handled by the per-batch sort; a row
-    * arriving AFTER the watermark already passed its session's close is
-    * dropped by the engine before the handler sees it — the standard
+    * Within-watermark reordering is handled by folding each micro-batch
+    * into gap-merged session INTERVALS and merging the open session into
+    * that run: a late row inside the gap of the open session extends it
+    * (min on t_start), a late row more than the gap BEFORE it becomes its
+    * own earlier session (emitted immediately — a later session exists, so
+    * it is definitionally closed), matching the batch twin in both cases.
+    * A row arriving AFTER the watermark already passed its session's close
+    * is dropped by the engine before the handler sees it — the standard
     * late-data contract. Input must already carry a watermark on
     * `event_time`. Memory: the handler materializes one user's rows for
     * ONE micro-batch to sort them (persistent state stays a single small
@@ -185,31 +190,57 @@ object StreamingOps {
             state.remove()
             Iterator.single(GapSession(user, s.n, s.tStart, s.tEnd, s.cents))
           } else {
+            // Fold the micro-batch into session INTERVALS rather than
+            // assuming every row follows the open session: a within-
+            // watermark row may precede the open session's start by MORE
+            // than the gap (reachable whenever gapUs < the watermark
+            // delay), and absorbing it would diverge from the batch twin,
+            // which sorts globally and gives that row its own earlier
+            // session. A row within the gap of the open session (before or
+            // after) still extends it — min on tStart — and rows can chain
+            // each other into the session transitively, which the interval
+            // merge below handles by construction.
             val sorted = rows.toArray.sortBy(_.ts_us)
-            val closed = scala.collection.mutable.ArrayBuffer[GapSession]()
-            var cur = state.getOption
+            // 1) gap-merged sessions from this batch's rows alone
+            //    (ascending, so the simple sequential fold is exact)
+            val pts = scala.collection.mutable.ArrayBuffer[GapSessionState]()
             sorted.foreach { e =>
-              cur = cur match {
-                case Some(s) if e.ts_us - s.tEnd <= gapUs =>
-                  // min on tStart: a late-but-within-watermark row from a
-                  // LATER micro-batch may precede the open session's first
-                  // event; the batch twin (which sees fully sorted data)
-                  // reports that earlier start, so the stream must too
-                  Some(GapSessionState(s.n + 1, math.min(s.tStart, e.ts_us),
-                    math.max(s.tEnd, e.ts_us), s.cents + cents(e.value)))
-                case Some(s) =>
-                  closed += GapSession(user, s.n, s.tStart, s.tEnd, s.cents)
-                  Some(GapSessionState(1L, e.ts_us, e.ts_us, cents(e.value)))
-                case None =>
-                  Some(GapSessionState(1L, e.ts_us, e.ts_us, cents(e.value)))
+              pts.lastOption match {
+                case Some(p) if e.ts_us - p.tEnd <= gapUs =>
+                  pts(pts.size - 1) = GapSessionState(p.n + 1, p.tStart,
+                    math.max(p.tEnd, e.ts_us), p.cents + cents(e.value))
+                case _ =>
+                  pts += GapSessionState(1L, e.ts_us, e.ts_us, cents(e.value))
               }
             }
-            cur.foreach { s =>
-              state.update(s)
-              // close once the watermark passes the session's last event + gap
-              state.setTimeoutTimestamp(s.tEnd / 1000L + gapUs / 1000L)
-            }
-            closed.iterator
+            // 2) merge the open-session interval into the sorted run
+            val merged = (state.getOption.toSeq ++ pts)
+              .sortBy(s => (s.tStart, s.tEnd))
+              .foldLeft(Vector.empty[GapSessionState]) { (acc, iv) =>
+                acc.lastOption match {
+                  case Some(p) if iv.tStart - p.tEnd <= gapUs =>
+                    acc.init :+ GapSessionState(p.n + iv.n, p.tStart,
+                      math.max(p.tEnd, iv.tEnd), p.cents + iv.cents)
+                  case _ => acc :+ iv
+                }
+              }
+            // every interval except the latest is definitionally closed (a
+            // later session for this user exists) and emits now; a yet-
+            // later row that would have bridged into one of them is the
+            // standard append-mode late-data loss — unreachable in configs
+            // with gapUs >= the watermark delay (q65's shipped 12h >> 10min)
+            val last = merged.last
+            state.update(last)
+            // close once the watermark passes the session's last event +
+            // gap; clamp above the current watermark (a gap shorter than
+            // the watermark delay can put tEnd + gap in the engine's past,
+            // which setTimeoutTimestamp rejects — the clamp closes such a
+            // session at the next watermark advance instead)
+            state.setTimeoutTimestamp(
+              math.max(last.tEnd / 1000L + gapUs / 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+            merged.init.iterator
+              .map(s => GapSession(user, s.n, s.tStart, s.tEnd, s.cents))
           }
       }
   }

@@ -191,6 +191,51 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the late row folded into the session start, got ${got.toSeq}")
   }
 
+  test("a late row beyond the gap becomes its own earlier session, not a merge") {
+    // the gapUs < watermark-delay regression: a within-watermark row that
+    // precedes the open session's start by MORE than the gap used to be
+    // absorbed (the e.ts - tEnd <= gap guard is trivially true for old
+    // rows); the batch twin gives it its own earlier session, so the
+    // stream must too
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-early-")
+    val base = 1700000000000000L // us
+    def writeBatch(name: String, rows: Seq[(Long, Long, Double)]): Unit =
+      rows.toDF("user_id", "ts_us", "value")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    val gapUs = 60000000L // 1 min gap << 10 min watermark delay
+    writeBatch("b1", Seq((7L, base, 1.0), (7L, base + 30000000L, 2.0)))
+    // b2: a row 5 min BEFORE the session start (within watermark, beyond
+    // the 1-min gap -> its own earlier session) plus one fresh row inside
+    // the gap of the open session
+    writeBatch("b2", Seq((7L, base - 300000000L, 4.0),
+      (7L, base + 60000000L, 8.0)))
+    // b3: far-future row closes everything
+    writeBatch("b3", Seq((7L, base + 7200L * 1000000L, 16.0)))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/{b1,b2,b3}")
+    val sessions = {
+      import spark.implicits._
+      StreamingOps.gapSessionsStream(
+        stream.withColumn("event_time", timestamp_micros(col("ts_us")))
+          .withWatermark("event_time", "10 minutes")
+          .as[StreamingOps.SessionEvent],
+        gapUs)
+    }
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("early_sessions_test").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("early_sessions_test")
+      .select("user_id", "n_events", "t_start_us", "t_end_us", "sum_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // batch semantics: [base-300s] alone; [base, base+30s, base+60s] merged
+    assert(got == Set(
+      (7L, 1L, base - 300000000L, base - 300000000L, 400L),
+      (7L, 3L, base, base + 60000000L, 1100L)),
+      s"expected the early row as its own session, got $got")
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val input = Seq(
       StreamingOps.SessionInput(1L, 1000L, 2.0),
