@@ -34,6 +34,21 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Streaming-dedup batch twin: keep, per content hash, the first
+    // ARRIVAL — a synthetic hash-derived arrival time (deliberately not
+    // monotone in doc_id), so the min-(ts, id) keep is a real choice, not
+    // min-id in disguise. StreamingSpec pins dedupStream's
+    // dropDuplicatesWithinWatermark to this form under in-order feeds.
+    "q67_dedup_first_arrival" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").withColumn("arrive_us",
+        pmod(Text.hash48Builtin(concat(lit("t:"), col("doc_id").cast("string"))),
+          lit(86400000000L)))
+      graft.streaming.StreamingOps.dedupFirstArrival(
+          docs, "text", "arrive_us", "doc_id")
+        .select(col("doc_id"), col("arrive_us"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // Exact dedup: content-hash groupBy, keeper = min id.
     "q50_dedup_exact" -> ((s, dir) => {
       Dedup.exact(table(s, dir, "documents"), "doc_id", "text")
@@ -173,6 +188,16 @@ object DedupQueries {
           SELECT doc_id, lang_pred, quality_milli, rep_milli FROM gated
           WHERE doc_id NOT IN (SELECT doc_id FROM losers)
           ORDER BY doc_id""",
+
+    "q67_dedup_first_arrival" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+            ${TextSql.hash48("'t:' || CAST(doc_id AS VARCHAR)")} % 86400000000 AS arrive_us,
+            ${TextSql.hash48("text")} AS kh
+          FROM documents),
+          r AS (SELECT doc_id, arrive_us, lang,
+            row_number() OVER (PARTITION BY kh ORDER BY arrive_us, doc_id) AS rn
+          FROM d)
+          SELECT doc_id, arrive_us, lang FROM r WHERE rn = 1 ORDER BY doc_id""",
 
     "q50_dedup_exact" ->
       s"""SELECT ${TextSql.hash48("text")} AS key_hash,

@@ -100,6 +100,18 @@ object GridQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // Per-profile summaries (Structured Streaming surface): the batch twin
+    // of StreamingOps.profileSummaries over events-as-pings (profile =
+    // user_id mod 40, pressure = value — the q62 mapping). max/min are
+    // value selections, not accumulations, so doubles stay oracle-exact.
+    "q66_profile_summaries" -> ((s, dir) => {
+      val pings = events(s, dir).select(
+        pmod(col("user_id"), lit(40)).cast("long").as("profile_number"),
+        col("ts_us").as("time_us"), col("value").as("pressure"))
+      graft.streaming.StreamingOps.profileSummariesBatch(pings)
+        .orderBy("profile_number")
+    }),
+
     // verify_depth_bias computational core (process_adcp.py:1859-1950) on an
     // events-derived grid: travel direction from the across-profile latitude
     // gradient, 20 depth slabs, per-(var, slab, direction) 99-bin density
@@ -212,6 +224,12 @@ object GridQueries {
            event_type, count(*) AS n,
            CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
          FROM events GROUP BY 1, 2 ORDER BY win_start_us, event_type""",
+
+    "q66_profile_summaries" ->
+      """SELECT CAST(user_id % 40 AS BIGINT) AS profile_number,
+           count(*) AS n_pings, max(value) AS max_pressure,
+           min(epoch_us(ts)) AS t_start_us, max(epoch_us(ts)) AS t_end_us
+         FROM events GROUP BY 1 ORDER BY profile_number""",
 
     "q65_sessionize" ->
       """WITH o AS (

@@ -73,6 +73,21 @@ object StreamingOps {
   final case class ProfileState(nPings: Long, maxPressure: Double,
       tMin: Long, tMax: Long)
 
+  /** Batch twin of [[profileSummaries]]: per-profile ping count, max
+    * pressure, and time span over a bounded pings frame (the reference's
+    * per-profile painting, process_adcp.py:1509-1516,1652-1653). One
+    * hash-aggregate on the profile key — partial map-side combine, no
+    * window — so it holds its shape at any scale. The driver oracle (q66)
+    * checks this form; the StreamingSpec equivalence run pins every
+    * watermark-closed profile the stream emits to its row here.
+    */
+  def profileSummariesBatch(pings: DataFrame): DataFrame =
+    pings.groupBy(col("profile_number"))
+      .agg(count(lit(1)).as("n_pings"),
+        max(col("pressure")).as("max_pressure"),
+        min(col("time_us")).as("t_start_us"),
+        max(col("time_us")).as("t_end_us"))
+
   /** Streaming per-profile summaries for live glider telemetry — the
     * streaming analog of the batch pipeline's per-profile aggregations
     * (max depth, ping count, time span). A profile is an open session
@@ -260,6 +275,26 @@ object StreamingOps {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("__key_hash")
       .drop("__key_hash")
+
+  /** Batch twin of [[dedupStream]]: keep, per content hash, the row with
+    * the minimum (arrival time, id) — deterministic where the stream's
+    * "first arrival" depends on processing order, and equal to it whenever
+    * rows arrive in event-time order (the StreamingSpec equivalence run
+    * feeds micro-batches in `tsCol` order to pin exactly that). Identical
+    * hash arithmetic ([[graft.functions.Text.hash48Builtin]]), so a batch
+    * backfill and a live ingest keep the same keys. One window pass
+    * partitioned by the hash — the shuffle key a 100 TB corpus wants
+    * anyway; the driver oracle (q67) checks this form.
+    */
+  def dedupFirstArrival(docs: DataFrame, textCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__key_hash")).orderBy(col(tsCol), col(idCol))
+    docs.withColumn("__key_hash", graft.functions.Text.hash48Builtin(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__key_hash", "__rn")
+  }
 
   /** Run a streaming query over a parquet directory to a memory sink and
     * block until all available input is processed (local smoke harness).

@@ -110,6 +110,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.keySet == Set(0.0, 1.0), s"closed profiles: ${got.keySet}")
     assert(got(0.0) == ((2L, 15.0, base, base + 1000000L)))
     assert(got(1.0) == ((2L, 7.0, base + 2000000L, base + 3000000L)))
+    // the q66 equivalence: every watermark-closed profile must be
+    // bit-identical to the batch twin's row over the same pings
+    val batch = StreamingOps.profileSummariesBatch(
+        spark.read.parquet(s"$dir/b1", s"$dir/b2", s"$dir/b3"))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    got.foreach { case (profile, row) =>
+      assert(batch(profile) == row,
+        s"stream/batch divergence on closed profile $profile")
+    }
+  }
+
+  test("streaming dedup equals the q67 batch twin under an in-order feed") {
+    // dedupStream keeps the first PROCESSING arrival; the batch twin keeps
+    // min (ts, id). They coincide exactly when micro-batches arrive in
+    // event-time order — feed one file per trigger, ascending ts, each
+    // hash at most once per file, and require row-level equality
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-eq-")
+    val base = 1700000000000L // ms
+    def writeBatch(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.map { case (id, text, ms) =>
+        (id, text, new java.sql.Timestamp(ms)) }
+        .toDF("doc_id", "text", "event_time")
+        .coalesce(1).write.parquet(s"$dir/$name")
+    writeBatch("b1", Seq((10L, "alpha", base), (11L, "beta", base + 1000)))
+    writeBatch("b2", Seq((5L, "alpha", base + 2000), (12L, "gamma", base + 3000)))
+    writeBatch("b3", Seq((1L, "beta", base + 4000), (2L, "delta", base + 5000)))
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/{b1,b2,b3}")
+    val q = StreamingOps.dedupStream(stream, "text", "event_time")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_eq_test").start()
+    q.processAllAvailable(); q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val streamed = rows(spark.table("dedup_eq_test"))
+    val batch = rows(StreamingOps.dedupFirstArrival(
+      spark.read.parquet(s"$dir/b1", s"$dir/b2", s"$dir/b3")
+        .withColumn("ts_us", unix_micros(col("event_time"))),
+      "text", "ts_us", "doc_id"))
+    assert(batch == Set((10L, "alpha"), (11L, "beta"), (12L, "gamma"),
+      (2L, "delta")), s"batch twin wrong: $batch")
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch)} vs ${(batch diff streamed)}")
   }
 
   test("streaming gap sessions equal the batch q65 sessionizer on closed sessions") {
