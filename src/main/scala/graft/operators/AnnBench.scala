@@ -75,6 +75,63 @@ object AnnBench {
         exactSets.getOrElse(q, Set.empty)(v) }.toDouble / exact.length
     val recall = recallOf(approx)
 
+    // Loaded-index probe: persist the index (parquet partitioned by cell),
+    // reload, probe from disk — the serve-path shape a long-lived index
+    // runs. Scan metrics from the executed plan prove the partition-
+    // pruning claim: the probe must READ only the probed cells' files, not
+    // the whole index. (Same-host caveat: the build just wrote these
+    // files, so the page cache is warm — this measures plan shape + decode
+    // cost, not spindle latency.)
+    val idxDir = java.nio.file.Files.createTempDirectory("annbench_ivf").toString
+    Similarity.saveIvfIndex(index, idxDir)
+    def du(p: java.io.File): (Long, Long) = {
+      val kids = Option(p.listFiles).getOrElse(Array.empty)
+      val sub = kids.filter(_.isDirectory).map(du)
+      (kids.count(f => f.isFile && f.getName.endsWith(".parquet")) + sub.map(_._1).sum,
+        kids.filter(_.isFile).map(_.length).sum + sub.map(_._2).sum)
+    }
+    val (idxFiles, idxBytes) = du(new java.io.File(s"$idxDir/lists"))
+    val t1b = System.nanoTime()
+    val loaded = Similarity.loadIvfIndex(spark, idxDir)
+    // metrics must come from the EXECUTED DataFrame: .select() builds a new
+    // plan, so keep the handle that .collect() runs
+    val loadedProbe = Similarity.probeIvf(loaded, queries, k, nProbe)
+      .select("q_id", "vec_id")
+    val loadedPairs = loadedProbe
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val loadedProbeSec = (System.nanoTime() - t1b) / 1e9
+    assert(recallOf(loadedPairs) == recall, "loaded index must probe identically")
+    // files/bytes actually read by the lists scan (post-dynamic-pruning)
+    // AQE wraps executed stages in QueryStageExec nodes whose children are
+    // reachable only via .plan (children is Nil) — walk those explicitly
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    def listScanMetrics(executed: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val listScans = scans(executed.queryExecution.executedPlan)
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(idxDir)))
+      (listScans.map(s => s.metrics("numFiles").value).sum,
+        listScans.map(s => s.metrics("filesSize").value).sum)
+    }
+    val (filesRead, bytesRead) = listScanMetrics(loadedProbe)
+    // the 50-query batch legitimately probes ~every cell (50 x nProbe
+    // covers the index), so ALSO measure a small serve-path batch: 5
+    // queries touch at most 5 x nProbe cells, and dynamic partition
+    // pruning must confine the scan to those cells' files
+    val q5 = queries.where(col("vec_id") <= (n / nQueries) * 4)
+    val t1c = System.nanoTime()
+    val probe5 = Similarity.probeIvf(loaded, q5, k, nProbe)
+      .select("q_id", "vec_id")
+    probe5.collect()
+    val probe5Sec = (System.nanoTime() - t1c) / 1e9
+    val (files5, bytes5) = listScanMetrics(probe5)
+
     // PQ compressed-domain path: train on a deterministic 20% sample
     // (codebooks converge on a sample; full-corpus Lloyd is wasted work),
     // encode the whole corpus once, then ADC-scan + exact rerank of a
@@ -93,6 +150,20 @@ object AnnBench {
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val pqSec = (System.nanoTime() - t4) / 1e9
     val pqRecall = recallOf(pq)
+
+    // Loaded-PQ probe: persist codebooks + codes, reload, serve the same
+    // query batch from the loaded artifacts — the cross-session
+    // amortization of the encode cost (float vectors still come from the
+    // corpus table for the shortlist rerank, as in production).
+    val pqDir = java.nio.file.Files.createTempDirectory("annbench_pq").toString
+    Similarity.savePqIndex(cb, codes, pqDir)
+    val t5 = System.nanoTime()
+    val (cbLoaded, codesLoaded) = Similarity.loadPqIndex(spark, pqDir)
+    val pqLoaded = Similarity.pqTopKRerankCodes(queries, codesLoaded, base, k,
+      cbLoaded, shortlist = math.max(100, (n / 200).toInt))
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pqLoadedSec = (System.nanoTime() - t5) / 1e9
+    assert(recallOf(pqLoaded) == pqRecall, "loaded PQ index must rerank identically")
     codes.unpersist()
 
     index.lists.unpersist(); base.unpersist(blocking = true)
@@ -100,10 +171,16 @@ object AnnBench {
       s""""n_probe":$nProbe,"k":$k,"n_queries":$nQueries,""" +
       s""""build_sec":${math.round(buildSec * 10) / 10.0},""" +
       s""""probe_sec":${math.round(probeSec * 10) / 10.0},""" +
+      s""""loaded_probe_sec":${math.round(loadedProbeSec * 10) / 10.0},""" +
+      s""""probe_files_read":$filesRead,"probe_bytes_read":$bytesRead,""" +
+      s""""probe5_sec":${math.round(probe5Sec * 10) / 10.0},""" +
+      s""""probe5_files_read":$files5,"probe5_bytes_read":$bytes5,""" +
+      s""""index_files_total":$idxFiles,"index_bytes_total":$idxBytes,""" +
       s""""brute_sec":${math.round(bruteSec * 10) / 10.0},""" +
       s""""recall_at_$k":${math.round(recall * 1000) / 1000.0},""" +
       s""""pq_build_sec":${math.round(pqBuildSec * 10) / 10.0},""" +
       s""""pq_rerank_sec":${math.round(pqSec * 10) / 10.0},""" +
+      s""""pq_loaded_sec":${math.round(pqLoadedSec * 10) / 10.0},""" +
       s""""pq_recall_at_$k":${math.round(pqRecall * 1000) / 1000.0}}""")
     spark.stop()
   }

@@ -127,8 +127,12 @@ object Similarity {
   def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
     val spark = index.lists.sparkSession
     import spark.implicits._
-    index.lists.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/lists")
+    // repartition on the partition column first: each cell's rows land in
+    // exactly one task, so every cell directory holds ONE file instead of
+    // one per (task x cell) — at nCells ~ 1000 an unshuffled write from a
+    // 32-partition frame would scatter ~32k small files
+    index.lists.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$dir/lists")
     index.centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
@@ -149,6 +153,15 @@ object Similarity {
 
   /** Probe a built/loaded index: each query searches its nProbe closest
     * cells (multi-probe), exact cosine within them.
+    *
+    * The probed cell set is computed up front with one tiny job (bounded
+    * by the broadcast contract on the query side: <= nQueries x nProbe
+    * ints) and pushed as a STATIC `cell IN (...)` partition filter on the
+    * inverted lists — a loaded index's probe lists and reads only those
+    * cells' files at scan planning time, with no reliance on the dynamic-
+    * partition-pruning planner heuristics (AQE drops DPP when it judges
+    * the broadcast non-reusable, which would silently regress the probe
+    * to a full index scan).
     */
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -162,7 +175,10 @@ object Similarity {
         Vec.asDouble(col(vecCol)).as("q_vec"))
       .withColumn("probe", explode(probed))
       .withColumn("cell", col("probe.cell")).drop("probe"))
-    val scored = index.lists.join(q, "cell")
+    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
+    val lists = index.lists
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+    val scored = lists.join(q, "cell")
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", Vec.cosine(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
@@ -318,6 +334,39 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "vec_id", "rank", "approx_dot")
+  }
+
+  /** Persist a PQ index — the build-once/probe-many shape that lets a
+    * multi-minute corpus encode amortize across sessions (mirror of
+    * [[saveIvfIndex]]): codes as parquet (m small ints per vector — the
+    * compact artifact every later query batch scans), codebooks as a tiny
+    * (subspace, cell, centroid) parquet table. Codebook doubles round-trip
+    * parquet bit-exactly, so a loaded index reranks identically.
+    */
+  def savePqIndex(cb: PqCodebooks, codes: DataFrame, dir: String): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    (for (s <- 0 until cb.m; c <- 0 until cb.ksub)
+      yield (s, c, cb.centroids(s)(c)))
+      .toDF("s", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  /** Load a saved PQ index: (codebooks, codes). Shape (m, ksub, dsub) is
+    * recovered from the codebook table itself.
+    */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (PqCodebooks, DataFrame) = {
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .orderBy("s", "cell").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
+    val m = rows.map(_._1).max + 1
+    val ksub = rows.map(_._2).max + 1
+    val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
+    val cents = (0 until m).map(s => (0 until ksub).map(c => byKey((s, c))))
+    (PqCodebooks(m, ksub, cents.head.head.size, cents),
+      spark.read.parquet(s"$dir/codes"))
   }
 
   /** PQ shortlist + exact rerank: ADC narrows the corpus to `shortlist`

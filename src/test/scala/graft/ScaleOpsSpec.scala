@@ -137,6 +137,30 @@ class IvfSpec extends AnyFunSuite {
     info(f"ADC recall@10 = $adcRecall%.2f, rerank(50) recall@10 = $rerankRecall%.2f")
   }
 
+  test("saved/loaded PQ index reranks identically") {
+    // the amortization claim: the expensive corpus encode persists, and a
+    // fresh session probing the loaded codes gets bit-identical results
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 4)
+    val cb = Similarity.trainPq(e, m = 8, ksub = 16, dim = 64)
+    val codes = Similarity.pqEncode(e, cb)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("cosine") * 1e6).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val direct = rows(Similarity.pqTopKRerankCodes(q, codes, e, 5, cb, shortlist = 50))
+    val dir = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    Similarity.savePqIndex(cb, codes, dir)
+    val (cbLoaded, codesLoaded) = Similarity.loadPqIndex(spark, dir)
+    assert(cbLoaded == cb, "codebooks must round-trip bit-equal")
+    assert(codesLoaded.orderBy("vec_id").collect().map(_.toString).toSeq ==
+      codes.orderBy("vec_id").collect().map(_.toString).toSeq,
+      "codes must round-trip")
+    val loaded = rows(Similarity.pqTopKRerankCodes(q, codesLoaded, e, 5,
+      cbLoaded, shortlist = 50))
+    assert(loaded == direct, "loaded PQ index must rerank identically")
+  }
+
   test("1024-cell assignment stays codegen-compact and matches driver argmax") {
     // the 100M-vector regime wants nCells ~ sqrt(N) ~ 10k; the old unrolled
     // per-centroid expression grew O(nCells) and would blow the JVM method
