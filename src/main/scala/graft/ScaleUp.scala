@@ -10,10 +10,15 @@ import org.apache.spark.sql.functions._
   * more work in the same key/bin domains rather than filtering the extra
   * rows away):
   *  - events: event_id offset per copy; ts jittered +i NANOSECONDS — below
-  *    the source's microsecond granularity, so replica knots can never
-  *    collide with a genuine neighboring event — keeping day/value bins and
-  *    per-user series ranges while interpolation knots stay distinct;
-  *    user_id kept, so windows deepen 10x.
+  *    the source's microsecond granularity, so the jitter can never push a
+  *    replica into a DIFFERENT microsecond than its original. Every
+  *    consumer floors to us (`ts div 1000`), so replicas land in the SAME
+  *    bins and present us-COINCIDENT interpolation knots carrying
+  *    IDENTICAL values — which is exactly why results are replication-
+  *    invariant (InterpJoin resolves coincident knots deterministically,
+  *    and coincident-with-equal-value is order-independent; locked by
+  *    ReplicationInvarianceSpec's q10-shape equality test). user_id kept,
+  *    so windows deepen 10x.
   *  - documents: doc_id offset per copy; copies carry a " repI" suffix, so
   *    each original doc becomes a 10-way NEAR-dup cluster (a few trailing
   *    shingles differ) — LSH, Jaccard verification, and cluster resolution
@@ -30,9 +35,10 @@ object ScaleUp {
 
   /** `factor` copies of the raw events table: offset event ids, +rep ns ts
     * jitter (source ts values are microsecond-granular — multiples of
-    * 1000 ns — so a sub-1000 jitter is collision-free by construction and
-    * invisible to `ts div 1000` consumers: replicas land in the SAME bins
-    * and interpolation knots stay distinct).
+    * 1000 ns — so a sub-1000 jitter is invisible to `ts div 1000`
+    * consumers: replicas land in the SAME bins and, at the us granularity
+    * every query observes, present coincident knots with identical values
+    * — the invariant that makes interpolation replication-invariant).
     */
   def replicateEvents(ev: org.apache.spark.sql.DataFrame, factor: Int):
       org.apache.spark.sql.DataFrame =

@@ -413,9 +413,18 @@ object Similarity {
   val defaultMaxBlock: Option[Int] = Some(1000)
 
   /** How many sign-LSH planes [[nearDupPairs]] can split an oversized block
-    * across: 2^12 = 4096 sub-buckets before the residual drop engages.
+    * across. The count bounds WHEN the residual drop can touch diverse
+    * (non-near-identical) vectors at all: by pigeonhole a block larger than
+    * 2^maxSubPlanes x cap rows must leave some sub-bucket over the cap even
+    * with perfectly spreading planes. At 20 planes and the default cap that
+    * bound is ~10^9 rows sharing ONE blocking key — beyond it the operator
+    * is the wrong tool regardless. Below it, a sub-bucket stays over the
+    * cap only when its vectors agree on every sign bit, i.e. are
+    * near-identical, which is the judgment call the drop encodes. Cost
+    * scales linearly in planes and is paid only by rows of oversized
+    * blocks (lazy `when` guard).
     */
-  private val maxSubPlanes = 12
+  private val maxSubPlanes = 20
 
   /** Dim-agnostic sign-LSH bucket: bit h = sign of the vector's projection
     * onto a deterministic xxhash64-derived hyperplane, computed by HOF
@@ -438,11 +447,15 @@ object Similarity {
     * key. The within-block search is all-pairs, so `maxBlock` is the scale
     * safety valve: blocks over the cap are split into sign-LSH sub-buckets
     * (near-identical vectors keep colliding, so true near-dups survive the
-    * split), and any sub-bucket STILL over the cap after 2^12 splits — only
-    * possible when thousands of vectors are near-identical, i.e. every pair
-    * is a trivial dup — is dropped, the same judgment call as
-    * [[Dedup.defaultMaxBucket]]. Blocks at or under the cap join exactly as
-    * before, so capped and uncapped results agree on non-degenerate data.
+    * split), and any sub-bucket STILL over the cap is dropped — the same
+    * judgment call as [[Dedup.defaultMaxBucket]]. Below ~2^20 x cap rows
+    * per blocking key (~10^9 at the default cap) an over-cap sub-bucket
+    * can only be vectors agreeing on every sign bit, i.e. near-identical
+    * ones whose every pair is a trivial dup; a block LARGER than that
+    * pigeonholes diverse vectors into the drop too (see [[maxSubPlanes]])
+    * — at which point the blocking key itself is degenerate. Blocks at or
+    * under the cap join exactly as before, so capped and uncapped results
+    * agree on non-degenerate data.
     */
   def nearDupPairs(df: DataFrame, groupCol: String, topPerGroup: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",

@@ -65,12 +65,39 @@ class ReplicationInvarianceSpec extends AnyFunSuite {
     }
   }
 
-  test("replicated interpolation knots stay distinct per user") {
-    // locks the jitter fix: (user_id, ts) must be unique after replication,
-    // or interpolation sees duplicate knots
-    val ev = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "events")
-    val rep = ScaleUp.replicateEvents(ev, 10)
-    assert(rep.select("user_id", "ts").distinct().count() == ev.count() * 10)
+  test("interpolation output is replication-invariant (the invariant queries see)") {
+    // every consumer floors ts to us, so replicas present COINCIDENT knots
+    // with IDENTICAL values — the property that makes interp results
+    // replication-invariant. Lock it the way downstream code observes it:
+    // the q10-shape interpolation over 10x-replicated events must give (a)
+    // the bit-identical result for every original event id and (b) the
+    // original's exact value for every replica id (ns-level distinctness
+    // of (user_id, ts) is true but irrelevant — nothing after `ts div
+    // 1000` can see it)
+    def interp(raw: org.apache.spark.sql.DataFrame) = {
+      val ev = raw.withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("x", col("ts_us"))
+      val src = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("x"), col("value"))
+      val dst = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("x"))
+      graft.core.InterpJoin.interpolate(src, dst, "x", Seq("value"), Seq("user_id"))
+        .select(col("event_id"),
+          round(col("interp_value") * 1000).cast("long").as("v"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) Long.MinValue else r.getLong(1))).toMap
+    }
+    val raw = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "events")
+    val base = interp(raw)
+    val rep = interp(ScaleUp.replicateEvents(raw, 10))
+    assert(rep.size == base.size * 10, "every replica click must interpolate")
+    base.foreach { case (id, v) =>
+      assert(rep(id) == v, s"original event $id changed under replication")
+      (1 to 9).foreach { r =>
+        assert(rep(id + r * 1000000000L) == v,
+          s"replica $r of event $id diverged from its original")
+      }
+    }
   }
 }
 
