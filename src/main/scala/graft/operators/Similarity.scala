@@ -69,31 +69,19 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Seq[Seq[Double]], lists: DataFrame)
 
-  // Scored (dot, cell) structs per centroid, with the centroid matrix
-  // entering the plan as ONE literal array looped over with `transform` at
-  // runtime — O(1) expression-tree size in nCells, the same codegen-survival
-  // form as [[nearestSubCell]]: an unrolled per-centroid array would blow
-  // past the JVM method-size codegen limit at the nCells ≈ sqrt(N) a large
-  // corpus wants (~10k cells at 100M vectors) and fall back to ~100x slower
-  // interpreted eval. [[dotOff]] keeps the same left-to-right accumulation
-  // as the previous per-centroid Vec.dot form, so scores are bit-identical.
-  // Every dot is evaluated exactly once (array_max over structs, never a
-  // when-chain reduce that would duplicate subtrees). NOTE: `v` must be a
-  // bound attribute (see dotOff's contract).
-  private def cellScoresOf(v: org.apache.spark.sql.Column,
-      cents: Seq[Seq[Double]]) = {
-    val dim = cents.head.size
-    val centsLit = typedlit(cents.map(_.toArray).toArray)
-    transform(sequence(lit(0), lit(cents.size - 1)), i =>
-      struct(dotOff(v, lit(0), element_at(centsLit, i + 1), dim).as("d"),
-        i.as("cell")))
-  }
-
-  // argmax dot: max struct compares d first, ties toward the larger cell —
-  // identical ordering to the previous unrolled form
-  private def nearestCell(v: org.apache.spark.sql.Column,
-      cents: Seq[Seq[Double]]) =
-    array_max(cellScoresOf(v, cents)).getField("cell")
+  // Coarse-quantizer argmax via the native codegen expression
+  // [[graft.plans.NativeTopCells]] — O(1) expression-tree size in nCells
+  // AND whole-stage-codegen'd primitive loops (a Column-algebra form is
+  // either an unrolled tree that blows the JVM method-size codegen limit
+  // at the nCells ≈ sqrt(N) a large corpus wants, ~10k cells at 100M
+  // vectors, or an interpreted CodegenFallback HOF). Scores are the same
+  // left-to-right accumulation as [[Vec.dot]], so assignments are
+  // bit-identical to the previous forms; ties go to the larger cell,
+  // the array_max-over-(d, cell)-structs rule.
+  private def nearestCell(spark: org.apache.spark.sql.SparkSession,
+      v: org.apache.spark.sql.Column, cents: Seq[Seq[Double]]) =
+    element_at(graft.plans.NativeTopCells.topCellsCol(spark, v, 0, cents,
+      Seq.fill(cents.size)(0.0), 1), 1)
 
   /** Build the IVF index: deterministic seed directions refined by one
     * distributed Lloyd iteration, then every candidate assigned to its
@@ -104,9 +92,10 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     import org.apache.spark.sql.Row
     val seeds = Vec.planes(nCells, dim) // deterministic unit-ish directions
+    val spark = candidates.sparkSession
     val c0 = candidates.select(col(idCol), Vec.asDouble(col(vecCol)).as("v"))
     // one Lloyd iteration: assign to seed cells, recompute centroids
-    val assigned = c0.withColumn("cell", nearestCell(col("v"), seeds))
+    val assigned = c0.withColumn("cell", nearestCell(spark, col("v"), seeds))
     val centroids: Map[Int, Seq[Double]] = assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("d", "x")))
       .groupBy("cell", "d").agg(avg("x").as("m"))
@@ -116,7 +105,7 @@ object Similarity {
         r.getInt(0) -> r.getSeq[Row](1).map(_.getDouble(1)).toSeq
       }.toMap
     val cents = (0 until nCells).map(i => centroids.getOrElse(i, seeds(i)))
-    val lists = c0.withColumn("cell", nearestCell(col("v"), cents))
+    val lists = c0.withColumn("cell", nearestCell(spark, col("v"), cents))
       .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec"))
     IvfIndex(cents, lists)
   }
@@ -166,15 +155,15 @@ object Similarity {
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = index.centroids
-    // same O(1)-in-nCells literal-matrix form as the build-side assignment;
-    // q_vec is multi-referenced (kept + scored) so CollapseProject leaves it
-    // materialized and dotOff's bound-attribute contract holds
-    val probed = slice(reverse(array_sort(cellScoresOf(col("q_vec"), cents))),
-      1, nProbe)
+    // same native top-cells expression as the build-side assignment,
+    // p = nProbe: the returned cells are already in descending score
+    // order (descending array_sort tie rule), matching the previous
+    // slice(reverse(array_sort(...))) form cell-for-cell
+    val probed = graft.plans.NativeTopCells.topCellsCol(queries.sparkSession,
+      col("q_vec"), 0, cents, Seq.fill(cents.size)(0.0), nProbe)
     val q = broadcast(queries.select(col(idCol).as("q_id"),
         Vec.asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("probe", explode(probed))
-      .withColumn("cell", col("probe.cell")).drop("probe"))
+      .withColumn("cell", explode(probed)))
     val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
     val lists = index.lists
       .where(col("cell").isin(probedCells.map(Int.box): _*))
@@ -231,23 +220,19 @@ object Similarity {
 
   /** Nearest centroid of the subspace whose window starts at `off` (0-based
     * element offset into the full vector attribute `v`): argmin ||x-c||^2
-    * = argmax (x.c - ||c||^2/2). The centroid matrix enters the plan as
-    * ONE literal array column looped over with `transform` at runtime, so
-    * the expression tree is O(1) in ksub — an unrolled per-centroid form
-    * blows past the JVM method-size codegen limit at ksub=256 and falls
-    * back to ~100x slower interpreted eval. Single pass: argmax via
-    * array_max over (score, cell) structs.
+    * = argmax (x.c - ||c||^2/2), via the native codegen expression
+    * [[graft.plans.NativeTopCells]] with the precomputed ||c||^2/2 bias
+    * vector — O(1) generated-code size in ksub (an unrolled per-centroid
+    * form blows past the JVM method-size codegen limit at ksub=256 and
+    * falls back to ~100x slower interpreted eval; the prior
+    * transform-HOF form survived codegen but paid interpreted
+    * CodegenFallback dispatch per (centroid, dim) element on every row).
+    * Scores and the larger-cell tie rule are bit-identical to both.
     */
-  private def nearestSubCell(v: org.apache.spark.sql.Column,
-      off: org.apache.spark.sql.Column, cents: Seq[Seq[Double]]) = {
-    val dsub = cents.head.size
-    val centsLit = typedlit(cents.map(_.toArray).toArray)
-    val halvesLit = typedlit(cents.map(c => c.map(x => x * x).sum / 2.0).toArray)
-    array_max(transform(sequence(lit(0), lit(cents.size - 1)), i =>
-      struct((dotOff(v, off, element_at(centsLit, i + 1), dsub) -
-        element_at(halvesLit, i + 1)).as("d"), i.as("cell"))))
-      .getField("cell")
-  }
+  private def nearestSubCell(spark: org.apache.spark.sql.SparkSession,
+      v: org.apache.spark.sql.Column, off: Int, cents: Seq[Seq[Double]]) =
+    element_at(graft.plans.NativeTopCells.topCellsCol(spark, v, off, cents,
+      cents.map(c => c.map(x => x * x).sum / 2.0), 1), 1)
 
   /** Train PQ codebooks: deterministic seed directions per subspace
     * refined by `iters` distributed Lloyd iterations (same recipe as
@@ -269,7 +254,8 @@ object Similarity {
       // one row per (vector, subspace): assign, then mean per (s, cell, pos)
       val assigned = c0.select(explode(array((0 until m).map { s =>
         struct(lit(s).as("s"), subVec(col("v"), s, dsub).as("sv"),
-          nearestSubCell(col("v"), lit(s * dsub), cents(s)).as("cell"))
+          nearestSubCell(candidates.sparkSession, col("v"), s * dsub,
+            cents(s)).as("cell"))
       }: _*)).as("a")).select(col("a.s"), col("a.sv"), col("a.cell"))
       val means = assigned
         .select(col("s"), col("cell"), posexplode(col("sv")).as(Seq("d", "x")))
@@ -298,7 +284,8 @@ object Similarity {
     df.select(col(idCol).as("vec_id"), Vec.asDouble(col(vecCol)).as("__v"))
       .select(col("vec_id"),
         array((0 until cb.m).map(s =>
-          nearestSubCell(col("__v"), lit(s * cb.dsub), cb.centroids(s))): _*)
+          nearestSubCell(df.sparkSession, col("__v"), s * cb.dsub,
+            cb.centroids(s))): _*)
           .as("code"))
 
   /** PQ top-k by asymmetric distance computation (ADC): each query builds

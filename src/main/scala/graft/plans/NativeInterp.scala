@@ -118,5 +118,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_hash48"),
       new ExpressionInfo(NativeHash48.getClass.getName, "graft_hash48"),
       NativeHash48.builder))
+    e.injectFunction((FunctionIdentifier("graft_top_cells"),
+      NativeTopCells.info, NativeTopCells.builder))
   }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.NativeTopCells
+
+/** Semantics lock for the native coarse-quantizer argmax: bit-parity with
+  * the Column-algebra forms it replaced (left-to-right dot fold, bias as a
+  * trailing subtraction, larger-cell tie rule, descending top-p order,
+  * Spark double ordering for NaN).
+  */
+class NativeTopCellsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("top-p matches the sort-based HOF form on random vectors") {
+    val cents = graft.functions.Vec.planes(17, 8)
+    val bias = cents.map(c => c.map(x => x * x).sum / 2.0)
+    val vecs = (0 until 50).map(i =>
+      (0 until 8).map(d => math.sin(i * 31 + d * 7).toDouble))
+    val df = vecs.map(v => Tuple1(v)).toDF("v")
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      struct((graft.functions.Vec.dot(col("v"), typedlit(c.toArray)) -
+        bias(i)).as("d"), lit(i).as("cell"))
+    }
+    val rows = df.select(
+      NativeTopCells.topCellsCol(spark, col("v"), 0, cents, bias, 5)
+        .as("native"),
+      transform(slice(reverse(array_sort(array(scored: _*))), 1, 5),
+        s => s.getField("cell")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+        s"native=${r.getSeq[Int](0)} hof=${r.getSeq[Int](1)}")
+    }
+  }
+
+  test("offset window scores a subvector exactly like the sliced dot") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(0.5, 0.5))
+    val df = Seq(Tuple1(Seq(9.0, 9.0, 3.0, 4.0))).toDF("v")
+    // off = 2: scores against (3.0, 4.0) -> dots 3.0, 4.0, 3.5 -> argmax 1
+    val got = df.select(element_at(
+      NativeTopCells.topCellsCol(spark, col("v"), 2, cents,
+        Seq(0.0, 0.0, 0.0), 1), 1)).collect().head.getInt(0)
+    assert(got == 1)
+  }
+
+  test("equal scores break toward the larger cell index") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val df = Seq(Tuple1(Seq(2.0, 1.0))).toDF("v")
+    // dots: 2.0, 2.0, 1.0 -> top-3 descending = (1, 0, 2)
+    val got = df.select(NativeTopCells.topCellsCol(spark, col("v"), 0, cents,
+      Seq(0.0, 0.0, 0.0), 3)).collect().head.getSeq[Int](0)
+    assert(got == Seq(1, 0, 2))
+  }
+
+  test("p beyond nCells clamps; NaN score sorts largest like Spark doubles") {
+    val cents = Seq(Seq(1.0), Seq(Double.NaN), Seq(2.0))
+    val df = Seq(Tuple1(Seq(1.0))).toDF("v")
+    val got = df.select(NativeTopCells.topCellsCol(spark, col("v"), 0, cents,
+      Seq(0.0, 0.0, 0.0), 99)).collect().head.getSeq[Int](0)
+    assert(got == Seq(1, 2, 0))
+  }
+
+  test("null vector propagates null; SQL registration parses") {
+    NativeTopCells.register(spark)
+    val out = spark.sql(
+      """SELECT graft_top_cells(CAST(NULL AS ARRAY<DOUBLE>), 0,
+        |array(array(1D)), array(0D), 1) AS v""".stripMargin)
+      .collect().head
+    assert(out.isNullAt(0))
+    val ok = spark.sql(
+      """SELECT graft_top_cells(array(3D, 1D), 0,
+        |array(array(1D, 0D), array(0D, 1D)), array(0D, 0D), 1) AS v""".stripMargin)
+      .collect().head.getSeq[Int](0)
+    assert(ok == Seq(0))
+  }
+}

@@ -189,12 +189,12 @@ class IvfSpec extends AnyFunSuite {
   }
 
   test("1024-cell assignment stays codegen-compact and matches driver argmax") {
-    // the 100M-vector regime wants nCells ~ sqrt(N) ~ 10k; the old unrolled
-    // per-centroid expression grew O(nCells) and would blow the JVM method
+    // the 100M-vector regime wants nCells ~ sqrt(N) ~ 10k; an unrolled
+    // per-centroid expression grows O(nCells) and would blow the JVM method
     // -size codegen limit exactly as nearestSubCell's comment documents.
-    // Lock the literal-matrix form: generated method size is O(1) in nCells
-    // (assert far under the 8000-byte JIT limit at 1024 cells), and the
-    // assignment agrees with a driver-computed argmax (same fold order).
+    // Lock the native NativeTopCells form: generated method size is O(1) in
+    // nCells (assert far under the 8000-byte JIT limit at 1024 cells), and
+    // the assignment agrees with a driver-computed argmax (same fold order).
     import org.apache.spark.sql.execution.debug._
     val base = graft.operators.AnnBench.synth(spark, 1000, 16, 50)
     val idx = Similarity.buildIvfIndex(base, 1024, 16)
@@ -219,7 +219,8 @@ class IvfSpec extends AnyFunSuite {
       val v = r.getSeq[Double](2)
       assert(r.getInt(0) == argmax(v), s"vec ${r.getLong(1)} assigned to wrong cell")
     }
-    // the probe side shares cellScoresOf; at 1024 cells it must still run
+    // the probe side shares the native top-cells expression; at 1024 cells
+    // it must still run
     val probed = Similarity.probeIvf(idx, base.where(col("vec_id") < 4), 5,
       nProbe = 3).count()
     assert(probed > 0)
