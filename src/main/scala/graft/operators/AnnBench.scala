@@ -50,8 +50,14 @@ object AnnBench {
     val base = synth(spark, n, dim, nClusters = 200)
       .repartition(32).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
-    // query sample: every n/nQueries-th vector
-    val queries = base.where(col("vec_id") % (n / nQueries) === 0)
+    // query sample: vec_id = i * (step + 1) for i < nQueries. A plain
+    // every-step-th stride lands EVERY query in cluster 0 (step = n/50 is
+    // divisible by nClusters = 200), which makes probed-cell unions
+    // unrealistically small and flatters the pruned-probe numbers; the
+    // +1 staggers the sample across 50 distinct clusters (step+1 is
+    // coprime to 200), the diverse batch a real serve path sees.
+    val step = n / nQueries
+    val queries = base.where(col("vec_id") % step === col("vec_id").cast("long") / step)
 
     val t0 = System.nanoTime()
     val index = Similarity.buildIvfIndex(base, nCells, dim)
