@@ -128,9 +128,10 @@ object AnnBench {
     val (filesRead, bytesRead) = listScanMetrics(loadedProbe)
     // the 50-query batch legitimately probes ~every cell (50 x nProbe
     // covers the index), so ALSO measure a small serve-path batch: 5
-    // queries touch at most 5 x nProbe cells, and dynamic partition
-    // pruning must confine the scan to those cells' files
-    val q5 = queries.where(col("vec_id") <= (n / nQueries) * 4)
+    // queries touch at most 5 x nProbe cells, and the static partition
+    // filter must confine the scan to those cells' files. Query ids are
+    // i * (step + 1), so the first FIVE are i = 0..4 <= 4 * (step + 1)
+    val q5 = queries.where(col("vec_id") <= (step + 1) * 4)
     val t1c = System.nanoTime()
     val probe5 = Similarity.probeIvf(loaded, q5, k, nProbe)
       .select("q_id", "vec_id")

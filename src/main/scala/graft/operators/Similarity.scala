@@ -137,6 +137,15 @@ object Similarity {
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
     val lists = spark.read.parquet(s"$dir/lists")
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("c_vec"))
+    // saveIvfIndex always writes all nCells rows, so a gap means a corrupt
+    // or partially-written table — fail with the contract spelled out
+    // rather than a bare NoSuchElementException from the dense re-index
+    (0 until cents.size).foreach { i =>
+      require(cents.contains(i),
+        s"IVF centroid table at $dir/centroids is missing cell $i (have " +
+        s"${cents.size} rows, expected a dense 0..${cents.size - 1} id " +
+        "range) — the index is corrupt or was partially written")
+    }
     IvfIndex((0 until cents.size).map(cents), lists)
   }
 
@@ -151,22 +160,37 @@ object Similarity {
     * partition-pruning planner heuristics (AQE drops DPP when it judges
     * the broadcast non-reusable, which would silently regress the probe
     * to a full index scan).
+    *
+    * EAGER in the query batch: the exploded (q_id, q_vec, cell) frame is
+    * collected ONCE and both the partition filter and the broadcast join
+    * side derive from those same rows — evaluating `queries` twice would
+    * let a non-deterministic source (sample/rand/an uncached shuffle)
+    * produce a collected cell set that disagrees with the join's cells
+    * and silently drop probe cells. The candidate-side plan stays lazy.
     */
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
     val cents = index.centroids
     // same native top-cells expression as the build-side assignment,
     // p = nProbe: the returned cells are already in descending score
     // order (descending array_sort tie rule), matching the previous
     // slice(reverse(array_sort(...))) form cell-for-cell
-    val probed = graft.plans.NativeTopCells.topCellsCol(queries.sparkSession,
+    val probed = graft.plans.NativeTopCells.topCellsCol(spark,
       col("q_vec"), 0, cents, Seq.fill(cents.size)(0.0), nProbe)
-    val q = broadcast(queries.select(col(idCol).as("q_id"),
+    val qExploded = queries.select(col(idCol).as("q_id"),
         Vec.asDouble(col(vecCol)).as("q_vec"))
-      .withColumn("cell", explode(probed)))
-    val probedCells = q.select("cell").distinct().collect().map(_.getInt(0))
-    val lists = index.lists
-      .where(col("cell").isin(probedCells.map(Int.box): _*))
+      .withColumn("cell", explode(probed))
+    val qRows = qExploded.collect()
+    val q = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qExploded.schema))
+    val probedCells = qRows.map(_.getInt(2)).distinct
+    // skip the IN filter on a probe-all batch (e.g. the q56c identity),
+    // where it prunes nothing and only costs plan/codegen surface
+    val lists =
+      if (probedCells.length < cents.size)
+        index.lists.where(col("cell").isin(probedCells.map(Int.box).toSeq: _*))
+      else index.lists
     val scored = lists.join(q, "cell")
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("cosine", Vec.cosine(col("q_vec"), col("c_vec")))

@@ -36,8 +36,10 @@ import org.apache.spark.sql.types._
   * descending `array_sort` over (score, cell) structs: larger cell wins.
   *
   * Contract: `v` must have >= off+dsub non-null elements (embeddings are
-  * non-null by schema); `mat` rows share one width; `bias` has one entry
-  * per `mat` row. `p` is clamped to nCells.
+  * non-null by schema) — ENFORCED at evaluation time with a descriptive
+  * IllegalArgumentException rather than a silent wrong answer; `mat` rows
+  * share one width; `bias` has one entry per `mat` row. `p` is clamped to
+  * nCells.
   */
 object NativeTopCells {
 
@@ -54,6 +56,25 @@ object NativeTopCells {
   def topCells(v: ArrayData, off: Int, mat: ArrayData, bias: ArrayData,
       p: Int): ArrayData = {
     val n = mat.numElements()
+    // enforce the documented vector contract (propagateNull only covers a
+    // null top-level array): one up-front pass of off+dsub length/null
+    // checks per row, amortized over the n x dsub multiply-adds below —
+    // without it a short vector or a null element reads undefined values
+    // and returns silently-wrong cells
+    val width = if (n > 0) off + mat.getArray(0).numElements() else off
+    if (v.numElements() < width)
+      throw new IllegalArgumentException(
+        s"graft_top_cells: vector has ${v.numElements()} elements but the " +
+        s"centroid matrix needs $width (off=$off); embeddings shorter than " +
+        "the trained dimension violate the contract")
+    var t = off
+    while (t < width) {
+      if (v.isNullAt(t))
+        throw new IllegalArgumentException(
+          s"graft_top_cells: vector element $t is null; embeddings must " +
+          "have non-null elements over the scored window")
+      t += 1
+    }
     val dots = new Array[Double](n)
     var c = 0
     while (c < n) {

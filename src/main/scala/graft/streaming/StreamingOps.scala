@@ -12,6 +12,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Watermark delay (ms) attached to a Dataset's analyzed plan, if any —
+    * surfaces the [[gapSessionsStream]] ≡ [[gapSessions]] equivalence
+    * precondition (gapUs >= delay) instead of leaving it a silent config
+    * hazard.
+    */
+  private[graft] def watermarkDelayMs(ds: Dataset[_]): Option[Long] =
+    ds.queryExecution.analyzed.collectFirst {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark =>
+        org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark
+          .getDelayMs(e.delay)
+    }
+
   /** events.ts arrives as BIGINT nanoseconds (parquet TIMESTAMP(NANOS)
     * behind the legacy conf); expose a microsecond TimestampType for
     * watermarks/windows.
@@ -191,6 +205,21 @@ object StreamingOps {
   def gapSessionsStream(events: Dataset[SessionEvent], gapUs: Long):
       Dataset[GapSession] = {
     import events.sparkSession.implicits._
+    // surface the batch-equivalence precondition at plan-build time: with
+    // a watermark delay LONGER than the gap, a within-watermark row can
+    // arrive after the session it would have bridged into was already
+    // emitted (append-mode emission is irrevocable), and the streaming
+    // output diverges from the batch twin — warn instead of silently
+    // diverging in misconfigured deployments
+    watermarkDelayMs(events).filter(_ * 1000L > gapUs).foreach { delayMs =>
+      log.warn(
+        s"gapSessionsStream: watermark delay ${delayMs} ms exceeds the " +
+        s"session gap ${gapUs / 1000L} ms — rows arriving late-but-within-" +
+        "watermark may bridge into sessions that were already emitted, so " +
+        "the streaming output can diverge from the batch twin " +
+        "(gapSessions). Use gapUs >= the watermark delay for exact " +
+        "equivalence.")
+    }
     def cents(v: Double): Long =
       java.math.BigDecimal.valueOf(v * 100)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValue
@@ -243,7 +272,9 @@ object StreamingOps {
             // later session for this user exists) and emits now; a yet-
             // later row that would have bridged into one of them is the
             // standard append-mode late-data loss — unreachable in configs
-            // with gapUs >= the watermark delay (q65's shipped 12h >> 10min)
+            // with gapUs >= the watermark delay (q65's shipped 12h >>
+            // 10min); the converse misconfiguration is warned about at
+            // plan-build time above
             val last = merged.last
             state.update(last)
             // close once the watermark passes the session's last event +

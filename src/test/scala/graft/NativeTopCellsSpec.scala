@@ -62,6 +62,27 @@ class NativeTopCellsSpec extends AnyFunSuite {
     assert(got == Seq(1, 2, 0))
   }
 
+  test("contract guards fail loudly: short vector and null element") {
+    // silent-wrong-answer prevention: a vector narrower than off+dsub or a
+    // null element inside the scored window must throw the documented
+    // IllegalArgumentException, not read undefined values
+    def rootMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ rootMsgs(x.getCause))
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val short = Seq(Tuple1(Seq(1.0, 2.0))).toDF("v")
+    val e1 = intercept[Exception] {
+      short.select(NativeTopCells.topCellsCol(spark, col("v"), 0, cents,
+        Seq(0.0, 0.0), 1)).collect()
+    }
+    assert(rootMsgs(e1).exists(_.contains("graft_top_cells")), s"got: $e1")
+    val hole = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 3.0))).toDF("v")
+    val e2 = intercept[Exception] {
+      hole.select(NativeTopCells.topCellsCol(spark, col("v"), 0, cents,
+        Seq(0.0, 0.0), 1)).collect()
+    }
+    assert(rootMsgs(e2).exists(_.contains("null")), s"got: $e2")
+  }
+
   test("null vector propagates null; SQL registration parses") {
     NativeTopCells.register(spark)
     val out = spark.sql(

@@ -226,6 +226,35 @@ class IvfSpec extends AnyFunSuite {
     assert(probed > 0)
   }
 
+  test("loadIvfIndex rejects a centroid table with a missing cell") {
+    import spark.implicits._
+    val bad = java.nio.file.Files.createTempDirectory("ivf_bad").toString
+    Seq((0, 0L, Seq(0.0, 0.0))).toDF("cell", "vec_id", "c_vec")
+      .write.partitionBy("cell").parquet(s"$bad/lists")
+    (0 until 8).filter(_ != 3).map(i => (i, Seq(i.toDouble, 0.0)))
+      .toDF("cell", "centroid").write.parquet(s"$bad/centroids")
+    val ex = intercept[IllegalArgumentException](
+      Similarity.loadIvfIndex(spark, bad))
+    assert(ex.getMessage.contains("missing cell 3"), ex.getMessage)
+  }
+
+  test("probeIvf stays internally consistent on a non-deterministic query frame") {
+    // the eager-collect contract: the static cell filter and the broadcast
+    // join side derive from ONE materialization of the query batch, so a
+    // rand()-gated source (different rows on every evaluation) cannot
+    // produce a filter that disagrees with the joined cells and drop probe
+    // cells — every returned query must still rank a full top-k
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = Similarity.buildIvfIndex(e, 8, 64)
+    val q = e.where(rand() < 0.05)
+    val out = Similarity.probeIvf(idx, q, 3, nProbe = 2)
+      .groupBy("q_id").agg(count(lit(1)).as("n"))
+      .collect()
+    assert(out.nonEmpty, "the sampled query batch should not be empty")
+    out.foreach(r => assert(r.getLong(1) == 3L,
+      s"query ${r.get(0)} ranked ${r.getLong(1)} neighbors, expected 3"))
+  }
+
   test("saved/loaded IVF index probes identically and prunes partitions") {
     val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 4)

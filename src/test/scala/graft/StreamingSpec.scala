@@ -31,6 +31,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("watermarkDelayMs surfaces the gap-equivalence precondition") {
+    // the gapSessionsStream misconfiguration warning keys off this helper:
+    // it must read the configured delay off a streaming plan and stay None
+    // when no watermark is attached
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmdelay-")
+      .toString + "/events"
+    spark.range(3).select(col("id").as("user_id"),
+        (col("id") * 1000000L).as("ts_us"), lit(1.0).as("value"),
+        timestamp_micros(col("id")).as("event_time"))
+      .write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    assert(StreamingOps.watermarkDelayMs(stream).isEmpty)
+    val wm = stream.withWatermark("event_time", "10 minutes")
+    assert(StreamingOps.watermarkDelayMs(wm) == Some(600000L))
+  }
+
   test("streaming q38 in complete mode equals the batch driver query exactly") {
     // the unified-API claim, proven: the EXACT driver-contract q38 result
     // (oracle-checked against DuckDB) reproduced by the same transform
