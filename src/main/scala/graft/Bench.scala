@@ -23,6 +23,23 @@ object Bench {
     (times, errors.result())
   }
 
+  /** Fixed-work host-noise probe, timed immediately before every pass:
+    * ~100M codegen'd long ops, zero I/O, independent of the data scale —
+    * its duration moves ONLY with host load. Recording it makes a
+    * loaded-host artifact self-describing: a reader compares the three
+    * probe timings against the idle-host floor noted in BASELINE.md and
+    * can attribute a uniform slowdown to interference without re-running
+    * anything (round-9's +30% warm phantom needed a same-session re-bench
+    * to adjudicate; this field kills that failure mode). collect() (not
+    * count()) forces the sum — count() would let column pruning drop the
+    * arithmetic being timed.
+    */
+  def noiseProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(100000000L).selectExpr("sum(id * 3 + 1) as s").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Three timed passes over `queries` -> the two JSON artifact lines.
     * Pass 1 (cold) includes per-plan Janino whole-stage-codegen compilation
     * and .cache() materialization — comparable with BASELINE.md / round-1
@@ -37,11 +54,16 @@ object Bench {
     * sentinel in every per-query map (min propagates it: one failed warm
     * pass marks the query), is EXCLUDED from the totals, and lands in the
     * "errors" list on BOTH lines — an empty list is the all-green claim.
+    * Each pass is preceded by a [[noiseProbe]] whose three timings ride
+    * along as noise_cold/noise_warm1/noise_warm2 on BOTH lines.
     */
   def render(queries: Map[String, (SparkSession, String) => DataFrame],
       spark: SparkSession, sfDir: String): Seq[String] = {
+    val n0 = noiseProbe(spark)
     val (cold, coldErrs) = pass(queries, spark, sfDir)
+    val n1 = noiseProbe(spark)
     val (warm1, w1Errs) = pass(queries, spark, sfDir)
+    val n2 = noiseProbe(spark)
     val (warm2, w2Errs) = pass(queries, spark, sfDir)
     val warm = warm1.map { case (k, v) => k -> math.min(v, warm2(k)) }
     val errors = (coldErrs ++ w1Errs ++ w2Errs).distinct
@@ -56,10 +78,10 @@ object Bench {
     // line): the artifact collector keeps the tail of long lines, so totals
     // printed first would be the part that gets truncated away
     Seq(
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm1":${js(warm1)},"queries_warm2":${js(warm2)},"errors":${jsErr(errors)},"warm_total":$warmTotal,"value":$coldTotal}""",
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm1":${js(warm1)},"queries_warm2":${js(warm2)},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"warm_total":$warmTotal,"value":$coldTotal}""",
       // distinct metric name: a JSONL consumer filtering metric=="total"
       // must not double-count this compact repeat of the totals
-      s"""{"metric":"total_compact","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"n_queries":${cold.size},"n_errors":${errors.size},"errors":${jsErr(errors)},"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"n_queries":${cold.size},"n_errors":${errors.size},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {

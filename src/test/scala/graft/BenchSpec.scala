@@ -60,4 +60,17 @@ class BenchSpec extends AnyFunSuite {
     assert((JsonMethods.parse(full) \ "errors").extract[Seq[String]].isEmpty)
     assert((JsonMethods.parse(compact) \ "n_errors").extract[Int] == 0)
   }
+
+  test("both artifact lines carry the three host-noise probe timings") {
+    // the self-describing-artifact contract: a loaded-host recording must
+    // be adjudicable from the artifact alone — one probe before each pass,
+    // all three on BOTH lines, every timing a real positive duration
+    val Seq(full, compact) = Bench.render(queries - "boom", spark, "/unused")
+    implicit val fmts: Formats = DefaultFormats
+    for (j <- Seq(JsonMethods.parse(full), JsonMethods.parse(compact));
+         field <- Seq("noise_cold", "noise_warm1", "noise_warm2")) {
+      val v = (j \ field).extract[Double]
+      assert(v > 0.0, s"$field must record a positive probe duration, got $v")
+    }
+  }
 }
