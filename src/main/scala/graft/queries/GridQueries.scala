@@ -112,6 +112,18 @@ object GridQueries {
         .orderBy("profile_number")
     }),
 
+    // Per-user session totals (Structured Streaming surface): the batch
+    // twin of StreamingOps.sessionize — the cumulative (n, total) its
+    // per-user mapGroupsWithState state converges to once a user's events
+    // drain. Restricted to non-null values (the typed-encoder envelope
+    // sessionize itself requires); totals in exact cents (q65 convention)
+    // so the oracle is bit-deterministic.
+    "q68_session_totals" -> ((s, dir) => {
+      graft.streaming.StreamingOps.sessionTotalsBatch(
+          events(s, dir).where(col("value").isNotNull))
+        .orderBy("user_id")
+    }),
+
     // verify_depth_bias computational core (process_adcp.py:1859-1950) on an
     // events-derived grid: travel direction from the across-profile latitude
     // gradient, 20 depth slabs, per-(var, slab, direction) 99-bin density
@@ -247,6 +259,12 @@ object GridQueries {
            min(tus) AS t_start_us, max(tus) AS t_end_us,
            CAST(sum(round(value * 100)) AS BIGINT) AS sum_cents
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""",
+
+    "q68_session_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+           CAST(sum(round(value * 100)) AS BIGINT) AS total_cents
+         FROM events WHERE value IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
 
     "q10_interp_join" ->
       s"""${interpSql("view", "click", "value")}

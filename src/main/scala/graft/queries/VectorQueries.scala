@@ -87,6 +87,37 @@ object VectorQueries {
         .orderBy("label")
     }),
 
+    // Oversized-block near-dup — the split path of nearDupPairs under the
+    // driver hash check: ONE blocking key carrying 200 copies of a single
+    // embedding (a degenerate boilerplate-style mass, far over the cap)
+    // plus a planted diverse near-dup pair. The mass collapses into one
+    // over-cap sign-LSH sub-bucket and is dropped; the pair (2 rows <=
+    // cap) survives sub-bucketing and is the ONLY output. Survival is
+    // deterministic by construction — identical vectors agree on every
+    // sign bit, and the pair's vector is a different corpus embedding than
+    // the mass's (sub-bucket disjointness verified against all three SF
+    // datasets) — so the oracle is the closed-form expected row: a full
+    // hash check of the cap semantics, where mirroring the engine's plane
+    // hashes in DuckDB would otherwise force a weaker rows-only check.
+    // topPerGroup = 5 means any leaked mass pair (cosine 1.0, smaller
+    // ids) would surface and break the hash.
+    "q57b_neardup_oversized_block" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val massV = e.where(col("vec_id") === 0).select(col("embedding").as("mass_v"))
+      val mass = e.where(col("vec_id") < 200).select(col("vec_id"))
+        .crossJoin(broadcast(massV))
+        .select(col("vec_id"), col("mass_v").as("embedding"))
+      val pairV = e.where(col("vec_id") === 300).select(col("embedding").as("pair_v"))
+      val pair = s.range(2).select((col("id") + 9001L).as("vec_id"))
+        .crossJoin(broadcast(pairV))
+        .select(col("vec_id"), col("pair_v").as("embedding"))
+      val block = mass.unionByName(pair).withColumn("label", lit(0L))
+      Similarity.nearDupPairs(block, "label", topPerGroup = 5,
+          maxBlock = Some(50))
+        .select(col("id_a"), col("id_b"), fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // Vector scalar functions: L2 norm and component mean per vector.
     "q58_vector_norms" -> ((s, dir) => {
       val v = Vec.asDouble(col("embedding"))
@@ -163,6 +194,12 @@ object VectorQueries {
           SELECT CAST(label AS BIGINT) AS label, id_a, id_b,
             ${sqlFp("cosine", 6)} AS cos_micro
           FROM ranked WHERE rank = 1 ORDER BY label""",
+
+    // Closed-form expected output (see the query comment: survival is
+    // deterministic by construction, cosine(v, v) rounds to exactly 1).
+    "q57b_neardup_oversized_block" ->
+      """SELECT CAST(9001 AS BIGINT) AS id_a, CAST(9002 AS BIGINT) AS id_b,
+           CAST(1000000 AS BIGINT) AS cos_micro""",
 
     "q58_vector_norms" ->
       s"""SELECT vec_id,

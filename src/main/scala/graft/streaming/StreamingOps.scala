@@ -47,11 +47,17 @@ object StreamingOps {
 
   final case class SessionInput(user_id: Long, ts_us: Long, value: Double)
   final case class SessionSummary(user_id: Long, n_events: Long, total: Double, closed: Boolean)
-  private final case class SessionState(n: Long, total: Double)
+  // public like ProfileState: the streaming state encoder's generated code
+  // constructs and reads it from outside this object (batch execution
+  // tolerates private, a running stream does not)
+  final case class SessionState(n: Long, total: Double)
 
   /** Stateful sessionization per user via mapGroupsWithState: accumulates
     * per-user event counts/totals with a processing-time timeout — the
     * KeyValueGroupedDataset custom-state surface (SURVEY.md §2.10).
+    * Batch twin: [[sessionTotalsBatch]] (driver row q68) — once a user's
+    * events are drained, the state this fold carries (and the last open
+    * SessionSummary emitted for the user) holds exactly that aggregate.
     */
   def sessionize(events: Dataset[SessionInput]): Dataset[SessionSummary] = {
     import events.sparkSession.implicits._
@@ -73,6 +79,24 @@ object StreamingOps {
           }
       }
   }
+
+  /** Batch twin of [[sessionize]]: the per-user cumulative (count, total)
+    * its mapGroupsWithState fold converges to once the user's events are
+    * drained — one hash-aggregate on the session key (partial map-side
+    * combine, no window), so the shape holds at any scale. n_events
+    * matches the stream exactly; the stream's double `total` is a fold in
+    * arrival order, so the twin projects totals to exact cents
+    * (round(value*100) per event — the q65/q38 convention) to stay
+    * bit-deterministic for the driver oracle (q68), and the StreamingSpec
+    * equivalence run pins the stream's final per-user emission to this
+    * aggregate (count exact, total to float tolerance). Input rows need a
+    * non-null `value`, the same envelope [[sessionize]]'s typed encoder
+    * enforces.
+    */
+  def sessionTotalsBatch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100)).cast("long").as("total_cents"))
 
   // event_time must ride along in the typed row: the watermark attaches to
   // that attribute, and projecting it away before the stateful operator

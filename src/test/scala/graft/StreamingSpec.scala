@@ -299,6 +299,51 @@ class StreamingSpec extends AnyFunSuite {
       s"expected the early row as its own session, got $got")
   }
 
+  test("streaming sessionize converges to the q68 batch totals per user") {
+    // the driver-twin claim behind q68: once a user's events drain, the
+    // cumulative SessionSummary the stream last emitted equals the batch
+    // hash-aggregate — count exactly; the double total to float tolerance
+    // (the stream folds in arrival order, the batch in partition order)
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-q68-stream-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    // Trigger.Once, not runToMemory: the ProcessingTimeTimeout schedules
+    // timeout-evaluation batches forever, so processAllAvailable never
+    // settles; one triggered batch ingests the whole file and terminates,
+    // and its per-user cumulative emission IS the converged state
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.sessionize(
+        stream.selectExpr("user_id", "ts div 1000 as ts_us", "value")
+          .where(col("value").isNotNull)
+          .as[StreamingOps.SessionInput]).toDF()
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .format("memory").queryName("sessionize_q68_test")
+      .start()
+    assert(q.awaitTermination(180000), "stream must drain and terminate")
+    val streamed = spark.table("sessionize_q68_test")
+    val last = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    val events = graft.queries.Common.events(spark, sf)
+      .where(col("value").isNotNull)
+    val batch = StreamingOps.sessionTotalsBatch(events)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sums = events.groupBy("user_id").agg(sum("value").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(last.keySet == batch.keySet, "stream must summarize every user")
+    last.foreach { case (u, (_, n, total)) =>
+      assert(n == batch(u), s"user $u n_events $n != batch ${batch(u)}")
+      assert(math.abs(total - sums(u)) <= 1e-6 * math.max(1.0, math.abs(sums(u))),
+        s"user $u total $total != batch ${sums(u)}")
+    }
+  }
+
   test("stateful sessionization accumulates per-user state") {
     val input = Seq(
       StreamingOps.SessionInput(1L, 1000L, 2.0),
