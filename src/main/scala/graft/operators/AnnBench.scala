@@ -50,14 +50,18 @@ object AnnBench {
     val base = synth(spark, n, dim, nClusters = 200)
       .repartition(32).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.count()
-    // query sample: vec_id = i * (step + 1) for i < nQueries. A plain
-    // every-step-th stride lands EVERY query in cluster 0 (step = n/50 is
-    // divisible by nClusters = 200), which makes probed-cell unions
-    // unrealistically small and flatters the pruned-probe numbers; the
-    // +1 staggers the sample across 50 distinct clusters (step+1 is
-    // coprime to 200), the diverse batch a real serve path sees.
+    // query sample: vec_id = i * (step + 1) for i < nQueries — i.e. the
+    // multiples of step+1 below n. A plain every-step-th stride lands
+    // EVERY query in cluster 0 (step = n/50 is divisible by nClusters =
+    // 200), which makes probed-cell unions unrealistically small and
+    // flatters the pruned-probe numbers; the +1 staggers the sample
+    // across 50 distinct clusters (step+1 is coprime to 200), the
+    // diverse batch a real serve path sees. NOTE: Column `/` is DOUBLE
+    // division, so the previous `% step === vec_id / step` form matched
+    // only vec_id 0 — a silent ONE-query sample that flattered every
+    // probe metric; `% (step+1) === 0` is exact integer arithmetic.
     val step = n / nQueries
-    val queries = base.where(col("vec_id") % step === col("vec_id").cast("long") / step)
+    val queries = base.where(col("vec_id") % (step + 1) === 0)
 
     val t0 = System.nanoTime()
     val index = Similarity.buildIvfIndex(base, nCells, dim)
