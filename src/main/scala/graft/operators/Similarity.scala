@@ -168,19 +168,29 @@ object Similarity {
     * produce a collected cell set that disagrees with the join's cells
     * and silently drop probe cells. The candidate-side plan stays lazy.
     */
-  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = queries.sparkSession
+  /** The exploded (q_id, q_vec, cell) probe frame [[probeIvf]] joins —
+    * exposed so tests can recompute the exact probed-cell set and hold
+    * the scan-pruning metrics to it (one shared derivation, no drift).
+    */
+  private[graft] def probeCells(index: IvfIndex, queries: DataFrame,
+      nProbe: Int, idCol: String, vecCol: String): DataFrame = {
     val cents = index.centroids
     // same native top-cells expression as the build-side assignment,
     // p = nProbe: the returned cells are already in descending score
     // order (descending array_sort tie rule), matching the previous
     // slice(reverse(array_sort(...))) form cell-for-cell
-    val probed = graft.plans.NativeTopCells.topCellsCol(spark,
+    val probed = graft.plans.NativeTopCells.topCellsCol(queries.sparkSession,
       col("q_vec"), 0, cents, Seq.fill(cents.size)(0.0), nProbe)
-    val qExploded = queries.select(col(idCol).as("q_id"),
+    queries.select(col(idCol).as("q_id"),
         Vec.asDouble(col(vecCol)).as("q_vec"))
       .withColumn("cell", explode(probed))
+  }
+
+  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = index.centroids
+    val qExploded = probeCells(index, queries, nProbe, idCol, vecCol)
     val qRows = qExploded.collect()
     val q = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qExploded.schema))

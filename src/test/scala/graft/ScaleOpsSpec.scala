@@ -269,10 +269,35 @@ class IvfSpec extends AnyFunSuite {
     val fromDisk = probe
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(fromDisk == direct, "loaded index must probe identically")
-    // the probe over the loaded index must be a partition-PRUNED scan:
-    // cell is the parquet partition column and the join key
-    val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("dynamicpruning") || plan.contains("PartitionFilters"),
-      s"expected partition pruning on cell in:\n${plan.take(2000)}")
+    // the probe over the loaded index must be a partition-PRUNED scan,
+    // held to the EXACT probed-cell set via the scan's numFiles metric
+    // (saveIvfIndex writes one file per non-empty cell, so expected files
+    // = probed cells that hold at least one vector). A stringly
+    // "PartitionFilters appears in the plan" check once passed while a
+    // broken query sample made the metric meaningless — assert the number.
+    val probedCells = Similarity.probeCells(loaded, q, nProbe = 2,
+        "vec_id", "embedding")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val nonEmpty = loaded.lists.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val expectedFiles = (probedCells intersect nonEmpty).size
+    assert(expectedFiles > 0 && probedCells.size < 8,
+      s"test premise: a strict subset of cells probed, got $probedCells")
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val listScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    assert(listScans.nonEmpty, "probe plan must scan the saved lists")
+    val filesRead = listScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead == expectedFiles,
+      s"scan read $filesRead files, expected $expectedFiles " +
+      s"(probed ${probedCells.size} cells, ${nonEmpty.size} non-empty)")
   }
 }
