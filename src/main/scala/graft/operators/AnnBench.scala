@@ -62,6 +62,17 @@ object AnnBench {
     // probe metric; `% (step+1) === 0` is exact integer arithmetic.
     val step = n / nQueries
     val queries = base.where(col("vec_id") % (step + 1) === 0)
+    // the sample is load-bearing for every number this bench prints, and
+    // it has silently degenerated once (the one-query DOUBLE-division
+    // form above) — assert size and cluster diversity up front so a
+    // regression crashes the bench instead of recording flattering metrics
+    val sampled = queries.select(col("vec_id") % 200).distinct().count()
+    val nSampled = queries.count()
+    require(nSampled == nQueries,
+      s"query sample holds $nSampled rows, expected $nQueries")
+    require(sampled >= nQueries * 4 / 5,
+      s"query sample spans $sampled latent clusters of $nQueries queries — " +
+      "a concentrated sample flatters probed-cell unions")
 
     val t0 = System.nanoTime()
     val index = Similarity.buildIvfIndex(base, nCells, dim)
@@ -136,6 +147,7 @@ object AnnBench {
     // filter must confine the scan to those cells' files. Query ids are
     // i * (step + 1), so the first FIVE are i = 0..4 <= 4 * (step + 1)
     val q5 = queries.where(col("vec_id") <= (step + 1) * 4)
+    require(q5.count() == 5, "serve batch must hold the first 5 queries")
     val t1c = System.nanoTime()
     val probe5 = Similarity.probeIvf(loaded, q5, k, nProbe)
       .select("q_id", "vec_id")
