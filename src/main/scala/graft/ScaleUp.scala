@@ -33,19 +33,23 @@ object ScaleUp {
     df.sparkSession.range(factor).select(col("id").cast("int").as("__rep"))
   }
 
-  /** `factor` copies of the raw events table: offset event ids, +rep ns ts
-    * jitter (source ts values are microsecond-granular — multiples of
-    * 1000 ns — so a sub-1000 jitter is invisible to `ts div 1000`
-    * consumers: replicas land in the SAME bins and, at the us granularity
-    * every query observes, present coincident knots with identical values
-    * — the invariant that makes interpolation replication-invariant).
+  /** `factor` copies of the raw events table: offset event ids, ts
+    * normalized to BIGINT epoch ns (schema-adaptive — the source may be ns
+    * BIGINT or a micros TIMESTAMP) then jittered +rep ns. Source ts values
+    * are microsecond-granular — multiples of 1000 ns — so a sub-1000
+    * jitter is invisible to the us-flooring every consumer applies
+    * (`Common.tsUs`): replicas land in the SAME bins and, at the us
+    * granularity every query observes, present coincident knots with
+    * identical values — the invariant that makes interpolation
+    * replication-invariant. The replica table's ts is written as plain
+    * BIGINT ns, which `Common.events` consumes via its LongType branch.
     */
   def replicateEvents(ev: org.apache.spark.sql.DataFrame, factor: Int):
       org.apache.spark.sql.DataFrame =
     ev.crossJoin(broadcast(copies(ev, factor)))
       .select(
         (col("event_id") + col("__rep") * lit(1000000000L)).as("event_id"),
-        (col("ts") + col("__rep").cast("long")).as("ts"),
+        (graft.queries.Common.tsNs(ev) + col("__rep").cast("long")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
 
   /** `factor` copies of documents: offset doc ids; each copy carries a
@@ -76,8 +80,8 @@ object ScaleUp {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // events: ts arrives as bigint ns (nanosAsLong); written back as plain
-    // bigint, which Common.events consumes identically (ts div 1000)
+    // events: ts normalized to bigint ns and written back as plain
+    // bigint, which Common.events consumes via its LongType branch
     replicateEvents(graft.queries.Common.table(spark, srcDir, "events"), factor)
       .repartition(64)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")

@@ -22,20 +22,43 @@ object Common {
   type Q = (SparkSession, String) => DataFrame
 
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS): Spark 4 reads it only as a
-    // nanosecond BIGINT behind this legacy flag (dynamic SQLConf).
+    // If events.ts is parquet TIMESTAMP(NANOS) (pre-2026-08 testdata),
+    // Spark 4 reads it only as a nanosecond BIGINT behind this legacy flag
+    // (dynamic SQLConf); harmless for micros data, where the column
+    // arrives as TIMESTAMP_NTZ instead — [[tsUs]] adapts to either.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.plans.NativeHash48.register(s)
     graft.plans.NativeInterp.register(s)
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** The events table with `ts_us`: epoch micros as BIGINT, the exact value
-    * DuckDB's `epoch_us(ts)` yields after its own ns->us floor — the shared
-    * time axis for every oracle-checked temporal query.
+  /** Epoch micros (BIGINT) from the `ts` column, whichever physical shape
+    * it arrived in: BIGINT nanoseconds (parquet TIMESTAMP(NANOS) behind
+    * the legacy flag, or a [[graft.ScaleUp]] replica table written as
+    * plain ns BIGINT) floors ns -> us; TIMESTAMP/TIMESTAMP_NTZ (parquet
+    * micros; NTZ cast resolves in the session's UTC zone) is exact. Both
+    * equal DuckDB's `epoch_us(ts)` on the same file — the shared time
+    * axis for every oracle-checked temporal query.
     */
-  def events(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  def tsUs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+    case _ => unix_micros(col("ts").cast("timestamp"))
+  }
+
+  /** Epoch nanos (BIGINT) from `ts` — micros-shaped columns upscale
+    * exactly (x1000); used by [[graft.ScaleUp]] to re-jitter below the
+    * microsecond every consumer observes.
+    */
+  def tsNs(df: DataFrame): Column = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => col("ts")
+    case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+  }
+
+  /** The events table with `ts_us`: epoch micros as BIGINT ([[tsUs]]). */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = table(s, dir, "events")
+    df.withColumn("ts_us", tsUs(df))
+  }
 
   /** Epoch microseconds as BIGINT (ntz-safe; for us/ms-precision columns). */
   def epochUs(ts: Column): Column = unix_micros(ts.cast("timestamp"))

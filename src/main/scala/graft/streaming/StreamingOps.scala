@@ -27,11 +27,13 @@ object StreamingOps {
     }
 
   /** events.ts arrives as BIGINT nanoseconds (parquet TIMESTAMP(NANOS)
-    * behind the legacy conf); expose a microsecond TimestampType for
-    * watermarks/windows.
+    * behind the legacy conf) or as a micros TIMESTAMP_NTZ (current
+    * testdata); expose a microsecond TimestampType for watermarks/windows
+    * via the shared schema-adaptive derivation.
     */
   def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    events.withColumn("event_time",
+      timestamp_micros(graft.queries.Common.tsUs(events)))
 
   /** Tumbling-window counts + sums per event type, 10-minute watermark.
     * Works on both batch and streaming inputs unchanged.

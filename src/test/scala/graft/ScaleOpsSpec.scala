@@ -42,7 +42,7 @@ class ReplicationInvarianceSpec extends AnyFunSuite {
     val T0us = 1704067200000000L
     def cells(raw: org.apache.spark.sql.DataFrame): Map[(Long, Long), (Long, Long)] =
       graft.core.Grid2d.grid2d(
-          raw.withColumn("ts_us", expr("ts div 1000"))
+          raw.withColumn("ts_us", graft.queries.Common.tsUs(raw))
             .withColumn("day",
               (col("ts_us") - lit(T0us)).cast("double") / 8.64e10),
           col("day"), 0.0, 1.0, 31,
@@ -75,7 +75,7 @@ class ReplicationInvarianceSpec extends AnyFunSuite {
     // of (user_id, ts) is true but irrelevant — nothing after `ts div
     // 1000` can see it)
     def interp(raw: org.apache.spark.sql.DataFrame) = {
-      val ev = raw.withColumn("ts_us", expr("ts div 1000"))
+      val ev = raw.withColumn("ts_us", graft.queries.Common.tsUs(raw))
         .withColumn("x", col("ts_us"))
       val src = ev.where(col("event_type") === "view")
         .select(col("user_id"), col("x"), col("value"))

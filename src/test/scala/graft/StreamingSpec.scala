@@ -193,7 +193,8 @@ class StreamingSpec extends AnyFunSuite {
         StreamingOps.gapSessionsStream(
           StreamingOps.withEventTime(df)
             .withWatermark("event_time", "10 minutes")
-            .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            .select(col("user_id"),
+              graft.queries.Common.tsUs(df).as("ts_us"),
               col("value"), col("event_time"))
             .as[StreamingOps.SessionEvent],
           gapUs).toDF()
@@ -317,7 +318,8 @@ class StreamingSpec extends AnyFunSuite {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val q = StreamingOps.sessionize(
-        stream.selectExpr("user_id", "ts div 1000 as ts_us", "value")
+        stream.select(col("user_id"),
+            graft.queries.Common.tsUs(stream).as("ts_us"), col("value"))
           .where(col("value").isNotNull)
           .as[StreamingOps.SessionInput]).toDF()
       .writeStream
