@@ -114,17 +114,46 @@ object Similarity {
     * (probe-time partition pruning), centroids as a tiny parquet table.
     */
   def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
-    val spark = index.lists.sparkSession
+    writeLists(index.lists, s"$dir/lists")
+    writeCentroids(index.lists.sparkSession, index.centroids,
+      s"$dir/centroids")
+  }
+
+  /** Write inverted lists partitioned by cell. Repartition on the
+    * partition column first: each cell's rows land in exactly one task, so
+    * every cell directory holds ONE file instead of one per (task x cell)
+    * — at nCells ~ 1000 an unshuffled write from a 32-partition frame
+    * would scatter ~32k small files.
+    */
+  private def writeLists(lists: DataFrame, path: String): Unit =
+    lists.repartition(col("cell")).write.mode("overwrite")
+      .partitionBy("cell").parquet(path)
+
+  private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[Seq[Double]], path: String): Unit = {
     import spark.implicits._
-    // repartition on the partition column first: each cell's rows land in
-    // exactly one task, so every cell directory holds ONE file instead of
-    // one per (task x cell) — at nCells ~ 1000 an unshuffled write from a
-    // 32-partition frame would scatter ~32k small files
-    index.lists.repartition(col("cell")).write.mode("overwrite")
-      .partitionBy("cell").parquet(s"$dir/lists")
-    index.centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Read a persisted centroid table, enforcing the dense 0..n-1 cell-id
+    * contract: [[saveIvfIndex]] always writes all nCells rows, so a gap
+    * means a corrupt or partially-written table — fail with the contract
+    * spelled out rather than a bare NoSuchElementException from the dense
+    * re-index.
+    */
+  private def readCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] = {
+    val cents = spark.read.parquet(path)
+      .orderBy("cell").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
+    (0 until cents.size).foreach { i =>
+      require(cents.contains(i),
+        s"IVF centroid table at $path is missing cell $i (have " +
+        s"${cents.size} rows, expected a dense 0..${cents.size - 1} id " +
+        "range) — the index is corrupt or was partially written")
+    }
+    (0 until cents.size).map(cents)
   }
 
   /** Load a saved index. The probe over a loaded index reads only the
@@ -132,21 +161,9 @@ object Similarity {
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$dir/centroids")
-      .orderBy("cell").collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
     val lists = spark.read.parquet(s"$dir/lists")
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("c_vec"))
-    // saveIvfIndex always writes all nCells rows, so a gap means a corrupt
-    // or partially-written table — fail with the contract spelled out
-    // rather than a bare NoSuchElementException from the dense re-index
-    (0 until cents.size).foreach { i =>
-      require(cents.contains(i),
-        s"IVF centroid table at $dir/centroids is missing cell $i (have " +
-        s"${cents.size} rows, expected a dense 0..${cents.size - 1} id " +
-        "range) — the index is corrupt or was partially written")
-    }
-    IvfIndex((0 until cents.size).map(cents), lists)
+    IvfIndex(readCentroids(spark, s"$dir/centroids"), lists)
   }
 
   /** Probe a built/loaded index: each query searches its nProbe closest
@@ -173,8 +190,11 @@ object Similarity {
     * the scan-pruning metrics to it (one shared derivation, no drift).
     */
   private[graft] def probeCells(index: IvfIndex, queries: DataFrame,
+      nProbe: Int, idCol: String, vecCol: String): DataFrame =
+    probeCellsOf(index.centroids, queries, nProbe, idCol, vecCol)
+
+  private def probeCellsOf(cents: Seq[Seq[Double]], queries: DataFrame,
       nProbe: Int, idCol: String, vecCol: String): DataFrame = {
-    val cents = index.centroids
     // same native top-cells expression as the build-side assignment,
     // p = nProbe: the returned cells are already in descending score
     // order (descending array_sort tie rule), matching the previous
@@ -330,23 +350,37 @@ object Similarity {
     * with an exact rerank of the shortlist ([[pqTopKRerank]]) for the
     * production shape.
     */
-  def pqTopK(queries: DataFrame, codes: DataFrame, k: Int, cb: PqCodebooks,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // flat (s * ksub + c) -> centroid literal matrix, looped at runtime:
-    // keeps the table-build expression O(1) in m*ksub (codegen-safe)
+  /** The per-query ADC lookup table: flat (s * ksub + c) -> dot(query
+    * subvector, centroid) — built ONCE per query row against a flat
+    * centroid literal matrix, looped at runtime so the table-build
+    * expression is O(1) in m*ksub (codegen-safe). `qv` must be a bound
+    * attribute (the [[dotOff]] contract).
+    */
+  private def adcTable(cb: PqCodebooks,
+      qv: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val flat = typedlit(
       (0 until cb.m).flatMap(s => cb.centroids(s)).map(_.toArray).toArray)
-    val tbl = transform(sequence(lit(0), lit(cb.m * cb.ksub - 1)), i => {
+    transform(sequence(lit(0), lit(cb.m * cb.ksub - 1)), i => {
       val s = floor(i.cast("double") / cb.ksub).cast("int")
-      dotOff(col("__qv"), s * cb.dsub, element_at(flat, i + 1), cb.dsub)
+      dotOff(qv, s * cb.dsub, element_at(flat, i + 1), cb.dsub)
     })
-    val q = broadcast(queries
-      .select(col(idCol).as("q_id"), Vec.asDouble(col(vecCol)).as("__qv"))
-      .select(col("q_id"), tbl.as("tbl")))
-    val approx = (0 until cb.m).map(s =>
+  }
+
+  /** Sum of the m table lookups a candidate's code selects — the ADC
+    * approximation of dot(query, candidate).
+    */
+  private def adcScore(cb: PqCodebooks): org.apache.spark.sql.Column =
+    (0 until cb.m).map(s =>
       element_at(col("tbl"),
         (lit(s * cb.ksub) + element_at(col("code"), s + 1) + 1).cast("int")))
       .reduce(_ + _)
+
+  def pqTopK(queries: DataFrame, codes: DataFrame, k: Int, cb: PqCodebooks,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("q_id"), Vec.asDouble(col(vecCol)).as("__qv"))
+      .select(col("q_id"), adcTable(cb, col("__qv")).as("tbl")))
+    val approx = adcScore(cb)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_dot").desc, col("vec_id"))
     codes.crossJoin(q)
@@ -365,30 +399,39 @@ object Similarity {
     * parquet bit-exactly, so a loaded index reranks identically.
     */
   def savePqIndex(cb: PqCodebooks, codes: DataFrame, dir: String): Unit = {
-    val spark = codes.sparkSession
-    import spark.implicits._
     codes.write.mode("overwrite").parquet(s"$dir/codes")
+    writeCodebooks(codes.sparkSession, cb, s"$dir/codebooks")
+  }
+
+  private def writeCodebooks(spark: org.apache.spark.sql.SparkSession,
+      cb: PqCodebooks, path: String): Unit = {
+    import spark.implicits._
     (for (s <- 0 until cb.m; c <- 0 until cb.ksub)
       yield (s, c, cb.centroids(s)(c)))
       .toDF("s", "cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+      .coalesce(1).write.mode("overwrite").parquet(path)
   }
 
-  /** Load a saved PQ index: (codebooks, codes). Shape (m, ksub, dsub) is
-    * recovered from the codebook table itself.
+  /** Read a persisted codebook table; shape (m, ksub, dsub) is recovered
+    * from the table itself.
     */
-  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (PqCodebooks, DataFrame) = {
-    val rows = spark.read.parquet(s"$dir/codebooks")
+  private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
+      path: String): PqCodebooks = {
+    val rows = spark.read.parquet(path)
       .orderBy("s", "cell").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     val m = rows.map(_._1).max + 1
     val ksub = rows.map(_._2).max + 1
     val byKey = rows.map(r => (r._1, r._2) -> r._3).toMap
     val cents = (0 until m).map(s => (0 until ksub).map(c => byKey((s, c))))
-    (PqCodebooks(m, ksub, cents.head.head.size, cents),
-      spark.read.parquet(s"$dir/codes"))
+    PqCodebooks(m, ksub, cents.head.head.size, cents)
   }
+
+  /** Load a saved PQ index: (codebooks, codes). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (PqCodebooks, DataFrame) =
+    (readCodebooks(spark, s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/codes"))
 
   /** PQ shortlist + exact rerank: ADC narrows the corpus to `shortlist`
     * candidates per query, then the exact cosine runs only on those —
@@ -408,9 +451,18 @@ object Similarity {
     */
   def pqTopKRerankCodes(queries: DataFrame, codes: DataFrame,
       candidates: DataFrame, k: Int, cb: PqCodebooks, shortlist: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val short = pqTopK(queries, codes, shortlist, cb, idCol, vecCol)
-      .select(col("q_id"), col("vec_id"))
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rerankExact(pqTopK(queries, codes, shortlist, cb, idCol, vecCol)
+      .select(col("q_id"), col("vec_id")), queries, candidates, k,
+      idCol, vecCol)
+
+  /** Exact-cosine rerank of a (q_id, vec_id) shortlist: float vectors are
+    * read only for the shortlist rows (the join narrows the candidate
+    * scan), queries broadcast. Output matches [[bruteForceTopK]]'s schema.
+    */
+  private def rerankExact(short: DataFrame, queries: DataFrame,
+      candidates: DataFrame, k: Int, idCol: String,
+      vecCol: String): DataFrame = {
     val c = candidates.select(col(idCol).as("vec_id"),
       Vec.asDouble(col(vecCol)).as("c_vec"))
     val q = broadcast(queries.select(col(idCol).as("q_id"),
@@ -422,6 +474,99 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "vec_id", "rank", "cosine")
+  }
+
+  /** A composite IVF-PQ index — the serve structure a 100M+-vector corpus
+    * actually uses (the IVFADC layout of Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the coarse
+    * quantizer routes queries to nProbe cells, the inverted lists hold PQ
+    * CODES (m bytes/vector, not dim floats), and the in-cell scan is the
+    * compressed-domain ADC lookup. IVF alone ([[IvfIndex]]) reads full
+    * float lists; PQ alone ([[pqTopKRerankCodes]]) scans every code; the
+    * composite prunes to the probed cells' partitions AND scans them in
+    * the compressed domain — at 100 TB the lists are the only large
+    * artifact and `cell` is their partition key.
+    *
+    * `lists`: (cell, vec_id, code). Centroids and codebooks are tiny,
+    * driver-held, and enter probe plans as literals.
+    */
+  final case class IvfPqIndex(centroids: Seq[Seq[Double]], cb: PqCodebooks,
+      lists: DataFrame)
+
+  /** Build the composite index: IVF coarse quantizer (one Lloyd
+    * iteration) + PQ codebooks ([[trainPq]]), then every candidate lands
+    * in its nearest cell's list carrying its m-slot PQ code. Codes are
+    * computed on the assigned frame's bound `c_vec` attribute (the
+    * [[dotOff]] contract; multi-referenced non-cheap projections stay
+    * materialized, so the cast runs once per row).
+    */
+  def buildIvfPq(candidates: DataFrame, nCells: Int, dim: Int, m: Int,
+      ksub: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      iters: Int = 3): IvfPqIndex = {
+    val ivf = buildIvfIndex(candidates, nCells, dim, idCol, vecCol)
+    val cb = trainPq(candidates, m, ksub, dim, vecCol, iters)
+    val lists = ivf.lists.select(col("cell"), col("vec_id"),
+      array((0 until cb.m).map(s =>
+        nearestSubCell(candidates.sparkSession, col("c_vec"), s * cb.dsub,
+          cb.centroids(s))): _*).as("code"))
+    IvfPqIndex(ivf.centroids, cb, lists)
+  }
+
+  /** Persist the composite index: code lists partitioned by cell (the
+    * probe's partition pruning works exactly as [[saveIvfIndex]]'s),
+    * centroids and codebooks as tiny tables.
+    */
+  def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
+    val spark = index.lists.sparkSession
+    writeLists(index.lists, s"$dir/lists")
+    writeCentroids(spark, index.centroids, s"$dir/centroids")
+    writeCodebooks(spark, index.cb, s"$dir/codebooks")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex =
+    IvfPqIndex(readCentroids(spark, s"$dir/centroids"),
+      readCodebooks(spark, s"$dir/codebooks"),
+      spark.read.parquet(s"$dir/lists")
+        .select(col("cell").cast("int").as("cell"), col("vec_id"),
+          col("code")))
+
+  /** Probe the composite index: nProbe closest cells per query (static
+    * `cell IN (...)` partition filter, same eager one-materialization
+    * contract as [[probeIvf]]), ADC-score the probed cells' codes, keep
+    * the top `shortlist` per query, exact-rerank those against the float
+    * vectors. With nProbe = nCells and an unbounded shortlist every
+    * candidate reaches the exact stage, so the result is identical to
+    * [[bruteForceTopK]] — the q56e oracle identity.
+    *
+    * `candidates` supplies float vectors for the rerank only; the scan
+    * over it is a shortlist-sized semi-join, not a corpus pass.
+    */
+  def probeIvfPq(index: IvfPqIndex, queries: DataFrame,
+      candidates: DataFrame, k: Int, nProbe: Int = 3, shortlist: Int = 50,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val qExploded = probeCellsOf(index.centroids, queries, nProbe, idCol,
+      vecCol)
+    val qRows = qExploded.collect()
+    val q = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(qRows: _*), qExploded.schema)
+      .select(col("q_id"), col("cell"),
+        adcTable(index.cb, col("q_vec")).as("tbl")))
+    val probedCells = qRows.map(_.getInt(2)).distinct
+    val lists =
+      if (probedCells.length < index.centroids.size)
+        index.lists.where(col("cell").isin(probedCells.map(Int.box).toSeq: _*))
+      else index.lists
+    val ws = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("vec_id"))
+    val short = lists.join(q, "cell")
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("approx_dot", adcScore(index.cb))
+      .withColumn("srank", row_number().over(ws))
+      .where(col("srank") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    rerankExact(short, queries, candidates, k, idCol, vecCol)
   }
 
   /** Default per-block cap for [[nearDupPairs]] — the analog of

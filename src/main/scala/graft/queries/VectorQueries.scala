@@ -77,6 +77,23 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Composite IVF-PQ exact: probe-ALL cells + unbounded ADC shortlist
+    // means every candidate reaches the exact-cosine rerank, so the
+    // composite (coarse argmax -> PQ codes in cell-partitioned lists ->
+    // ADC scan -> rerank) is mathematically identical to brute force and
+    // the q55 SQL oracle-checks the entire serve path end to end. iters=1
+    // as in q56d: the identity holds for ANY codebook/centroids.
+    "q56e_ann_ivfpq_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val idx = Similarity.buildIvfPq(e, nCells = 8, dim = DIM, m = 8,
+        ksub = 16, iters = 1)
+      Similarity.probeIvfPq(idx, e.where(col("vec_id") < 8), e, 5,
+        nProbe = 8, shortlist = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -172,6 +189,18 @@ object VectorQueries {
           GROUP BY 1 ORDER BY bucket""",
 
     "q56d_ann_pq_exact" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
+          c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
+          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                     FROM c, q WHERE vec_id <> q_id),
+          ranked AS (SELECT q_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+            ${sqlFp("cosine", 6)} AS cos_micro
+          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "q56e_ann_ivfpq_exact" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
           c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
           scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine

@@ -301,3 +301,89 @@ class IvfSpec extends AnyFunSuite {
       s"(probed ${probedCells.size} cells, ${nonEmpty.size} non-empty)")
   }
 }
+
+class IvfPqSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  private def e = graft.queries.Common.table(spark,
+    "/root/testdata/sf0.001", "embeddings")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) = df
+    .select(col("q_id"), col("vec_id"), col("rank"),
+      round(col("cosine") * 1e6).cast("long").as("c"))
+    .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+
+  test("probe-all + unbounded shortlist IVF-PQ equals brute force exactly") {
+    // the q56e oracle premise: every candidate reaches the exact-cosine
+    // rerank (all cells probed, no shortlist truncation), so the ADC
+    // approximation is irrelevant to the final top-k and the composite
+    // reproduces brute force bit-for-bit — covering build (coarse argmax +
+    // PQ train/encode into lists), probe-cell routing, ADC table/scan,
+    // and rerank in one identity
+    val q = e.where(col("vec_id") < 8)
+    val idx = Similarity.buildIvfPq(e, nCells = 8, dim = 64, m = 8,
+      ksub = 16, iters = 1)
+    val brute = rows(Similarity.bruteForceTopK(q, e, 5))
+    val all = rows(Similarity.probeIvfPq(idx, q, e, 5, nProbe = 8,
+      shortlist = Int.MaxValue))
+    assert(all == brute, "probe-all IVF-PQ must reproduce brute force")
+  }
+
+  test("pruned IVF-PQ keeps recall against brute force") {
+    val q = e.where(col("vec_id") < 8)
+    val idx = Similarity.buildIvfPq(e, nCells = 8, dim = 64, m = 8, ksub = 16)
+    val brute = Similarity.bruteForceTopK(q, e, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.probeIvfPq(idx, q, e, 5, nProbe = 3,
+        shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned.nonEmpty, "pruned probe returned nothing")
+    val recall = (brute intersect pruned).size.toDouble / brute.size
+    assert(recall > 0.2, s"IVF-PQ recall $recall too low")
+  }
+
+  test("saved/loaded IVF-PQ index probes identically and prunes partitions") {
+    val q = e.where(col("vec_id") < 4)
+    val idx = Similarity.buildIvfPq(e, nCells = 8, dim = 64, m = 8, ksub = 16)
+    val direct = Similarity.probeIvfPq(idx, q, e, 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Similarity.saveIvfPqIndex(idx, dir)
+    val loaded = Similarity.loadIvfPqIndex(spark, dir)
+    assert(loaded.centroids == idx.centroids, "centroids round-trip")
+    assert(loaded.cb == idx.cb, "codebooks round-trip")
+    // collect probe ITSELF (not a derived frame) so the scan metrics below
+    // read from the executed plan
+    val probe = Similarity.probeIvfPq(loaded, q, e, 5, nProbe = 2)
+    val fromDisk = probe
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromDisk == direct, "loaded index must probe identically")
+    // code lists are cell-partitioned exactly like the IVF float lists, so
+    // the loaded probe must read ONLY the probed cells' files
+    val probedCells = Similarity.probeCells(
+        Similarity.IvfIndex(loaded.centroids, loaded.lists), q, nProbe = 2,
+        "vec_id", "embedding")
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val nonEmpty = loaded.lists.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet
+    val expectedFiles = (probedCells intersect nonEmpty).size
+    assert(expectedFiles > 0 && probedCells.size < 8,
+      s"test premise: a strict subset of cells probed, got $probedCells")
+    def scans(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] = (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }) ++ p.subqueries.flatMap(scans)
+    val listScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    assert(listScans.nonEmpty, "probe plan must scan the saved code lists")
+    val filesRead = listScans.map(_.metrics("numFiles").value).sum
+    assert(filesRead == expectedFiles,
+      s"scan read $filesRead files, expected $expectedFiles " +
+      s"(probed ${probedCells.size} cells, ${nonEmpty.size} non-empty)")
+  }
+}
