@@ -134,13 +134,14 @@ object AnnBench {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
       case other => other.children.flatMap(scans)
     }) ++ p.subqueries.flatMap(scans)
-    def listScanMetrics(executed: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    def listScanMetrics(executed: org.apache.spark.sql.DataFrame,
+        dir: String): (Long, Long) = {
       val listScans = scans(executed.queryExecution.executedPlan)
-        .filter(_.relation.location.rootPaths.exists(_.toString.contains(idxDir)))
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
       (listScans.map(s => s.metrics("numFiles").value).sum,
         listScans.map(s => s.metrics("filesSize").value).sum)
     }
-    val (filesRead, bytesRead) = listScanMetrics(loadedProbe)
+    val (filesRead, bytesRead) = listScanMetrics(loadedProbe, idxDir)
     // the 50-query batch legitimately probes ~every cell (50 x nProbe
     // covers the index), so ALSO measure a small serve-path batch: 5
     // queries touch at most 5 x nProbe cells, and the static partition
@@ -153,7 +154,7 @@ object AnnBench {
       .select("q_id", "vec_id")
     probe5.collect()
     val probe5Sec = (System.nanoTime() - t1c) / 1e9
-    val (files5, bytes5) = listScanMetrics(probe5)
+    val (files5, bytes5) = listScanMetrics(probe5, idxDir)
 
     // PQ compressed-domain path: train on a deterministic 20% sample
     // (codebooks converge on a sample; full-corpus Lloyd is wasted work),
@@ -187,6 +188,35 @@ object AnnBench {
       .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val pqLoadedSec = (System.nanoTime() - t5) / 1e9
     assert(recallOf(pqLoaded) == pqRecall, "loaded PQ index must rerank identically")
+
+    // Composite IVF-PQ (IVFADC): the same centroids and codebooks serve
+    // the layout where inverted lists hold CODES — probes are partition-
+    // pruned AND compressed-domain, the production serve shape. Assemble
+    // from the already-built parts (assignments and codes are identical
+    // to buildIvfPq's), persist, and serve everything from the loaded
+    // index: probe seconds here include nothing from the build side.
+    val t6 = System.nanoTime()
+    val ivfpq = Similarity.IvfPqIndex(index.centroids, cb,
+      index.lists.select(col("cell"), col("vec_id")).join(codes, "vec_id")
+        .select(col("cell"), col("vec_id"), col("code")))
+    val ipqDir = java.nio.file.Files.createTempDirectory("annbench_ivfpq").toString
+    Similarity.saveIvfPqIndex(ivfpq, ipqDir)
+    val ivfpqSaveSec = (System.nanoTime() - t6) / 1e9
+    val (ipqFilesTotal, ipqBytesTotal) = du(new java.io.File(s"$ipqDir/lists"))
+    val shortN = math.max(100, (n / 200).toInt)
+    val ipqLoaded = Similarity.loadIvfPqIndex(spark, ipqDir)
+    val t7 = System.nanoTime()
+    val ipqProbe = Similarity.probeIvfPq(ipqLoaded, queries, base, k,
+      nProbe, shortN).select("q_id", "vec_id")
+    val ipqPairs = ipqProbe.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ipqProbeSec = (System.nanoTime() - t7) / 1e9
+    val ipqRecall = recallOf(ipqPairs)
+    val t8 = System.nanoTime()
+    val ipqProbe5 = Similarity.probeIvfPq(ipqLoaded, q5, base, k,
+      nProbe, shortN).select("q_id", "vec_id")
+    ipqProbe5.collect()
+    val ipqProbe5Sec = (System.nanoTime() - t8) / 1e9
+    val (ipqFiles5, ipqBytes5) = listScanMetrics(ipqProbe5, ipqDir)
     codes.unpersist()
 
     index.lists.unpersist(); base.unpersist(blocking = true)
@@ -204,7 +234,13 @@ object AnnBench {
       s""""pq_build_sec":${math.round(pqBuildSec * 10) / 10.0},""" +
       s""""pq_rerank_sec":${math.round(pqSec * 10) / 10.0},""" +
       s""""pq_loaded_sec":${math.round(pqLoadedSec * 10) / 10.0},""" +
-      s""""pq_recall_at_$k":${math.round(pqRecall * 1000) / 1000.0}}""")
+      s""""pq_recall_at_$k":${math.round(pqRecall * 1000) / 1000.0},""" +
+      s""""ivfpq_save_sec":${math.round(ivfpqSaveSec * 10) / 10.0},""" +
+      s""""ivfpq_probe_sec":${math.round(ipqProbeSec * 10) / 10.0},""" +
+      s""""ivfpq_probe5_sec":${math.round(ipqProbe5Sec * 10) / 10.0},""" +
+      s""""ivfpq_probe5_files_read":$ipqFiles5,"ivfpq_probe5_bytes_read":$ipqBytes5,""" +
+      s""""ivfpq_files_total":$ipqFilesTotal,"ivfpq_bytes_total":$ipqBytesTotal,""" +
+      s""""ivfpq_recall_at_$k":${math.round(ipqRecall * 1000) / 1000.0}}""")
     spark.stop()
   }
 }
