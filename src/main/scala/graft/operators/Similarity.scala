@@ -125,9 +125,31 @@ object Similarity {
     * — at nCells ~ 1000 an unshuffled write from a 32-partition frame
     * would scatter ~32k small files.
     */
-  private def writeLists(lists: DataFrame, path: String): Unit =
-    lists.repartition(col("cell")).write.mode("overwrite")
+  private def writeLists(lists: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    lists.repartition(col("cell")).write.mode(mode)
       .partitionBy("cell").parquet(path)
+
+  /** Append new vectors to a persisted IVF index without rebuilding:
+    * assign against the SAVED centroids (the quantizer is frozen — the
+    * serve contract that lets a long-lived index ingest daily batches
+    * while amortizing its build) and append the rows into the existing
+    * cell partitions (one new file per touched cell; untouched cells'
+    * files are not rewritten). A subsequent [[loadIvfIndex]] +
+    * [[probeIvf]] sees old and new vectors identically — and because
+    * every vector still lives in exactly one cell, the probe-all ≡
+    * brute-force identity (q56c/q56f) holds across appends for ANY
+    * centroid set.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = readCentroids(spark, s"$dir/centroids")
+    val c0 = newVecs.select(col(idCol), Vec.asDouble(col(vecCol)).as("v"))
+    writeLists(c0.withColumn("cell", nearestCell(spark, col("v"), cents))
+      .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec")),
+      s"$dir/lists", mode = "append")
+  }
 
   private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
       cents: Seq[Seq[Double]], path: String): Unit = {
@@ -530,6 +552,31 @@ object Similarity {
       spark.read.parquet(s"$dir/lists")
         .select(col("cell").cast("int").as("cell"), col("vec_id"),
           col("code")))
+
+  /** Append new vectors to a persisted composite index: coarse-assign
+    * against the saved centroids AND encode with the saved codebooks
+    * (both frozen — re-training either would silently invalidate every
+    * previously stored code), then append into the cell partitions.
+    * Mirror of [[appendToIvfIndex]] for the IVFADC layout; the q56f
+    * driver row holds the whole grown index to the brute-force identity.
+    */
+  def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newVecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val cents = readCentroids(spark, s"$dir/centroids")
+    val cb = readCodebooks(spark, s"$dir/codebooks")
+    // two-step select keeps the double-cast vector a bound attribute
+    // inside the argmax expressions (the dotOff contract, as in pqEncode)
+    val assigned = newVecs
+      .select(col(idCol).as("vec_id"), Vec.asDouble(col(vecCol)).as("__v"))
+      .select(col("vec_id"), col("__v"),
+        nearestCell(spark, col("__v"), cents).as("cell"))
+    writeLists(assigned.select(col("cell"), col("vec_id"),
+      array((0 until cb.m).map(s =>
+        nearestSubCell(spark, col("__v"), s * cb.dsub,
+          cb.centroids(s))): _*).as("code")),
+      s"$dir/lists", mode = "append")
+  }
 
   /** Probe the composite index: nProbe closest cells per query (static
     * `cell IN (...)` partition filter, same eager one-materialization

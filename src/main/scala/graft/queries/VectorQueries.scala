@@ -94,6 +94,30 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Incremental index append under the oracle: build + persist the
+    // composite index over HALF the corpus, append the other half against
+    // the frozen centroids/codebooks (the daily-ingest maintenance path),
+    // then probe-all + shortlist-inf over the LOADED grown index. Every
+    // vector — built or appended — lives in exactly one cell and reaches
+    // the exact rerank, so the result is brute force over the FULL corpus
+    // bit-for-bit (any centroids/codebooks): a wrong or dropped append
+    // row breaks the hash.
+    "q56f_ann_append_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      val idx = Similarity.buildIvfPq(e.where(col("vec_id") <= half),
+        nCells = 8, dim = DIM, m = 8, ksub = 16, iters = 1)
+      val tmp = java.nio.file.Files.createTempDirectory("q56f_idx").toString
+      Similarity.saveIvfPqIndex(idx, tmp)
+      Similarity.appendToIvfPqIndex(s, tmp, e.where(col("vec_id") > half))
+      Similarity.probeIvfPq(Similarity.loadIvfPqIndex(s, tmp),
+        e.where(col("vec_id") < 8), e, 5, nProbe = 8,
+        shortlist = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -201,6 +225,18 @@ object VectorQueries {
           FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "q56e_ann_ivfpq_exact" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
+          c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
+          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                     FROM c, q WHERE vec_id <> q_id),
+          ranked AS (SELECT q_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+            ${sqlFp("cosine", 6)} AS cos_micro
+          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    "q56f_ann_append_exact" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
           c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
           scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine

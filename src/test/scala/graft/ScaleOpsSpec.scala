@@ -226,6 +226,32 @@ class IvfSpec extends AnyFunSuite {
     assert(probed > 0)
   }
 
+  test("appending to a saved IVF index grows it without touching old rows") {
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 8)
+    val idx = Similarity.buildIvfIndex(e.where(col("vec_id") < 50), 8, 64)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_append").toString
+    Similarity.saveIvfIndex(idx, dir)
+    val before = Similarity.loadIvfIndex(spark, dir).lists.count()
+    Similarity.appendToIvfIndex(spark, dir, e.where(col("vec_id") >= 50))
+    val grown = Similarity.loadIvfIndex(spark, dir)
+    assert(grown.lists.count() == e.count(),
+      "grown index must hold every corpus vector exactly once")
+    assert(before < e.count(), "test premise: the append added rows")
+    // the quantizer is frozen, so probe-all over the grown index is still
+    // the exact brute-force identity over the FULL corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("cosine") * 1e6).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val brute = rows(Similarity.bruteForceTopK(q, e, 5))
+    val probeAll = rows(Similarity.probeIvf(grown, q, 5, nProbe = 8))
+    assert(probeAll == brute,
+      "probe-all over the appended index must equal brute force")
+    // appended rows were assigned by the SAVED centroids, not re-trained
+    assert(grown.centroids == idx.centroids, "append must not move centroids")
+  }
+
   test("loadIvfIndex rejects a centroid table with a missing cell") {
     import spark.implicits._
     val bad = java.nio.file.Files.createTempDirectory("ivf_bad").toString
@@ -340,6 +366,34 @@ class IvfPqSpec extends AnyFunSuite {
     assert(pruned.nonEmpty, "pruned probe returned nothing")
     val recall = (brute intersect pruned).size.toDouble / brute.size
     assert(recall > 0.2, s"IVF-PQ recall $recall too low")
+  }
+
+  test("appending to a saved IVF-PQ index encodes with the frozen codebooks") {
+    // the q56f premise at spec scale: build on half, append the rest
+    // against the saved centroids+codebooks, probe-all + shortlist-inf
+    // over the loaded grown index == brute force over the full corpus
+    val q = e.where(col("vec_id") < 8)
+    val idx = Similarity.buildIvfPq(e.where(col("vec_id") < 50), nCells = 8,
+      dim = 64, m = 8, ksub = 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    Similarity.saveIvfPqIndex(idx, dir)
+    Similarity.appendToIvfPqIndex(spark, dir, e.where(col("vec_id") >= 50))
+    val grown = Similarity.loadIvfPqIndex(spark, dir)
+    assert(grown.lists.count() == e.count(),
+      "grown index must hold every corpus vector exactly once")
+    val brute = rows(Similarity.bruteForceTopK(q, e, 5))
+    val all = rows(Similarity.probeIvfPq(grown, q, e, 5, nProbe = 8,
+      shortlist = Int.MaxValue))
+    assert(all == brute,
+      "probe-all over the appended composite index must equal brute force")
+    // appended codes must be byte-compatible with built codes: re-encoding
+    // the appended rows with the loaded codebooks reproduces them exactly
+    val reEnc = Similarity.pqEncode(e.where(col("vec_id") >= 50), grown.cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    grown.lists.where(col("vec_id") >= 50).collect().foreach { r =>
+      assert(r.getSeq[Int](2) == reEnc(r.getLong(1)),
+        s"appended code for vec ${r.getLong(1)} diverged from the codebooks")
+    }
   }
 
   test("saved/loaded IVF-PQ index probes identically and prunes partitions") {
