@@ -86,6 +86,51 @@ object Corpus {
       col("rep_milli") <= maxRepMilli)
   }
 
+  /** Per-million threshold for a sampling rate: the exact integer both
+    * engines compare the 48-bit key hash against.
+    */
+  private def rateMicro(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate $rate outside [0, 1]")
+    math.round(rate * 1000000.0)
+  }
+
+  /** Deterministic Bernoulli sampling keyed by content, not chance: keep a
+    * row iff hash48(salt || key) mod 1e6 < rate * 1e6. Unlike
+    * `df.sample()` (rand() — partition-layout- and run-dependent), the
+    * decision is a pure function of the row's key, so the sample is
+    * reproducible across runs, engines, cluster layouts, and appends (a
+    * re-run over a grown corpus keeps exactly the old rows plus the new
+    * ones that qualify) — the property a training-data pipeline needs to
+    * audit or re-derive a mix. The filter is one codegen'd expression, so
+    * it pushes into the scan like any predicate; `salt` decorrelates
+    * independent samples over the same keys. Rate granularity 1e-6.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, rate: Double,
+      salt: String = ""): DataFrame =
+    df.where(pmod(Text.hash48(
+        concat(lit(salt), col(keyCol).cast("string"))), lit(1000000L))
+      < lit(rateMicro(rate)))
+
+  /** Stratified deterministic sampling — the training-mix builder: each
+    * stratum (e.g. language, source, quality band) keeps its own
+    * hash-keyed rate; strata absent from `rates` keep `defaultRate`. The
+    * per-stratum rate resolves through a `when` chain over the (small,
+    * compile-time) rates map, so the whole operator is still one
+    * pushdown-friendly filter — no join, no shuffle, no driver loop.
+    * Decisions are per-key deterministic exactly as [[sampleByHash]].
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      keyCol: String = "doc_id", salt: String = ""): DataFrame = {
+    val threshold = rates.foldLeft(lit(rateMicro(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit(rateMicro(rate))).otherwise(acc)
+    }
+    df.where(pmod(Text.hash48(
+        concat(lit(salt), col(keyCol).cast("string"))), lit(1000000L))
+      < threshold)
+  }
+
   /** The full preprocessing pass a training pipeline runs: quality gate,
     * then near-duplicate removal ([[Dedup.dedupCorpus]] — LSH pairs,
     * Jaccard threshold, cluster resolution, keep min-id per cluster).

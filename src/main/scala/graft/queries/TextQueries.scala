@@ -118,6 +118,19 @@ object TextQueries {
           col("quality_milli") >= 300 && col("rep_milli") <= 500)
         .select("doc_id", "lang_pred", "quality_milli", "rep_milli")
         .orderBy("doc_id")
+    }),
+
+    // Deterministic stratified sampling (operators/Corpus.stratifiedSample)
+    // — the training-mix builder. Keep decisions are a pure function of
+    // (salt, doc_id) through the 48-bit md5-prefix hash mirrored in DuckDB,
+    // so the EXACT kept row set hash-checks: no tolerance, no seed
+    // plumbing, and the same rows stay kept under re-runs and appends.
+    "q69_stratified_sample" -> ((s, dir) => {
+      graft.operators.Corpus.stratifiedSample(table(s, dir, "documents"),
+          "lang", Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.1),
+          defaultRate = 0.05, keyCol = "doc_id", salt = "mix1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -182,6 +195,13 @@ object TextQueries {
                       ${TextSql.shingles(toksSql, 2)} AS sh FROM documents)))
           WHERE lang_pred <> 'und' AND quality_milli >= 300
             AND rep_milli <= 500
+          ORDER BY doc_id""",
+
+    "q69_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ${TextSql.hash48("'mix1' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+            CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+                      WHEN 'zh' THEN 100000 ELSE 50000 END
           ORDER BY doc_id"""
   )
 }

@@ -329,3 +329,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.count() == 100)
   }
 }
+
+class SamplingSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Corpus
+
+  private def docs = graft.queries.Common.table(spark,
+    "/root/testdata/sf0.01", "documents")
+
+  test("sampleByHash is deterministic, subset-stable, and near-rate") {
+    val a = Corpus.sampleByHash(docs, "doc_id", 0.3, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Corpus.sampleByHash(docs, "doc_id", 0.3, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same (salt, rate) must keep the same rows")
+    // keep decisions are per-key, so sampling a filtered corpus keeps
+    // exactly the intersection — the append/re-run stability a training
+    // mix audit relies on (rand()-based sample() has no such property)
+    val half = Corpus.sampleByHash(docs.where(col("doc_id") < 250),
+        "doc_id", 0.3, salt = "s1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(half == a.filter(_ < 250), "subset sampling must intersect exactly")
+    val n = docs.count().toDouble
+    assert(math.abs(a.size - 0.3 * n) < 4 * math.sqrt(0.3 * 0.7 * n),
+      s"kept ${a.size} of $n at rate 0.3 — outside 4 sigma")
+    // a different salt decorrelates: overlap should be ~rate^2, far from
+    // identical
+    val c = Corpus.sampleByHash(docs, "doc_id", 0.3, salt = "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(c != a && (a intersect c).size < a.size,
+      "distinct salts must not reproduce the same sample")
+  }
+
+  test("stratifiedSample applies per-stratum rates with a default") {
+    val kept = Corpus.stratifiedSample(docs, "lang",
+        Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.2,
+        keyCol = "doc_id", salt = "mix")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("en") == totals("en"), "rate 1.0 keeps every row")
+    assert(!kept.contains("de"), "rate 0.0 keeps nothing")
+    val others = totals.keySet -- Set("en", "de")
+    others.foreach { l =>
+      val t = totals(l).toDouble
+      assert(math.abs(kept.getOrElse(l, 0L) - 0.2 * t) <
+        4 * math.sqrt(0.2 * 0.8 * t) + 1,
+        s"stratum $l kept ${kept.getOrElse(l, 0L)} of $t at default 0.2")
+    }
+  }
+}
