@@ -131,6 +131,47 @@ object Corpus {
       < threshold)
   }
 
+  /** Deterministic per-stratum quota: keep at most `k` rows per stratum,
+    * chosen by hash order over (salt, key) with the key as tiebreak — a
+    * stable "which k" (re-runs, layouts, and engines agree), unlike
+    * first-k-seen, and uncorrelated with any natural key order. The
+    * source-capping half of mix construction ([[stratifiedSample]] rates
+    * by fraction; this caps by count).
+    *
+    * One shuffle on the stratum key. A pathologically dominant stratum
+    * concentrates its rows in one window partition — when k is small
+    * relative to such a stratum, pre-thin with [[sampleByHash]] (keeps
+    * determinism: the hash order is preserved under subset).
+    */
+  def quotaPerStratum(df: DataFrame, strataCol: String, k: Int,
+      keyCol: String = "doc_id", salt: String = ""): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(Text.hash48(
+        concat(lit(salt), col(keyCol).cast("string"))).asc, col(keyCol).asc)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k).drop("__rank")
+  }
+
+  /** Pack rows into fixed-budget shards (epoch/file construction): in
+    * deterministic `orderCol` order within each group, a row's shard is
+    * the exclusive prefix sum of `weightCol` divided by `budget` — shard
+    * boundaries fall at budget multiples, every shard holds a contiguous
+    * run, and the assignment is a pure function of the data (bit-stable
+    * across engines: exact integer window arithmetic). One window pass;
+    * `groupCols` (e.g. source) is the partition key, so packing
+    * parallelizes across groups at any scale.
+    */
+  def packShards(df: DataFrame, weightCol: String, budget: Long,
+      orderCol: String, groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // integer `div`, not double /: exact at any corpus size (a double
+    // quotient drifts past 2^53 total weight)
+    df.withColumn("__cum", sum(col(weightCol)).over(w) - col(weightCol))
+      .withColumn("shard", expr(s"__cum div $budget")).drop("__cum")
+  }
+
   /** The full preprocessing pass a training pipeline runs: quality gate,
     * then near-duplicate removal ([[Dedup.dedupCorpus]] — LSH pairs,
     * Jaccard threshold, cluster resolution, keep min-id per cluster).

@@ -131,6 +131,31 @@ object TextQueries {
           defaultRate = 0.05, keyCol = "doc_id", salt = "mix1")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+
+    // Token-budget shard packing (operators/Corpus.packShards): shard =
+    // exclusive prefix sum of token count div budget, per source in
+    // doc_id order — exact integer window arithmetic, so the full
+    // (doc, shard) assignment hash-checks.
+    "q70_pack_shards" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Corpus.packShards(docs, "n_tokens", budget = 2000,
+          orderCol = "doc_id", groupCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"))
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic per-stratum quota (operators/Corpus.quotaPerStratum):
+    // at most 30 docs per language, chosen by hash order (stable across
+    // runs/engines, uncorrelated with doc_id order) — the source-capping
+    // half of mix construction, exact under the driver hash.
+    "q71_quota_per_lang" -> ((s, dir) => {
+      graft.operators.Corpus.quotaPerStratum(table(s, dir, "documents"),
+          "lang", 30, keyCol = "doc_id", salt = "cap1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
     })
   )
 
@@ -202,6 +227,23 @@ object TextQueries {
           WHERE ${TextSql.hash48("'mix1' || CAST(doc_id AS VARCHAR)")} % 1000000 <
             CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                       WHEN 'zh' THEN 100000 ELSE 50000 END
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    "q70_pack_shards" ->
+      s"""SELECT doc_id, source, n_tokens,
+            CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // 2000 AS BIGINT) AS shard
+          FROM (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_tokens
+                FROM documents)
+          ORDER BY doc_id""",
+
+    "q71_quota_per_lang" ->
+      s"""SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+              ORDER BY ${TextSql.hash48("'cap1' || CAST(doc_id AS VARCHAR)")} ASC,
+                doc_id ASC) AS rk
+            FROM documents)
+          WHERE rk <= 30 ORDER BY doc_id"""
   )
 }

@@ -381,3 +381,51 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 }
+
+class MixConstructionSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import graft.operators.Corpus
+
+  private def docs = graft.queries.Common.table(spark,
+    "/root/testdata/sf0.01", "documents")
+
+  test("packShards packs contiguous runs under the budget per group") {
+    val weighted = docs.select(col("doc_id"), col("source"),
+      length(col("text")).cast("long").as("w"))
+    val packed = Corpus.packShards(weighted, "w", budget = 5000,
+        orderCol = "doc_id", groupCols = Seq("source"))
+      .select("source", "shard", "doc_id", "w")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(packed.nonEmpty)
+    packed.groupBy(_._1).foreach { case (src, rows) =>
+      val byShard = rows.groupBy(_._2)
+      assert(byShard.keySet.min == 0L, s"$src: shards must start at 0")
+      // a shard closes only once the budget is crossed: every shard's
+      // weight before its last row is < budget (the last row may overflow)
+      byShard.foreach { case (sh, rs) =>
+        val inOrder = rs.sortBy(_._3)
+        assert(inOrder.init.map(_._4).sum < 5000,
+          s"$src shard $sh overfilled before its last row")
+      }
+      // contiguity: shard ids are non-decreasing in doc order
+      val ordered = rows.sortBy(_._3).map(_._2)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        s"$src: shard ids must be non-decreasing in pack order")
+    }
+  }
+
+  test("quotaPerStratum caps each stratum at k, deterministically") {
+    val kept = Corpus.quotaPerStratum(docs, "lang", 30, salt = "t")
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    totals.foreach { case (l, t) =>
+      assert(counts(l) == math.min(30L, t), s"$l kept ${counts(l)} of $t")
+    }
+    val again = Corpus.quotaPerStratum(docs, "lang", 30, salt = "t")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "the chosen k must be stable across runs")
+  }
+}
