@@ -83,12 +83,15 @@ object Dedup {
     * aggregates; `collect_set` carries the distinct shingle set along for
     * the Jaccard verification without a second scan.
     */
-  def signatures(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, shingleN: Int = 3): DataFrame = {
-    // Shingles via posexplode + window leads instead of a nested HOF
-    // lambda: every step (split, lead, concat, md5, affine minima) stays in
-    // whole-stage codegen — interpreted per-element lambdas cost ~30us per
-    // shingle and dominated this operator before.
+  /** One row per (doc, n-gram occurrence) with the shingle's 48-bit hash
+    * as `__h` — shingles via posexplode + window leads instead of a nested
+    * HOF lambda: every step (split, lead, concat, md5) stays in
+    * whole-stage codegen (interpreted per-element lambdas cost ~30us per
+    * shingle and dominated [[signatures]] before). Shared by the minhash
+    * and contamination scans.
+    */
+  private def hashedShingleRows(docs: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
     val toksArr = Text.tokens(col(textCol))
     val exploded = docs
       .where(size(toksArr) >= shingleN)
@@ -99,11 +102,16 @@ object Dedup {
       case 0 => col("__w")
       case d => lead(col("__w"), d).over(wDoc)
     }
-    val shingled = exploded
+    exploded
       .withColumn("__last", parts.last) // window exprs allowed in projections, not WHERE
       .withColumn("__s", concat_ws(" ", parts: _*))
       .where(col("__last").isNotNull)
       .withColumn("__h", Text.hashMod(col("__s")))
+  }
+
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, shingleN: Int = 3): DataFrame = {
+    val shingled = hashedShingleRows(docs, idCol, textCol, shingleN)
     val minCols = Text.hashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
       min((col("__h") * a + b) % Text.P).as(s"__m$i")
     }
@@ -113,6 +121,37 @@ object Dedup {
         minCols: _*)
       .select(col(idCol), col("shingles"),
         array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+  }
+
+  /** Benchmark-contamination check — the decontamination pass a training
+    * corpus runs before use: report every (corpus doc, benchmark doc)
+    * pair sharing at least `minShared` distinct n-grams (the n-gram-
+    * collision recipe of the GPT-3 appendix; n and the threshold are the
+    * knobs). Output: (idCol, bench_id, n_shared).
+    *
+    * Scale shape: the benchmark side is always small (eval sets are
+    * thousands of documents), so its distinct hashed-shingle rows
+    * BROADCAST; the corpus side is one shingle scan — explode + window
+    * lead, all codegen, distinct-per-doc via the same id-partitioned
+    * aggregate the window already shuffled for — joined hash-to-hash, so
+    * only genuine n-gram collisions leave the map side. Shingles reduce
+    * to 48-bit hashes before the join exactly as q53's Jaccard: both
+    * engines hash identically, so the (astronomically unlikely) collision
+    * affects both equally.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, shingleN: Int = 5,
+      minShared: Long = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    def distinctHashes(df: DataFrame, outId: String) =
+      hashedShingleRows(df, idCol, textCol, shingleN)
+        .groupBy(col(idCol).as(outId))
+        .agg(collect_set(col("__h")).as("__hs"))
+        .select(col(outId), explode(col("__hs")).as("__h"))
+    distinctHashes(docs, idCol)
+      .join(broadcast(distinctHashes(bench, "bench_id")), "__h")
+      .groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared")) // both sides distinct -> |intersection|
+      .where(col("n_shared") >= minShared)
   }
 
   /** LSH banding: explode the signature into `bands` rows of

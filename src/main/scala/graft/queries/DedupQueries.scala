@@ -106,6 +106,21 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Benchmark contamination (Dedup.contamination): every corpus doc
+    // sharing >= 3 distinct hashed 3-grams with a benchmark doc (bench =
+    // every 50th doc here, standing in for a held-out eval set). The
+    // operator broadcasts the bench side and joins hash-to-hash;
+    // self-pairs are excluded in the query, not the operator (no identity
+    // assumption between the two tables).
+    "q72_contamination" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.contamination(docs, docs.where(col("doc_id") % 50 === 0),
+          shingleN = 3, minShared = 3)
+        .where(col("doc_id") =!= col("bench_id"))
+        .select(col("doc_id"), col("bench_id"), col("n_shared"))
+        .orderBy("doc_id", "bench_id")
+    }),
+
     // Duplicate-cluster resolution: connected components over a pair list
     // (the post-LSH step: pairs -> clusters -> one keeper per cluster).
     // Edges here are chains of consecutive doc_ids sharing a language —
@@ -232,6 +247,17 @@ object DedupQueries {
           WHERE a.doc_id % 20 = 0
             AND len(list_intersect(a.ds, b.ds)) > 0
           ORDER BY doc_a, doc_b""",
+
+    "q72_contamination" ->
+      s"""WITH d AS (SELECT doc_id,
+            list_distinct(list_transform(${TextSql.shingles("toks", 3)},
+              sh -> ${TextSql.hashMod("sh")})) AS ds
+          FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+          SELECT c.doc_id, b.doc_id AS bench_id,
+            CAST(len(list_intersect(c.ds, b.ds)) AS BIGINT) AS n_shared
+          FROM d c JOIN d b ON b.doc_id % 50 = 0 AND c.doc_id <> b.doc_id
+          WHERE len(list_intersect(c.ds, b.ds)) >= 3
+          ORDER BY c.doc_id, bench_id""",
 
     // Same islands via gaps-and-islands (doc_id - row_number is constant
     // within a run of consecutive ids per lang); size-1 islands have no

@@ -66,6 +66,30 @@ class DedupSpec extends AnyFunSuite {
     pairs.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
 
+  test("contamination flags n-gram collisions against a benchmark, exactly") {
+    // bench doc 100 has 6 tokens -> 4 distinct 3-grams; doc 1 contains the
+    // full 6-token span verbatim (all 4 shared), doc 2 shares exactly one
+    // 3-gram, doc 3 shares none
+    val bench = Seq((100L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "intro words the quick brown fox jumps high outro words"),
+      (2L, "the quick brown cat naps on mats"),
+      (3L, "completely different tokens everywhere again still more")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, bench, shingleN = 3, minShared = 1)
+      .select("doc_id", "bench_id", "n_shared").as[(Long, Long, Long)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 100L)) == 4L, s"full-span doc: $got")
+    assert(got((2L, 100L)) == 1L, s"single-shingle doc: $got")
+    assert(!got.contains((3L, 100L)), s"clean doc flagged: $got")
+    // the threshold drops the weak collision
+    val strict = Dedup.contamination(corpus, bench, shingleN = 3,
+        minShared = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(strict == Set(1L), s"minShared=2 must keep only doc 1: $strict")
+  }
+
   test("connected components resolve chains, local minima, and singleton edges") {
     // 1-5-2-7: a local-min trap (2 < both neighbors 5,7 but component min
     // is 1, two hops away — pure pointer doubling without re-propagation
