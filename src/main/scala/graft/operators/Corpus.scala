@@ -172,6 +172,37 @@ object Corpus {
       .withColumn("shard", expr(s"__cum div $budget")).drop("__cum")
   }
 
+  /** Email pattern for [[scrub]] — conservative ASCII classes with the
+    * same leftmost-greedy behavior under Java regex and RE2, so an
+    * external engine (the DuckDB oracle) redacts byte-identically.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** URL pattern for [[scrub]] — explicit path charclass instead of \\S
+    * (whitespace classes are a known dialect divergence). */
+  val urlPattern = "https?://[A-Za-z0-9./_%-]+"
+
+  /** PII / link scrubbing — the redaction pass run before training:
+    * replace emails then URLs with typed placeholder tokens and keep
+    * per-doc match counts for auditability. One codegen projection
+    * (regexp_replace / regexp_extract_all are native expressions); at
+    * 100 TB this is a map-only pass that pipelines into the scan.
+    * Output: input columns + `text_clean`, `n_emails`, `n_urls`.
+    */
+  def scrub(df: DataFrame, textCol: String,
+      emailToken: String = "<EMAIL>",
+      urlToken: String = "<URL>"): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+          .cast("long"))
+      .withColumn("n_urls",
+        size(regexp_extract_all(col(textCol), lit(urlPattern), lit(0)))
+          .cast("long"))
+      .withColumn("text_clean",
+        regexp_replace(
+          regexp_replace(col(textCol), emailPattern, emailToken),
+          urlPattern, urlToken))
+
   /** The full preprocessing pass a training pipeline runs: quality gate,
     * then near-duplicate removal ([[Dedup.dedupCorpus]] — LSH pairs,
     * Jaccard threshold, cluster resolution, keep min-id per cluster).

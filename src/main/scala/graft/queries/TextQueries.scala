@@ -156,6 +156,27 @@ object TextQueries {
           "lang", 30, keyCol = "doc_id", salt = "cap1")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    }),
+
+    // PII/link scrubbing (operators/Corpus.scrub): the synthetic corpus
+    // carries no PII, so emails/URLs are PLANTED deterministically (docs
+    // divisible by 7 get an email, by 11 a URL — both derived from
+    // doc_id, mirrored verbatim in the oracle), then redacted. The
+    // cleaned text is emitted as its 48-bit hash: full byte equality of
+    // the redacted corpus under the driver check without shipping text.
+    "q73_pii_scrub" -> ((s, dir) => {
+      val planted = table(s, dir, "documents").withColumn("t",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" see https://example.org/p/"), col("doc_id"),
+              lit(" page"))).otherwise(lit(""))))
+      graft.operators.Corpus.scrub(planted, "t")
+        .select(col("doc_id"), col("n_emails"), col("n_urls"),
+          Text.hash48(col("text_clean")).as("clean_hash"))
+        .orderBy("doc_id")
     })
   )
 
@@ -244,6 +265,25 @@ object TextQueries {
               ORDER BY ${TextSql.hash48("'cap1' || CAST(doc_id AS VARCHAR)")} ASC,
                 doc_id ASC) AS rk
             FROM documents)
-          WHERE rk <= 30 ORDER BY doc_id"""
+          WHERE rk <= 30 ORDER BY doc_id""",
+
+    "q73_pii_scrub" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val url = "https?://[A-Za-z0-9./_%-]+"
+      val clean = s"regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g')"
+      s"""WITH p AS (SELECT doc_id,
+            text || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                THEN ' see https://example.org/p/' || CAST(doc_id AS VARCHAR) || ' page'
+                ELSE '' END AS t
+            FROM documents)
+          SELECT doc_id,
+            CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+            CAST(len(regexp_extract_all(t, '$url')) AS BIGINT) AS n_urls,
+            ${TextSql.hash48(clean)} AS clean_hash
+          FROM p ORDER BY doc_id"""
+    }
   )
 }

@@ -453,3 +453,24 @@ class MixConstructionSpec extends AnyFunSuite {
       "the chosen k must be stable across runs")
   }
 }
+
+class ScrubSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Corpus
+
+  test("scrub redacts planted emails and urls with exact counts") {
+    val df = Seq(
+      (1L, "write to alice.smith+x@sub.example.co for info"),
+      (2L, "docs at https://example.org/a/b_c-d.html and http://e.io/x"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val out = Corpus.scrub(df, "text")
+      .select("doc_id", "n_emails", "n_urls", "text_clean")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((1L, 0L, "write to <EMAIL> for info")))
+    assert(out(2L) == ((0L, 2L, "docs at <URL> and <URL>")))
+    assert(out(3L) == ((0L, 0L, "no pii here at all")))
+  }
+}
