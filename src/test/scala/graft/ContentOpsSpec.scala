@@ -474,3 +474,34 @@ class ScrubSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, "no pii here at all")))
   }
 }
+
+class StreamingScrubSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+
+  test("scrub is stream-transparent: streaming output equals the batch pass") {
+    // scrub is a map-only projection, so it must compose with Structured
+    // Streaming unchanged (no watermark, no state) — the shape every
+    // stateless corpus op (quality signals, sampling filters, scrubbing)
+    // shares. Append-mode memory sink over the parquet corpus must equal
+    // the batch result row-for-row.
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft-scrub-stream-").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      java.nio.file.Paths.get(dir, "documents.parquet"))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("n_emails"), col("n_urls"),
+        graft.functions.Text.hash48Builtin(col("text_clean")).as("h"))
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)), Option(r.get(2)), r.getLong(3))).toSet
+    val streamed = graft.streaming.StreamingOps.runToMemory(spark, dir,
+      "scrub_stream_test",
+      df => graft.operators.Corpus.scrub(df, "text"),
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    val batch = graft.operators.Corpus.scrub(
+      graft.queries.Common.table(spark, sf, "documents"), "text")
+    assert(key(streamed) == key(batch),
+      "streaming scrub must equal the batch pass row-for-row")
+    assert(key(batch).nonEmpty)
+  }
+}
