@@ -172,6 +172,44 @@ object Corpus {
       .withColumn("shard", expr(s"__cum div $budget")).drop("__cum")
   }
 
+  /** Token-level sequence packing — training-batch construction: the
+    * documents of each group, concatenated in deterministic `orderCol`
+    * order, form one token stream that is cut into fixed-length sequences
+    * of `seqLen` tokens; a document SPANS sequence boundaries (unlike
+    * [[packShards]], which assigns whole rows), so the output has one row
+    * per (document, sequence) slice: `seq` (0-origin sequence id within
+    * the group), `tok_start` (offset of the slice inside the document) and
+    * `tok_len`. Every sequence except a group's last is exactly full —
+    * the "pack then chunk" layout training loaders consume.
+    *
+    * Arithmetic is exact integer window math (offsets via one exclusive
+    * prefix sum, slice bounds via min/max of multiples of `seqLen`), so
+    * the full assignment is a pure function of the data and bit-stable
+    * across engines — the q75 driver row hash-checks every slice. One
+    * window pass partitioned by `groupCols` plus a narrow explode whose
+    * fan-out is ceil(weight/seqLen) per row: linear in total token count,
+    * parallel across groups at any corpus size.
+    */
+  def packSequences(df: DataFrame, weightCol: String, seqLen: Long,
+      orderCol: String, groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(seqLen > 0, s"seqLen $seqLen must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val n = col(weightCol).cast("long")
+    df.withColumn("__off", sum(col(weightCol)).over(w) - col(weightCol))
+      .withColumn("seq",
+        explode(when(n > 0,
+          sequence(expr(s"__off div $seqLen"),
+            expr(s"(__off + $weightCol - 1) div $seqLen")))
+          .otherwise(array().cast("array<bigint>"))))
+      .withColumn("tok_start",
+        greatest(col("seq") * seqLen, col("__off")) - col("__off"))
+      .withColumn("tok_len",
+        least((col("seq") + 1) * seqLen, col("__off") + n) -
+          greatest(col("seq") * seqLen, col("__off")))
+      .drop("__off")
+  }
+
   /** Email pattern for [[scrub]] — conservative ASCII classes with the
     * same leftmost-greedy behavior under Java regex and RE2, so an
     * external engine (the DuckDB oracle) redacts byte-identically.

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Vec
+import graft.functions.{Text, Vec}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -27,7 +27,8 @@ object Similarity {
       Vec.asDouble(col(vecCol)).as("c_vec"))
     val scored = c.crossJoin(q)
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", Vec.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", graft.plans.NativeDot.cosineCol(
+        candidates.sparkSession, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -53,7 +54,8 @@ object Similarity {
       .select(col(idCol).as("vec_id"), Vec.asDouble(col(vecCol)).as("c_vec"), col("bucket"))
     val scored = c.join(q, "bucket")
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", Vec.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", graft.plans.NativeDot.cosineCol(
+        candidates.sparkSession, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -245,7 +247,8 @@ object Similarity {
       else index.lists
     val scored = lists.join(q, "cell")
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", Vec.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", graft.plans.NativeDot.cosineCol(
+        queries.sparkSession, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -492,7 +495,8 @@ object Similarity {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     short.join(c, "vec_id").join(q, "q_id")
-      .withColumn("cosine", Vec.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", graft.plans.NativeDot.cosineCol(
+        queries.sparkSession, col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("q_id", "vec_id", "rank", "cosine")
@@ -670,37 +674,120 @@ object Similarity {
     * under the cap join exactly as before, so capped and uncapped results
     * agree on non-degenerate data.
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster the embedding space, then drop items whose
+    * cosine to a SMALLER-ID member of the same cluster reaches `threshold`
+    * — the min-id representative of every semantic-duplicate set survives.
+    * Output: the kept rows as (id, cluster).
+    *
+    * Determinism is the whole design: the k cluster "centroids" are not a
+    * float iteration but the k corpus vectors with the smallest
+    * hash48(salt || id) (ties by id) — reproducible across runs, engines,
+    * layouts and appends exactly like [[graft.operators.Corpus.sampleByHash]]
+    * — and assignment is argmax cosine over those k seed vectors with ties
+    * broken by seed order. Every float op (the sequential-fold cosine, the
+    * argmax when-chain) has a bit-identical mirror in the q76 oracle SQL,
+    * so the full kept set hash-checks against DuckDB.
+    *
+    * Scale shape: seed selection is a distributed top-k (TakeOrdered — no
+    * global sort) collecting k vectors to the driver (the same bounded
+    * contract as IVF centroids); assignment is a narrow map with k fused
+    * cosine folds per row (k is compile-time, so the whole chain stays in
+    * one codegen stage — for k beyond ~100 build an [[IvfIndex]] and use
+    * its native argmax instead); the within-cluster pair search reuses the
+    * [[nearDupPairs]] blocked self-join with the same `maxBlock` valve
+    * (sub-bucket split + over-cap drop), so one degenerate cluster cannot
+    * go quadratic. SemDeDup's own contract — k grows with the corpus so
+    * clusters stay bounded — is what keeps the blocked join linear-ish at
+    * 100 TB; the valve enforces it.
+    */
+  def semanticDedup(df: DataFrame, k: Int, threshold: Double,
+      salt: String = "sem", idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxCluster: Option[Int] = defaultMaxBlock): DataFrame = {
+    require(k > 0, s"semanticDedup: k $k must be positive")
+    val base = df.select(col(idCol).as("id"),
+      Vec.asDouble(col(vecCol)).as("v"))
+    val seeds = base
+      .withColumn("__h", Text.hash48(concat(lit(salt), col("id").cast("string"))))
+      .orderBy(col("__h").asc, col("id").asc).limit(k)
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getSeq[Double](1).toIndexedSeq)
+    val assigned = base.withColumn("cluster",
+      argmaxCosine(df.sparkSession, col("v"), seeds))
+    // no ranking needed for the drop rule — pairs above threshold only,
+    // over the same capped blocked self-join nearDupPairs uses
+    val keyed = cappedBlocks(assigned.select(col("cluster").as("grp"),
+      col("id"), col("v")), maxCluster)
+    val a = keyed.select(col("grp"), col("sub"), col("id").as("id_a"),
+      col("v").as("va"))
+    val b = keyed.select(col("grp"), col("sub"), col("id").as("id_b"),
+      col("v").as("vb"))
+    val dropped = a.join(b, Seq("grp", "sub"))
+      .where(col("id_a") < col("id_b") &&
+        graft.plans.NativeDot.cosineCol(df.sparkSession,
+          col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"))
+  }
+
+  /** Argmax-cosine cluster id over literal seed vectors, first-max-wins on
+    * ties (seed order) — the [[graft.functions.Text.langIdFrom]] decision
+    * idiom, mirrored in SQL by rank-over-(cosine DESC, seed ASC).
+    */
+  private def argmaxCosine(spark: org.apache.spark.sql.SparkSession,
+      v: org.apache.spark.sql.Column,
+      seeds: Seq[Seq[Double]]): org.apache.spark.sql.Column = {
+    val cosines = seeds.map(sd => graft.plans.NativeDot.cosineCol(spark,
+      v, array(sd.map(lit): _*)))
+    val best = if (cosines.size == 1) cosines.head else greatest(cosines: _*)
+    cosines.zipWithIndex.foldRight(lit(0L)) { case ((c, j), rest) =>
+      when(c === best, lit(j.toLong)).otherwise(rest)
+    }
+  }
+
+  /** The shared blocking stage of [[nearDupPairs]] and [[semanticDedup]]:
+    * a (grp, id, v) frame keyed for the all-pairs self-join, with the
+    * `maxBlock` valve applied — blocks over the cap split into sign-LSH
+    * sub-buckets, sub-buckets still over the cap dropped.
+    */
+  private def cappedBlocks(base: DataFrame,
+      maxBlock: Option[Int]): DataFrame = maxBlock match {
+    case None => base.withColumn("sub", lit(0L))
+    case Some(cap) =>
+      val wg = Window.partitionBy(col("grp"))
+      // enough planes to split this block to <= cap expected per bucket,
+      // bounded by maxSubPlanes
+      val bits = least(lit(maxSubPlanes),
+        ceil(log(2.0, col("__n").cast("double") / cap)).cast("int"))
+      val mask = pow(lit(2.0), bits.cast("double")).cast("long") - 1
+      val sub = base.withColumn("__n", count(lit(1)).over(wg))
+        .withColumn("sub",
+          when(col("__n") <= cap, lit(0L))
+            .otherwise(signBucketDyn(col("v"), maxSubPlanes).bitwiseAND(mask)))
+        .drop("__n")
+      // hard guarantee: a sub-bucket the planes could not split (thousands
+      // of near-identical vectors) is dropped rather than joined
+      val ws = Window.partitionBy(col("grp"), col("sub"))
+      sub.withColumn("__sn", count(lit(1)).over(ws))
+        .where(col("__sn") <= cap).drop("__sn")
+  }
+
   def nearDupPairs(df: DataFrame, groupCol: String, topPerGroup: Int = 1,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBlock: Option[Int] = defaultMaxBlock): DataFrame = {
     val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
       Vec.asDouble(col(vecCol)).as("v"))
-    val keyed = maxBlock match {
-      case None => base.withColumn("sub", lit(0L))
-      case Some(cap) =>
-        val wg = Window.partitionBy(col("grp"))
-        // enough planes to split this block to <= cap expected per bucket,
-        // bounded by maxSubPlanes
-        val bits = least(lit(maxSubPlanes),
-          ceil(log(2.0, col("__n").cast("double") / cap)).cast("int"))
-        val mask = pow(lit(2.0), bits.cast("double")).cast("long") - 1
-        val sub = base.withColumn("__n", count(lit(1)).over(wg))
-          .withColumn("sub",
-            when(col("__n") <= cap, lit(0L))
-              .otherwise(signBucketDyn(col("v"), maxSubPlanes).bitwiseAND(mask)))
-          .drop("__n")
-        // hard guarantee: a sub-bucket the planes could not split (thousands
-        // of near-identical vectors) is dropped rather than joined
-        val ws = Window.partitionBy(col("grp"), col("sub"))
-        sub.withColumn("__sn", count(lit(1)).over(ws))
-          .where(col("__sn") <= cap).drop("__sn")
-    }
+    val keyed = cappedBlocks(base, maxBlock)
     val a = keyed.select(col("grp"), col("sub"), col("id").as("id_a"),
       col("v").as("va"))
     val b = keyed.select(col("grp"), col("sub"), col("id").as("id_b"),
       col("v").as("vb"))
     val pairs = a.join(b, Seq("grp", "sub")).where(col("id_a") < col("id_b"))
-      .withColumn("cosine", Vec.cosine(col("va"), col("vb")))
+      .withColumn("cosine", graft.plans.NativeDot.cosineCol(
+        df.sparkSession, col("va"), col("vb")))
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
     pairs.withColumn("rank", row_number().over(w))

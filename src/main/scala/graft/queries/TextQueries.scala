@@ -158,6 +158,33 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 ranked retrieval (operators/Retrieval.bm25): three query
+    // batches over the corpus vocabulary, top-10 each. Per-(doc,term)
+    // scores integerize to micro-units BEFORE the per-doc sum, so the
+    // total is an exact integer and the ranking (score desc, doc_id)
+    // hash-checks; the one transcendental (ln in idf) is mirrored
+    // op-for-op and rounds identically at micro precision.
+    "q74_bm25" -> ((s, dir) => {
+      graft.operators.Retrieval.bm25(table(s, dir, "documents"),
+          bm25Queries, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
+    // Token-level sequence packing (operators/Corpus.packSequences): the
+    // per-source token streams cut into 128-token training sequences,
+    // documents spanning boundaries — one row per (doc, sequence) slice,
+    // exact integer window arithmetic, full assignment hash-checked.
+    "q75_pack_sequences" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.operators.Corpus.packSequences(docs, "n_tokens", seqLen = 128,
+          orderCol = "doc_id", groupCols = Seq("source"))
+        .select(col("doc_id"), col("source"), col("seq"),
+          col("tok_start"), col("tok_len"))
+        .orderBy("doc_id", "seq")
+    }),
+
     // PII/link scrubbing (operators/Corpus.scrub): the synthetic corpus
     // carries no PII, so emails/URLs are PLANTED deterministically (docs
     // divisible by 7 get an email, by 11 a URL — both derived from
@@ -179,6 +206,14 @@ object TextQueries {
         .orderBy("doc_id")
     })
   )
+
+  /** The q74 retrieval batch — corpus-vocabulary terms so every query
+    * matches documents at every SF.
+    */
+  private val bm25Queries: Seq[(String, Seq[String])] = Seq(
+    "qa" -> Seq("spark", "join", "merge"),
+    "qb" -> Seq("window", "hash", "scan"),
+    "qc" -> Seq("vector", "stream", "batch", "line"))
 
   val oracle: Map[String, String] = Map(
     "q40_token_counts" ->
@@ -266,6 +301,24 @@ object TextQueries {
                 doc_id ASC) AS rk
             FROM documents)
           WHERE rk <= 30 ORDER BY doc_id""",
+
+    "q74_bm25" -> graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10),
+
+    "q75_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id, source,
+              CAST(len($toksSql) AS BIGINT) AS n FROM documents),
+          o AS (SELECT doc_id, source, n,
+              CAST(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                AS BIGINT) AS off
+            FROM d),
+          x AS (SELECT doc_id, source, n, off,
+              unnest(generate_series(off // 128, (off + n - 1) // 128)) AS seq
+            FROM o WHERE n > 0)
+          SELECT doc_id, source, seq,
+            greatest(seq * 128, off) - off AS tok_start,
+            least((seq + 1) * 128, off + n) - greatest(seq * 128, off) AS tok_len
+          FROM x ORDER BY doc_id, seq""",
 
     "q73_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -159,6 +159,27 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // SemDeDup-style semantic dedup (Similarity.semanticDedup): the corpus
+    // plus planted exact duplicates (every 50th vector re-appears under
+    // id+100000 — the corpus has no natural near-dups at any SF, so the
+    // plant guarantees the drop path runs); k=8 hash-chosen seed vectors,
+    // argmax-cosine assignment, drop-above-0.95-to-a-smaller-id rule. The
+    // oracle mirrors the WHOLE construction (plant, hash-ordered seeds,
+    // assignment argmax, pair threshold), so kept set AND cluster ids
+    // hash-check. maxCluster=None: the cap valve would need engine-
+    // specific sub-bucket hashes in SQL — its semantics are q57b's job.
+    "q76_semantic_dedup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val planted = e.where(col("vec_id") % 50 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding"))
+        .unionByName(planted)
+      Similarity.semanticDedup(corpus, k = 8, threshold = 0.95,
+          salt = "sem1", maxCluster = None)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
+
     // Vector scalar functions: L2 norm and component mean per vector.
     "q58_vector_norms" -> ((s, dir) => {
       val v = Vec.asDouble(col("embedding"))
@@ -265,6 +286,34 @@ object VectorQueries {
     "q57b_neardup_oversized_block" ->
       """SELECT CAST(9001 AS BIGINT) AS id_a, CAST(9002 AS BIGINT) AS id_b,
            CAST(1000000 AS BIGINT) AS cos_micro""",
+
+    "q76_semantic_dedup" -> {
+      import graft.functions.TextSql
+      s"""WITH base AS (
+            SELECT vec_id, $vSql AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 100000, $vSql FROM embeddings WHERE vec_id % 50 = 0),
+          sr AS (SELECT vec_id, v, row_number() OVER (ORDER BY
+              ${TextSql.hash48("'sem1' || CAST(vec_id AS VARCHAR)")} ASC,
+              vec_id ASC) AS rk FROM base),
+          seeds AS (SELECT rk - 1 AS seed_j, v AS sv FROM sr WHERE rk <= 8),
+          cosines AS (SELECT b.vec_id, s.seed_j,
+              ${VecSql.cosine("b.v", "s.sv")} AS cos
+            FROM base b CROSS JOIN seeds s),
+          assigned AS (SELECT vec_id, seed_j AS cluster FROM (
+              SELECT vec_id, seed_j, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cos DESC, seed_j ASC) AS r FROM cosines)
+            WHERE r = 1),
+          pairs AS (SELECT DISTINCT a2.vec_id AS dropped
+            FROM assigned a1 JOIN assigned a2
+              ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+            JOIN base b1 ON b1.vec_id = a1.vec_id
+            JOIN base b2 ON b2.vec_id = a2.vec_id
+            WHERE ${VecSql.cosine("b1.v", "b2.v")} >= 0.95)
+          SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM assigned
+          WHERE vec_id NOT IN (SELECT dropped FROM pairs)
+          ORDER BY vec_id"""
+    },
 
     "q58_vector_norms" ->
       s"""SELECT vec_id,

@@ -505,3 +505,154 @@ class StreamingScrubSpec extends AnyFunSuite {
     assert(key(batch).nonEmpty)
   }
 }
+
+class RetrievalSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Retrieval
+
+  test("bm25 matches the hand-computed Okapi scores on a tiny corpus") {
+    val docs = Seq(
+      (1L, "a b a"), (2L, "a c"), (3L, "d d d"), (4L, "b c b")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, Seq("q" -> Seq("a", "d")), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // N=4, dl = (3,2,3,3), avgdl = 11/4; df(a)=2, df(d)=1
+    val n = 4.0; val avgdl = 11.0 / 4.0
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def tfs(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+    def s(tf: Double, dl: Double, df: Double) =
+      math.round(idf(df) * tfs(tf, dl) * 1e6)
+    val expect = Seq(
+      (1L, s(2, 3, 2)),              // doc 1: "a" twice
+      (2L, s(1, 2, 2)),              // doc 2: "a" once, shorter doc
+      (3L, s(3, 3, 1))).map { case (id, sc) => id -> sc }.toMap
+    assert(got.map(r => r._1 -> r._3).toMap == expect)
+    // doc 4 contains no query term and must be absent
+    assert(!got.exists(_._1 == 4L))
+    // ranks follow (score desc, id): doc 3 (rare term, tf 3) first
+    val byRank = got.sortBy(_._2).map(_._1)
+    assert(byRank.head == 3L)
+  }
+
+  test("bm25 respects k and breaks score ties by doc id") {
+    val docs = Seq(
+      (10L, "x y"), (11L, "x y"), (12L, "x y"), (13L, "z")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, Seq("q" -> Seq("x")), k = 2)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 1L), (11L, 2L)),
+      "identical docs tie on score; rank must fall back to doc id")
+  }
+
+  test("bm25 scores multiple queries independently in one pass") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs,
+        Seq("qa" -> Seq("a"), "qb" -> Seq("c")), k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("qa", 1L), ("qb", 2L)))
+  }
+}
+
+class PackSequencesSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Corpus
+
+  private val rows = Seq(
+    // group g1: weights 5, 3, 9 -> token stream of 17, seqLen 4
+    ("g1", 1L, 5L), ("g1", 2L, 3L), ("g1", 3L, 9L),
+    // group g2: a zero-weight row (must vanish) and one spanning row
+    ("g2", 10L, 0L), ("g2", 11L, 10L))
+
+  private def packed = Corpus.packSequences(
+    rows.toDF("src", "id", "w"), "w", seqLen = 4,
+    orderCol = "id", groupCols = Seq("src"))
+    .select("src", "id", "seq", "tok_start", "tok_len")
+    .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4)))
+
+  test("packSequences covers every document exactly once") {
+    val bySrcId = packed.groupBy(p => (p._1, p._2))
+    rows.filter(_._3 > 0).foreach { case (src, id, w) =>
+      val slices = bySrcId((src, id)).sortBy(_._3)
+      assert(slices.map(_._5).sum == w, s"$src/$id: slice lengths must sum to weight")
+      assert(slices.head._4 == 0L, s"$src/$id: first slice starts at token 0")
+      // slices are contiguous in both sequence id and token offset
+      slices.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 == a._3 + 1, s"$src/$id: sequence ids contiguous")
+          assert(b._4 == a._4 + a._5, s"$src/$id: token offsets contiguous")
+        case _ =>
+      }
+    }
+    assert(!packed.exists(_._2 == 10L), "zero-weight rows emit no slices")
+  }
+
+  test("packSequences fills every sequence except a group's last") {
+    packed.groupBy(_._1).foreach { case (src, ps) =>
+      val bySeq = ps.groupBy(_._3)
+      val last = bySeq.keySet.max
+      assert(bySeq.keySet.min == 0L, s"$src: sequences start at 0")
+      bySeq.foreach { case (seq, slices) =>
+        val total = slices.map(_._5).sum
+        if (seq < last) assert(total == 4L, s"$src seq $seq holds $total != 4")
+        else assert(total <= 4L, s"$src last seq overfilled")
+      }
+    }
+  }
+}
+
+class SemanticDedupSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Similarity
+
+  // two well-separated directions with small per-vector jitter, plus one
+  // exact duplicate of vector 1 under a larger id
+  private def corpus = Seq(
+    1L -> Array(1.0, 0.02, 0.0), 2L -> Array(1.0, -0.02, 0.01),
+    3L -> Array(0.99, 0.0, 0.03),
+    20L -> Array(0.0, 1.0, 0.02), 21L -> Array(0.01, 1.0, -0.02),
+    99L -> Array(1.0, 0.02, 0.0)
+  ).toDF("vec_id", "embedding")
+
+  test("semanticDedup drops the larger-id duplicate, keeps the rest") {
+    val kept = Similarity.semanticDedup(corpus, k = 2, threshold = 0.9999)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!kept.contains(99L), "exact duplicate of id 1 must drop")
+    assert(kept.keySet == Set(1L, 2L, 3L, 20L, 21L))
+    // cluster ids match a driver-side mirror of the documented algorithm:
+    // seeds = k smallest hash48("sem"||id), assignment = argmax cosine
+    // with ties to the first seed
+    val all = corpus.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val seedIds = all.keys.toSeq
+      .sortBy(id => (graft.functions.Vec.hash48("sem" + id), id)).take(2)
+    def cos(a: IndexedSeq[Double], b: IndexedSeq[Double]) = {
+      def dot(x: IndexedSeq[Double], y: IndexedSeq[Double]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p * q }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    kept.foreach { case (id, cl) =>
+      val cosines = seedIds.map(sid => cos(all(id), all(sid)))
+      assert(cl == cosines.indexOf(cosines.max),
+        s"id $id: cluster $cl != mirrored argmax")
+    }
+  }
+
+  test("semanticDedup keeps pairs below the threshold") {
+    val kept = Similarity.semanticDedup(corpus, k = 2, threshold = 1.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 20L, 21L, 99L),
+      "an unreachable threshold must drop nothing")
+  }
+
+  test("semanticDedup is deterministic across runs") {
+    def run() = Similarity.semanticDedup(corpus, k = 3, threshold = 0.999,
+        salt = "s2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+  }
+}

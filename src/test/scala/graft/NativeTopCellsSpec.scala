@@ -97,3 +97,59 @@ class NativeTopCellsSpec extends AnyFunSuite {
     assert(ok == Seq(0))
   }
 }
+
+class NativeDotSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+  import graft.functions.Vec
+  import graft.plans.NativeDot
+
+  private def randVecs(n: Int, dim: Int, seed: Long) = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong,
+      Array.fill(dim)(rnd.nextDouble() * 2 - 1),
+      Array.fill(dim)(rnd.nextGaussian() * 1e3)))
+  }
+
+  test("native dot is bit-identical to the HOF sequential fold") {
+    val df = randVecs(200, 64, 7L).toDF("id", "a", "b")
+    val rows = df.select(
+        NativeDot.dotCol(spark, col("a"), col("b")).as("nat"),
+        Vec.dot(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+        s"native ${r.getDouble(0)} != fold ${r.getDouble(1)}")
+    }
+  }
+
+  test("native cosine is bit-identical to Vec.cosine") {
+    val df = randVecs(100, 48, 11L).toDF("id", "a", "b")
+    val rows = df.select(
+        NativeDot.cosineCol(spark, col("a"), col("b")).as("nat"),
+        Vec.cosine(col("a"), col("b")).as("hof"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native dot enforces the length and null-element contracts") {
+    val ragged = Seq((Array(1.0, 2.0), Array(1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+    val e1 = intercept[Exception] {
+      ragged.select(NativeDot.dotCol(spark, col("a"), col("b"))).collect()
+    }
+    assert(e1.getMessage.contains("length mismatch") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("length mismatch"))
+    // a null top-level array propagates null instead of throwing
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val r = withNull.select(NativeDot.dotCol(spark, col("a"), col("b")))
+      .collect()
+    assert(r.head.isNullAt(0))
+  }
+}
