@@ -124,6 +124,57 @@ object CorpusBench {
       .repartition(32).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = docs.count()
 
+    // retrieval mode: BM25 ranked search + token-level sequence packing
+    // over the same corpus — the read-side mix-construction ops, measured
+    // separately from the dedup pipeline (they share no stage with it)
+    if (mode == "retrieval") {
+      val t0 = System.nanoTime()
+      val hits = Retrieval.bm25(docs, Seq(
+          "qa" -> Seq("glider", "ocean", "current"),
+          "qb" -> Seq("depth", "water", "signal"),
+          "qc" -> Seq("the", "a", "of")), k = 10).count()
+      val bm25Secs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val weighted = docs.select(col("doc_id"),
+        (col("doc_id") % 64).as("src"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long").as("w"))
+      val slices = Corpus.packSequences(weighted, "w", seqLen = 2048,
+        orderCol = "doc_id", groupCols = Seq("src")).count()
+      val packSecs = (System.nanoTime() - t1) / 1e9
+      // the build-once/serve-many path: persist the inverted index, then
+      // serve the same query batch from it — the serve scan is statically
+      // pruned to the query terms' posting buckets (reported as
+      // serve_buckets of total_buckets, the partition-pruning proof)
+      val idxDir = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+      val qs = Seq(
+        "qa" -> Seq("glider", "ocean", "current"),
+        "qb" -> Seq("depth", "water", "signal"),
+        "qc" -> Seq("the", "a", "of"))
+      val nBuckets = 64
+      val t2 = System.nanoTime()
+      Retrieval.buildIndex(docs, idxDir, nBuckets)
+      val buildSecs = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val servedHits = Retrieval.searchIndex(spark, idxDir, qs, k = 10).count()
+      val serveSecs = (System.nanoTime() - t3) / 1e9
+      require(servedHits == hits,
+        s"index-served hit count $servedHits != in-memory $hits")
+      val serveBuckets = qs.flatMap(_._2).distinct
+        .map(t => graft.functions.Vec.hash48(t) % nBuckets).distinct.size
+      val totalBuckets = new java.io.File(s"$idxDir/postings").listFiles()
+        .count(_.getName.startsWith("bucket="))
+      docs.unpersist(blocking = true)
+      println(s"""{"metric":"corpus_retrieval","n_docs":$nDocs,"bm25_hits":$hits,""" +
+        s""""bm25_sec":${math.round(bm25Secs * 10) / 10.0},""" +
+        s""""bm25_docs_per_s":${math.round(nDocs / bm25Secs)},""" +
+        s""""pack_slices":$slices,"pack_sec":${math.round(packSecs * 10) / 10.0},""" +
+        s""""idx_build_sec":${math.round(buildSecs * 10) / 10.0},""" +
+        s""""idx_serve_sec":${math.round(serveSecs * 10) / 10.0},""" +
+        s""""serve_buckets":$serveBuckets,"total_buckets":$totalBuckets,""" +
+        s""""peak_heap_mb":$peakHeapMb}""")
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val kept = Corpus.preprocess(docs, "doc_id", "text").count()
     val secs = (System.nanoTime() - t0) / 1e9

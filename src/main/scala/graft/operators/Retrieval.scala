@@ -79,18 +79,115 @@ object Retrieval {
       .join(broadcast(dfreq), "w")
       .join(broadcast(qterms), "w")
       .crossJoin(broadcast(stats))
-    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
-    val tfd = col("tf").cast("double")
-    val tfScore = tfd * lit(k1 + 1.0) /
-      (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
     // integerize per (doc, term) BEFORE summing: the per-doc total is an
     // exact integer sum, bit-stable under any aggregation order
     val perTerm = scored.withColumn("__s",
-      round(idf * tfScore * lit(1000000.0)).cast("long"))
+      round(idfExpr * tfExpr(k1, b) * lit(1000000.0)).cast("long"))
 
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    perTerm.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__s")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+        col("score_micro"))
+  }
+
+  /** The idf over bound `n_docs`/`df` columns —
+    * ln(1 + (N - df + 0.5)/(df + 0.5)), the Okapi BM25+ form. One shared
+    * definition for [[bm25]] and [[searchIndex]], so serving from a
+    * persisted index is bit-identical to the in-memory pass.
+    */
+  private def idfExpr: org.apache.spark.sql.Column =
+    log(lit(1.0) +
+      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+
+  /** The tf saturation over bound `tf`/`dl`/`sum_dl`/`n_docs` columns —
+    * tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl)).
+    */
+  private def tfExpr(k1: Double, b: Double): org.apache.spark.sql.Column = {
+    val tfd = col("tf").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    tfd * lit(k1 + 1.0) /
+      (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+  }
+
+  /** Build and persist an inverted index — the build-once/serve-many shape
+    * for retrieval, the text analog of `Similarity.saveIvfIndex`:
+    * `postings/` holds (term, doc_id, tf) parquet partitioned BY TERM
+    * BUCKET (hash48(term) mod `nBuckets` — direct term partitioning would
+    * create one directory per vocabulary word), `doclens/` the per-doc
+    * token counts, `stats/` the corpus N / sum-dl / per-term df. A query
+    * batch then reads ONLY its terms' posting buckets — partition-pruned
+    * retrieval over an index that never rebuilds per query.
+    *
+    * At 100 TB the posting lists are the only large artifact; `bucket` is
+    * their partition key exactly as `cell` is the IVF lists'. Building is
+    * one tokenize + one explode-groupBy pass over the corpus.
+    */
+  def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    graft.plans.NativeHash48.register(docs.sparkSession)
+    val docsTok = docs.select(col(idCol).as("doc_id"),
+      Text.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    val postings = docsTok
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
+    // repartition on the partition column: each bucket lands in one task,
+    // one file per bucket directory (the writeLists discipline)
+    postings.repartition(col("bucket")).write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$dir/postings")
+    docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
+      .parquet(s"$dir/doclens")
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docsTok.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    dfreq.crossJoin(stats).withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** BM25 over a persisted index: the query batch's terms resolve to
+    * their hash buckets, a static `bucket IN (...)` filter prunes the
+    * postings scan to those partitions (the IVF static-pruning
+    * discipline — no DPP heuristics to drop), and scoring runs on the
+    * pre-aggregated (term, doc, tf) rows — no tokenize, no corpus pass.
+    * Identical arithmetic to [[bm25]] (same integerize-then-sum, same
+    * ranking), so serving from the index returns bit-identical results —
+    * the q77 oracle identity.
+    */
+  def searchIndex(spark: SparkSession, dir: String,
+      queries: Seq[(String, Seq[String])], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val vocab = queries.flatMap(_._2).distinct
+    require(vocab.nonEmpty, "searchIndex: empty query vocabulary")
+    val statsAll = spark.read.parquet(s"$dir/stats")
+    val nBuckets = statsAll.select(col("n_buckets")).head().getInt(0)
+    val buckets = vocab
+      .map(t => graft.functions.Vec.hash48(t) % nBuckets).distinct
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("bucket").isin(buckets.map(Long.box): _*))
+      .where(col("term").isin(vocab: _*))
+    val doclens = spark.read.parquet(s"$dir/doclens")
+    val dfreq = broadcast(statsAll.where(col("term").isin(vocab: _*))
+      .select(col("term"), col("df")))
+    val stats = broadcast(statsAll
+      .select(col("n_docs"), col("sum_dl")).limit(1))
+    import spark.implicits._
+    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
+      .toDF("q_id", "term")
+    val scored = postings
+      .join(dfreq, "term")
+      .join(broadcast(qterms), "term")
+      .join(doclens, "doc_id")
+      .crossJoin(stats)
+    val perTerm = scored.withColumn("__s",
+      round(idfExpr * tfExpr(k1, b) * lit(1000000.0)).cast("long"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
     perTerm.groupBy(col("q_id"), col("doc_id"))

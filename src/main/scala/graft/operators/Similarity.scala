@@ -692,20 +692,29 @@ object Similarity {
     *
     * Scale shape: seed selection is a distributed top-k (TakeOrdered — no
     * global sort) collecting k vectors to the driver (the same bounded
-    * contract as IVF centroids); assignment is a narrow map with k fused
-    * cosine folds per row (k is compile-time, so the whole chain stays in
-    * one codegen stage — for k beyond ~100 build an [[IvfIndex]] and use
-    * its native argmax instead); the within-cluster pair search reuses the
+    * contract as IVF centroids); assignment is a narrow map — a fused
+    * k-branch cosine chain for small k, switching to the O(1)-codegen
+    * [[graft.plans.NativeTopCells]] argmax over unit-normalized seeds at
+    * `nativeAssignFrom` (default 65), so the thousands of clusters a
+    * billion-row corpus wants cost one native call per row, not a
+    * k-branch expression tree; the within-cluster pair search reuses the
     * [[nearDupPairs]] blocked self-join with the same `maxBlock` valve
     * (sub-bucket split + over-cap drop), so one degenerate cluster cannot
     * go quadratic. SemDeDup's own contract — k grows with the corpus so
     * clusters stay bounded — is what keeps the blocked join linear-ish at
-    * 100 TB; the valve enforces it.
+    * 100 TB; the valve enforces it. Bit-identical duplicates are immune
+    * to the valve: an exact-collapse pre-pass (one window over the
+    * (cluster, vector) key) drops all but the min id of every identical
+    * group BEFORE the pair scan, so a boilerplate mass of >cap identical
+    * embeddings — exactly the shape whose sub-bucket the valve excludes
+    * from the quadratic scan — still dedups to one representative
+    * (SemDedupBench gates on this with planted duplicates).
     */
   def semanticDedup(df: DataFrame, k: Int, threshold: Double,
       salt: String = "sem", idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxCluster: Option[Int] = defaultMaxBlock): DataFrame = {
+      maxCluster: Option[Int] = defaultMaxBlock,
+      nativeAssignFrom: Int = 65): DataFrame = {
     require(k > 0, s"semanticDedup: k $k must be positive")
     val base = df.select(col(idCol).as("id"),
       Vec.asDouble(col(vecCol)).as("v"))
@@ -714,11 +723,48 @@ object Similarity {
       .orderBy(col("__h").asc, col("id").asc).limit(k)
       .select(col("id"), col("v")).collect()
       .map(r => r.getSeq[Double](1).toIndexedSeq)
-    val assigned = base.withColumn("cluster",
-      argmaxCosine(df.sparkSession, col("v"), seeds))
-    // no ranking needed for the drop rule — pairs above threshold only,
-    // over the same capped blocked self-join nearDupPairs uses
-    val keyed = cappedBlocks(assigned.select(col("cluster").as("grp"),
+    val assigned =
+      if (seeds.length >= nativeAssignFrom) {
+        // scale path: argmax cosine == argmax dot against unit-normalized
+        // seeds (norm(v) is a positive per-row constant), served by the
+        // O(1)-codegen [[graft.plans.NativeTopCells]] argmax — the
+        // k-branch when-chain below grows the expression tree linearly in
+        // k and falls out of whole-stage codegen past ~100 seeds. Tie
+        // rule differs (larger seed index vs first max) — divergent only
+        // on exact float ties, measure-zero for real embeddings; the
+        // driver-contract q76 uses the chain path (k = 8), whose ties the
+        // oracle mirrors exactly.
+        val unit = seeds.map { sd =>
+          val nrm = math.sqrt(sd.foldLeft(0.0)((a, x) => a + x * x))
+          sd.map(_ / nrm)
+        }
+        base.withColumn("cluster", element_at(graft.plans.NativeTopCells
+          .topCellsCol(df.sparkSession, col("v"), 0, unit.map(_.toSeq),
+            Seq.fill(unit.size)(0.0), 1), 1).cast("long"))
+      } else base.withColumn("cluster",
+        argmaxCosine(df.sparkSession, col("v"), seeds))
+    // exact-duplicate collapse BEFORE the pair scan: bit-identical vectors
+    // in one cluster are cosine-1 pairs by definition, so any threshold
+    // <= 1 drops all but the min id — computed as one window over the
+    // (cluster, vector) key (Spark groups array columns structurally; no
+    // hash-collision risk), NOT via pairs. This matters at scale: a mass
+    // of >cap identical rows lands in one over-cap sign-LSH sub-bucket
+    // that the maxCluster valve excludes from the pair scan — without
+    // this pass the mass would survive wholesale, the opposite of what a
+    // dedup operator must do with it. Scanning only the survivors below
+    // keeps the result identical to the all-rows scan: every removed row
+    // is bit-equal to its group's kept min id, so any >= threshold pair
+    // it would have witnessed is witnessed by that (smaller-id) survivor.
+    val survivors =
+      if (threshold <= 1.0) {
+        val wd = Window.partitionBy(col("cluster"), col("v"))
+          .orderBy(col("id").asc)
+        assigned.withColumn("__r", row_number().over(wd))
+          .where(col("__r") === 1).drop("__r")
+      } else assigned
+    // pairs above threshold only — same capped blocked self-join as
+    // nearDupPairs; no ranking needed for the drop rule
+    val keyed = cappedBlocks(survivors.select(col("cluster").as("grp"),
       col("id"), col("v")), maxCluster)
     val a = keyed.select(col("grp"), col("sub"), col("id").as("id_a"),
       col("v").as("va"))
@@ -729,7 +775,7 @@ object Similarity {
         graft.plans.NativeDot.cosineCol(df.sparkSession,
           col("va"), col("vb")) >= threshold)
       .select(col("id_b").as("id")).distinct()
-    assigned.join(dropped, Seq("id"), "left_anti")
+    survivors.join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("cluster"))
   }
 

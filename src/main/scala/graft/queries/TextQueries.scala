@@ -170,6 +170,21 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Index-served BM25 (Retrieval.buildIndex + searchIndex): the
+    // build-once/serve-many retrieval path — postings persisted as
+    // parquet partitioned by term-hash bucket, the query batch statically
+    // pruned to its terms' buckets (the IVF loaded-index discipline on
+    // text). Serving from the index is bit-identical to the in-memory
+    // q74 pass (shared scoring expressions), so the same BM25 SQL is an
+    // exact oracle for the whole build->persist->load->serve cycle: a
+    // lost posting, wrong df, or stale stat breaks the hash.
+    "q77_bm25_index" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q77_idx").toString
+      graft.operators.Retrieval.buildIndex(table(s, dir, "documents"), tmp)
+      graft.operators.Retrieval.searchIndex(s, tmp, bm25Queries, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // Token-level sequence packing (operators/Corpus.packSequences): the
     // per-source token streams cut into 128-token training sequences,
     // documents spanning boundaries — one row per (doc, sequence) slice,
@@ -303,6 +318,9 @@ object TextQueries {
           WHERE rk <= 30 ORDER BY doc_id""",
 
     "q74_bm25" -> graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10),
+
+    // identity: index-served BM25 == the in-memory pass, one shared oracle
+    "q77_bm25_index" -> graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10),
 
     "q75_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source,

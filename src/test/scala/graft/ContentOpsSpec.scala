@@ -554,6 +554,28 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(got == Set(("qa", 1L), ("qb", 2L)))
   }
+
+  test("index-served bm25 is identical to the in-memory pass") {
+    val docs = graft.queries.Common.table(spark,
+      "/root/testdata/sf0.001", "documents")
+    val qs = Seq("qa" -> Seq("spark", "join"), "qb" -> Seq("window", "scan"))
+    val tmp = java.nio.file.Files.createTempDirectory("retr_idx").toString
+    Retrieval.buildIndex(docs, tmp, nBuckets = 16)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val mem = key(Retrieval.bm25(docs, qs, k = 10))
+    val idx = key(Retrieval.searchIndex(spark, tmp, qs, k = 10))
+    assert(idx == mem, "serving from the persisted index must be bit-equal")
+    assert(mem.nonEmpty)
+    // the pruned scan touches only the query terms' bucket directories
+    val allBuckets = new java.io.File(s"$tmp/postings").listFiles()
+      .count(_.getName.startsWith("bucket="))
+    val queryBuckets = qs.flatMap(_._2).distinct
+      .map(t => graft.functions.Vec.hash48(t) % 16).distinct.size
+    assert(queryBuckets < allBuckets,
+      "the identity must exercise a genuinely pruned scan")
+  }
 }
 
 class PackSequencesSpec extends AnyFunSuite {
@@ -654,5 +676,17 @@ class SemanticDedupSpec extends AnyFunSuite {
     def run() = Similarity.semanticDedup(corpus, k = 3, threshold = 0.999,
         salt = "s2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(run() == run())
+  }
+
+  test("native-argmax assignment agrees with the cosine chain") {
+    // distinct jittered vectors only (an exact-duplicate pair could be
+    // picked as TWO seeds, whose cosines tie exactly — the one case where
+    // the documented tie rules legitimately differ)
+    val distinctCorpus = corpus.where(col("vec_id") =!= 99L)
+    def run(from: Int) = Similarity.semanticDedup(distinctCorpus, k = 3,
+        threshold = 0.9999, nativeAssignFrom = from)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) == run(100),
+      "both assignment paths must produce identical clusters off ties")
   }
 }
