@@ -241,6 +241,69 @@ object Corpus {
           regexp_replace(col(textCol), emailPattern, emailToken),
           urlPattern, urlToken))
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * every document by how much its hashed n-gram feature distribution
+    * looks like a TARGET domain versus the raw corpus. Features are word
+    * unigrams + bigrams hashed into `nBuckets` buckets; each bucket gets a
+    * Laplace-smoothed log-likelihood ratio
+    *
+    *   lambda(b) = ln((tgt_b + a) / (tgtT + a*B)) - ln((raw_b + a) / (rawT + a*B))
+    *
+    * and a document's weight is the sum of lambda over its feature
+    * OCCURRENCES (the bag-of-hashed-ngrams likelihood ratio). Documents
+    * whose features concentrate where the target does score high — the
+    * standard cheap proxy for "select pretraining data that looks like
+    * the eval domain".
+    *
+    * Determinism across engines (the q74 BM25 discipline): each bucket's
+    * lambda is integerized to micro-units BEFORE the per-doc sum, so the
+    * total is an exact integer and shuffle order can't perturb it; the
+    * float chain (two ln's, subtraction, one multiply) is mirrored
+    * op-for-op in the oracle SQL.
+    *
+    * Plan, built for the 100 TB corpus: ONE tokenize+posexplode pass with
+    * a window lead yields both feature kinds per token row (bigram null at
+    * the last position) — one shuffle on the doc key; bucket statistics
+    * are a map-side-combined aggregate onto at most `nBuckets` rows,
+    * lambda joins back as a BROADCAST (the bucket table is tiny by
+    * construction), and the final per-doc sum reuses the window's doc-key
+    * hash partitioning. Output: (idCol, dsir_micro), one row per input
+    * document (featureless docs score 0).
+    */
+  def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column, nBuckets: Int = 1024,
+      alpha: Double = 0.5): DataFrame = {
+    require(nBuckets >= 2, "importanceWeights: need nBuckets >= 2")
+    val exploded = docs
+      .select(col(idCol), isTarget.cast("boolean").as("__tgt"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val uniH = Text.hashMod(col("__w"))
+    val bigH = Text.hashMod(concat_ws(" ", col("__w"), col("__next")))
+    val feats = exploded
+      .withColumn("__next", lead(col("__w"), 1).over(wDoc))
+      .select(col(idCol), col("__tgt"),
+        explode(when(col("__next").isNotNull, array(uniH, bigH))
+          .otherwise(array(uniH))).as("__f"))
+      .withColumn("__b", col("__f") % nBuckets.toLong) // hashMod >= 0
+    val stats = feats.groupBy(col("__b")).agg(
+      count(lit(1)).as("raw_n"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_n"))
+    val tot = stats.agg(sum(col("raw_n")).as("rawT"), sum(col("tgt_n")).as("tgtT"))
+    val lam = stats.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        round(lit(1e6) *
+          (log((col("tgt_n") + alpha) / (col("tgtT") + alpha * nBuckets)) -
+           log((col("raw_n") + alpha) / (col("rawT") + alpha * nBuckets))))
+          .cast("long").as("lam_micro"))
+    val perDoc = feats.join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol)).agg(sum(col("lam_micro")).as("dsir_micro"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("dsir_micro"))
+  }
+
   /** The full preprocessing pass a training pipeline runs: quality gate,
     * then near-duplicate removal ([[Dedup.dedupCorpus]] — LSH pairs,
     * Jaccard threshold, cluster resolution, keep min-id per cluster).

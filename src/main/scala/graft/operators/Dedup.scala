@@ -403,6 +403,59 @@ object Dedup {
     labels.select(col("x").as("node"), col("p").as("component"))
   }
 
+  /** Span-level (substring) exact dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499) signal at n-gram granularity: find the maximal
+    * token spans of each document whose every length-`n` window also
+    * occurs in at least `minDocs` distinct documents. Document-level dedup
+    * ([[exact]]/[[minhashLsh]]) misses boilerplate shared between
+    * otherwise-distinct documents; this finds exactly those shared
+    * substrings so a pipeline can strip them.
+    *
+    * Output: one row per maximal repeated span — (id, span_start,
+    * span_len, n_grams) with `span_start` the 0-based token index,
+    * `span_len` in tokens (>= n), and `n_grams` the number of repeated
+    * n-gram windows merged into the span.
+    *
+    * Plan, built for the 100 TB corpus: one tokenize+posexplode pass with
+    * window leads forms (doc, pos, hash48(n-gram)) rows — all codegen, one
+    * shuffle on the doc key; the cross-doc-repeated hash set comes from a
+    * map-side-combined aggregate on the hash key and filters occurrences
+    * back via a LEFT SEMI hash-to-hash join (only true collisions cross
+    * the wire, the [[contamination]] discipline); interval merging is the
+    * classic gaps-and-islands window — with fixed-length `n` intervals
+    * sorted by start, a window overlaps-or-touches its predecessor iff
+    * `pos - lag(pos) <= n`, so islands are a running sum of break flags,
+    * per-doc partitioned (state bounded by document length, never corpus
+    * size). No stage is quadratic; nothing collects to the driver.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "repeatedSpans: need n >= 1, minDocs >= 2")
+    val rows = hashedShingleRows(docs, idCol, textCol, n)
+      .select(col(idCol), col("__pos"), col("__h"))
+    val rep = rows.groupBy(col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__h"))
+    val hits = rows.join(rep, Seq("__h"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    hits
+      // break when the previous repeated window ends before this one
+      // starts (lag null on the first row -> comparison null -> no break,
+      // running sum starts every doc at island 0)
+      .withColumn("__brk",
+        when(col("__pos") - lag(col("__pos"), 1).over(w) > n, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__brk")).over(w))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__pos")).cast("long").as("span_start"),
+        (max(col("__pos")) + lit(n.toLong) - min(col("__pos"))).as("span_len"),
+        count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("span_start"), col("span_len"), col("n_grams"))
+  }
+
   /** SimHash fingerprint per document — explode + flat bit-sum aggregates
     * (one md5 per token; the HOF form would recompute the hashed array per
     * bit). Identical arithmetic to [[Text.simhash]].

@@ -121,6 +121,18 @@ object DedupQueries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Span-level exact dedup (Dedup.repeatedSpans, the Lee et al. 2022
+    // substring-dedup signal): maximal token spans whose every 5-gram
+    // window recurs in >= 2 distinct documents — the shared-boilerplate
+    // detector document-level dedup misses. Interval merging is
+    // gaps-and-islands on both sides, so the full (doc, span) table
+    // hash-checks exactly.
+    "q78_repeated_spans" -> ((s, dir) => {
+      Dedup.repeatedSpans(table(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Duplicate-cluster resolution: connected components over a pair list
     // (the post-LSH step: pairs -> clusters -> one keeper per cluster).
     // Edges here are chains of consecutive doc_ids sharing a language —
@@ -258,6 +270,34 @@ object DedupQueries {
           FROM d c JOIN d b ON b.doc_id % 50 = 0 AND c.doc_id <> b.doc_id
           WHERE len(list_intersect(c.ds, b.ds)) >= 3
           ORDER BY c.doc_id, bench_id""",
+
+    // Same construction: zipped unnests carry (hash, 0-based pos), the
+    // cross-doc-repeated hash set filters occurrences, and islands merge
+    // windows that overlap or touch (gap <= n). Arithmetic is BIGINT on
+    // both sides.
+    "q78_repeated_spans" ->
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id,
+                   ${TextSql.hashedArray(TextSql.shingles("toks", 5))} AS hs
+                 FROM d),
+          g AS (SELECT doc_id, unnest(hs) AS h,
+                  unnest(generate_series(0, len(hs) - 1)) AS pos FROM sh),
+          rep AS (SELECT h FROM g GROUP BY h
+                  HAVING count(DISTINCT doc_id) >= 2),
+          hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM rep)),
+          brk AS (SELECT doc_id, pos,
+                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                      ORDER BY pos) > 5 THEN 1 ELSE 0 END AS b
+                  FROM hits),
+          isl AS (SELECT doc_id, pos,
+                    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                  FROM brk)
+          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+            CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len,
+            count(*) AS n_grams
+          FROM isl GROUP BY doc_id, island
+          ORDER BY doc_id, span_start""",
 
     // Same islands via gaps-and-islands (doc_id - row_number is constant
     // within a run of consecutive ids per lang); size-1 islands have no

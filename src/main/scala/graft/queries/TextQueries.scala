@@ -200,6 +200,18 @@ object TextQueries {
         .orderBy("doc_id", "seq")
     }),
 
+    // DSIR importance weights (operators/Corpus.importanceWeights, the
+    // Xie et al. 2023 hashed-n-gram importance-resampling score): docs
+    // scored by the log-likelihood ratio of their unigram+bigram buckets
+    // under the target domain (lang = 'en') vs the raw corpus. Per-bucket
+    // lambdas integerize to micro-units BEFORE the per-doc sum (the q74
+    // BM25 ln discipline), so the full score table hash-checks exactly.
+    "q79_dsir" -> ((s, dir) => {
+      graft.operators.Corpus.importanceWeights(table(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en", nBuckets = 1024)
+        .orderBy("doc_id")
+    }),
+
     // PII/link scrubbing (operators/Corpus.scrub): the synthetic corpus
     // carries no PII, so emails/URLs are PLANTED deterministically (docs
     // divisible by 7 get an email, by 11 a URL — both derived from
@@ -337,6 +349,31 @@ object TextQueries {
             greatest(seq * 128, off) - off AS tok_start,
             least((seq + 1) * 128, off + n) - greatest(seq * 128, off) AS tok_len
           FROM x ORDER BY doc_id, seq""",
+
+    // Feature rows = unigrams UNION ALL bigrams, hashed and bucketed with
+    // the engine's exact arithmetic; the float chain (two ln's, subtract,
+    // x1e6, round) is mirrored op-for-op. 512.0 = alpha * nBuckets.
+    "q79_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS tk
+                     FROM documents),
+          uni AS (SELECT doc_id, tgt, unnest(tk) AS s FROM t),
+          big AS (SELECT doc_id, tgt, unnest(${TextSql.shingles("tk", 2)}) AS s
+                  FROM t),
+          f AS (SELECT doc_id, tgt, ${TextSql.hashMod("s")} % 1024 AS b
+                FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+          stats AS (SELECT b, count(*) AS raw_n,
+                      sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_n
+                    FROM f GROUP BY b),
+          tot AS (SELECT sum(raw_n) AS rawT, sum(tgt_n) AS tgtT FROM stats),
+          lam AS (SELECT b, CAST(round(1e6 *
+                    (ln((tgt_n + 0.5) / (tgtT + 512.0)) -
+                     ln((raw_n + 0.5) / (rawT + 512.0)))) AS BIGINT) AS lam
+                  FROM stats, tot),
+          per AS (SELECT doc_id, sum(lam) AS dsir_micro
+                  FROM f JOIN lam USING (b) GROUP BY doc_id)
+          SELECT d.doc_id, CAST(COALESCE(per.dsir_micro, 0) AS BIGINT) AS dsir_micro
+          FROM documents d LEFT JOIN per USING (doc_id)
+          ORDER BY doc_id""",
 
     "q73_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -690,3 +690,113 @@ class SemanticDedupSpec extends AnyFunSuite {
       "both assignment paths must produce identical clusters off ties")
   }
 }
+
+class RepeatedSpansSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Fillers (u/v/w/x/y/r tokens) are globally unique across docs, so the
+  // ONLY cross-doc repeated 5-grams are the planted shared regions.
+  private val docs = Seq(
+    (1L, "u1 u2 b1 b2 b3 b4 b5 b6 b7 u3 u4"),              // boiler at pos 2
+    (2L, "v1 b1 b2 b3 b4 b5 b6 b7 v2 v3 v4"),              // boiler at pos 1
+    (3L, "w1 w2 w3 w4 w5 w6 w7 w8"),                       // unique
+    (4L, "r1 r2 r3 r4 r5 z9 r1 r2 r3 r4 r5"),              // within-doc repeat only
+    (5L, "p1 p2 p3 p4 p5 x1 x2 x3 x4 x5 x6 q1 q2 q3 q4 q5"),
+    (6L, "p1 p2 p3 p4 p5 y1 y2 y3 y4 y5 y6 q1 q2 q3 q4 q5")
+  ).toDF("doc_id", "text")
+
+  private def spans() = Dedup.repeatedSpans(docs, "doc_id", "text", n = 5)
+    .orderBy("doc_id", "span_start")
+    .select("doc_id", "span_start", "span_len", "n_grams")
+    .as[(Long, Long, Long, Long)].collect().toSeq
+
+  test("shared 7-token boilerplate merges its 3 windows into one span") {
+    val got = spans().filter(s => s._1 == 1L || s._1 == 2L)
+    assert(got == Seq((1L, 2L, 7L, 3L), (2L, 1L, 7L, 3L)))
+  }
+
+  test("unique docs and within-doc-only repeats produce no spans") {
+    // minDocs counts DISTINCT documents: doc 4's own repeated 5-gram
+    // must not flag it
+    assert(!spans().exists(s => s._1 == 3L || s._1 == 4L))
+  }
+
+  test("shared regions separated by a gap > n stay separate islands") {
+    val got = spans().filter(s => s._1 == 5L || s._1 == 6L)
+    assert(got == Seq((5L, 0L, 5L, 1L), (5L, 11L, 5L, 1L),
+      (6L, 0L, 5L, 1L), (6L, 11L, 5L, 1L)))
+  }
+}
+
+class ImportanceWeightsSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side mirror of Text.hash48 % P (md5 first 12 hex chars). */
+  private def hashMod(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.take(6).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % graft.functions.Text.P
+  }
+
+  /** Reference implementation: features, bucket stats, smoothed
+    * log-ratio integerized to micro BEFORE the per-doc sum.
+    */
+  private def reference(docs: Seq[(Long, String, Boolean)], b: Int,
+      alpha: Double): Map[Long, Long] = {
+    val feats = docs.flatMap { case (id, text, tgt) =>
+      val tk = text.split("\\s+").toSeq
+      val f = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      f.map(s => (id, tgt, hashMod(s) % b))
+    }
+    val rawT = feats.size.toDouble
+    val tgtT = feats.count(_._2).toDouble
+    val lam = feats.groupBy(_._3).map { case (bk, fs) =>
+      val rawN = fs.size
+      val tgtN = fs.count(_._2)
+      bk -> math.round(1e6 * (math.log((tgtN + alpha) / (tgtT + alpha * b)) -
+        math.log((rawN + alpha) / (rawT + alpha * b))))
+    }
+    docs.map { case (id, _, _) => id -> 0L }.toMap ++
+      feats.groupBy(_._1).map { case (id, fs) =>
+        id -> fs.map(f => lam(f._3)).sum
+      }
+  }
+
+  private val docs = Seq(
+    (1L, "spark join merge spark window", true),
+    (2L, "spark join scan batch", true),
+    (3L, "vector stream line batch line", false),
+    (4L, "merge window spark join", false),
+    (5L, "solo", true)
+  )
+
+  test("weights equal the driver-side mirror exactly, for every doc") {
+    val df = docs.toDF("doc_id", "text", "is_tgt")
+    val got = graft.operators.Corpus
+      .importanceWeights(df, "doc_id", "text", col("is_tgt"), nBuckets = 1024)
+      .as[(Long, Long)].collect().toMap
+    assert(got == reference(docs, 1024, 0.5))
+  }
+
+  test("target-like docs outscore raw-only docs") {
+    val df = docs.toDF("doc_id", "text", "is_tgt")
+    val got = graft.operators.Corpus
+      .importanceWeights(df, "doc_id", "text", col("is_tgt"), nBuckets = 1024)
+      .as[(Long, Long)].collect().toMap
+    // doc 3's features live only in non-target buckets; doc 2's only in
+    // target-heavy ones
+    assert(got(2L) > got(3L))
+  }
+
+  test("a null-text doc scores 0 and still appears in the output") {
+    val df = Seq((1L, "spark join", true), (2L, null, false))
+      .toDF("doc_id", "text", "is_tgt")
+    val got = graft.operators.Corpus
+      .importanceWeights(df, "doc_id", "text", col("is_tgt"), nBuckets = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L) && got(2L) == 0L)
+  }
+}
