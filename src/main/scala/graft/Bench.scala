@@ -5,6 +5,16 @@ object Bench {
   /** One timed pass: per-query seconds, with a FAILED query recorded as the
     * -1.0 sentinel (never its time-to-failure — a fast crash must not read
     * as a perf win) plus a "name: message" error entry.
+    *
+    * Forcing is a noop-format WRITE, not count(): count() lets Catalyst
+    * prune everything row-multiplicity doesn't need — a map-only
+    * projection (q73's regex scrub) collapses to a bare scan count, and a
+    * left join against a grouped frame (q78b) is eliminated outright, so
+    * rounds <= 10 recorded near-zero phantom times for exactly the
+    * queries whose work is per-row. The noop sink consumes every output
+    * column, so the timed plan is the plan the driver's Verify checks.
+    * (Cross-round note: this raises map-heavy per-query times vs earlier
+    * artifacts — annotate comparisons, see BASELINE.md round 10.)
     */
   def pass(queries: Map[String, (SparkSession, String) => DataFrame],
       spark: SparkSession, sfDir: String):
@@ -13,7 +23,10 @@ object Bench {
     val times = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        }
         catch { case e: Throwable =>
           errors += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
           false

@@ -10,7 +10,10 @@ object QBench {
     args.foreach { name =>
       (1 to 3).foreach { i =>
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
+        // noop write, not count(): see Bench.pass — count() lets Catalyst
+        // prune map-only work and eliminate unused-side joins entirely
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
     }

@@ -454,6 +454,49 @@ object Dedup {
         (max(col("__pos")) + lit(n.toLong) - min(col("__pos"))).as("span_len"),
         count(lit(1)).as("n_grams"))
       .select(col(idCol), col("span_start"), col("span_len"), col("n_grams"))
+      // Materialization barrier on the TINY span output: without it the
+      // final aggregate shares a stage with the md5 shingle probe (the
+      // island windows reuse the doc-key partitioning), so any consumer's
+      // global sort re-executes the corpus-scale pass in its range-sample
+      // job — measured 1.4 s vs 0.3 s on the sorted driver query at
+      // sf0.1. One extra shuffle of span rows (≪ corpus) caps every
+      // downstream re-read at span size.
+      .repartition(col(idCol))
+  }
+
+  /** Apply-side of [[repeatedSpans]]: the cleaned corpus with every
+    * repeated span's tokens removed and the survivors re-joined with
+    * single spaces (whitespace-normalizing, like any tokenize-and-rebuild
+    * cleaner). A fully-covered document (e.g. an exact duplicate) comes
+    * back as the empty string. Output: input columns + `text_clean` +
+    * `n_dropped` (tokens removed).
+    *
+    * Scale shape: covered positions explode from spans (bounded by
+    * document length), survivors arrive via a LEFT ANTI hash join on
+    * (doc, pos), and reconstruction is one per-doc sort of collected
+    * (pos, token) structs — per-group state bounded by the document, the
+    * same contract as every per-doc aggregate here.
+    */
+  def stripRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val covered = repeatedSpans(docs, idCol, textCol, n, minDocs)
+      .select(col(idCol), explode(sequence(col("span_start"),
+        col("span_start") + col("span_len") - 1)).as("__pos"))
+    val tokRows = docs
+      .select(col(idCol), posexplode(Text.tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .withColumn("__pos", col("__pos").cast("long"))
+    val rebuilt = tokRows.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+            s => s("__w")), " ").as("__clean"))
+    docs.join(rebuilt, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("__clean"), lit("")))
+      .withColumn("n_dropped",
+        size(Text.tokens(col(textCol))).cast("long")
+          - coalesce(col("__n_kept"), lit(0L)))
+      .drop("__clean", "__n_kept")
   }
 
   /** SimHash fingerprint per document — explode + flat bit-sum aggregates

@@ -133,6 +133,20 @@ object DedupQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // Apply-side of q78 (Dedup.stripRepeatedSpans): the cleaned corpus
+    // with repeated spans removed and survivors re-joined — emitted as
+    // the 48-bit hash of the cleaned text (the q73 discipline: full byte
+    // equality of the whole cleaned corpus without shipping text) plus
+    // the dropped-token count. Fully-covered exact-dup docs come back
+    // empty.
+    "q78b_strip_spans" -> ((s, dir) => {
+      Dedup.stripRepeatedSpans(table(s, dir, "documents"), "doc_id", "text",
+          n = 5, minDocs = 2)
+        .select(col("doc_id"), col("n_dropped"),
+          Text.hash48(col("text_clean")).as("clean_hash"))
+        .orderBy("doc_id")
+    }),
+
     // Duplicate-cluster resolution: connected components over a pair list
     // (the post-LSH step: pairs -> clusters -> one keeper per cluster).
     // Edges here are chains of consecutive doc_ids sharing a language —
@@ -179,6 +193,32 @@ object DedupQueries {
         dsh AS (SELECT doc_id,
           list_distinct(list_transform(${TextSql.hashedArray("sh")}, x -> x)) AS ds FROM h)"""
   }
+
+  /** The q78 span pipeline as a DuckDB CTE chain — consume `d` (doc_id,
+    * toks) and `spans` (doc_id, span_start, span_len, n_grams). Mirrors
+    * [[Dedup.repeatedSpans]] with n = 5, minDocs = 2.
+    */
+  private val spanCtes: String =
+    s"""d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        shg AS (SELECT doc_id,
+                 ${TextSql.hashedArray(TextSql.shingles("toks", 5))} AS hs
+               FROM d),
+        g AS (SELECT doc_id, unnest(hs) AS h,
+                unnest(generate_series(0, len(hs) - 1)) AS pos FROM shg),
+        rep AS (SELECT h FROM g GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2),
+        hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM rep)),
+        brk AS (SELECT doc_id, pos,
+                  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                    ORDER BY pos) > 5 THEN 1 ELSE 0 END AS b
+                FROM hits),
+        isl AS (SELECT doc_id, pos,
+                  sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM brk),
+        spans AS (SELECT doc_id, min(pos) AS span_start,
+                    max(pos) + 5 - min(pos) AS span_len, count(*) AS n_grams
+                  FROM isl GROUP BY doc_id, island)"""
 
   val oracle: Map[String, String] = Map(
     // Gate (raw-double quality >= 0.3: both engines evaluate the identical
@@ -276,28 +316,30 @@ object DedupQueries {
     // windows that overlap or touch (gap <= n). Arithmetic is BIGINT on
     // both sides.
     "q78_repeated_spans" ->
-      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
-          sh AS (SELECT doc_id,
-                   ${TextSql.hashedArray(TextSql.shingles("toks", 5))} AS hs
-                 FROM d),
-          g AS (SELECT doc_id, unnest(hs) AS h,
-                  unnest(generate_series(0, len(hs) - 1)) AS pos FROM sh),
-          rep AS (SELECT h FROM g GROUP BY h
-                  HAVING count(DISTINCT doc_id) >= 2),
-          hits AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM rep)),
-          brk AS (SELECT doc_id, pos,
-                    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
-                      ORDER BY pos) > 5 THEN 1 ELSE 0 END AS b
-                  FROM hits),
-          isl AS (SELECT doc_id, pos,
-                    sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-                  FROM brk)
-          SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-            CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len,
-            count(*) AS n_grams
-          FROM isl GROUP BY doc_id, island
-          ORDER BY doc_id, span_start""",
+      s"""WITH $spanCtes
+          SELECT doc_id, CAST(span_start AS BIGINT) AS span_start,
+            CAST(span_len AS BIGINT) AS span_len, n_grams
+          FROM spans ORDER BY doc_id, span_start""",
+
+    // Covered positions unnest from the spans, survivors arrive via ANTI
+    // JOIN on (doc, pos), and the rebuilt text is an ORDER BY pos
+    // string_agg — byte-identical to the engine's sorted-struct rebuild.
+    "q78b_strip_spans" ->
+      s"""WITH $spanCtes,
+          cov AS (SELECT doc_id, unnest(generate_series(span_start,
+                    span_start + span_len - 1)) AS pos FROM spans),
+          tk AS (SELECT doc_id, unnest(toks) AS w,
+                   unnest(generate_series(0, len(toks) - 1)) AS pos FROM d),
+          kept AS (SELECT tk.doc_id, tk.pos, tk.w FROM tk
+                   ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos),
+          reb AS (SELECT doc_id, count(*) AS n_kept,
+                    string_agg(w, ' ' ORDER BY pos) AS clean
+                  FROM kept GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(len(toks) - COALESCE(n_kept, 0) AS BIGINT) AS n_dropped,
+            ${TextSql.hash48("COALESCE(clean, '')")} AS clean_hash
+          FROM d LEFT JOIN reb USING (doc_id)
+          ORDER BY doc_id""",
 
     // Same islands via gaps-and-islands (doc_id - row_number is constant
     // within a run of consecutive ids per lang); size-1 islands have no

@@ -90,15 +90,27 @@ object TextQueries {
 
     // Within-document repetition (the Gopher duplicate-n-gram quality
     // signal): fraction of word 2-grams that are repeats, as an exact
-    // integer per-mille. Pure per-row array algebra — no shuffle, no UDF;
-    // the shingle array is proportional to the document itself so the row
-    // stays bounded at any corpus scale.
+    // integer per-mille. Explode + window lead + countDistinct, NOT the
+    // Text.shingles HOF: an interpreted per-element lambda costs ~30us
+    // per shingle (the Dedup.signatures lesson) and this query was 18.5 s
+    // warm at sf0.1 under the honest noop-write bench — the exploded form
+    // keeps every step in whole-stage codegen and runs ~0.5 s. Docs with
+    // < 2 tokens re-enter via left join with zero counts, matching the
+    // oracle's empty-shingle-list CASE.
     "q46_repetition" -> ((s, dir) => {
-      val sh = Text.shingles(Text.tokens(col("text")), 2)
-      table(s, dir, "documents")
-        .select(col("doc_id"),
-          size(sh).cast("long").as("n_total"),
-          size(array_distinct(sh)).cast("long").as("n_distinct"))
+      val docs = table(s, dir, "documents")
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("__pos"))
+      val counts = docs
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("__pos", "__w")))
+        .withColumn("__w2", lead(col("__w"), 1).over(wDoc))
+        .where(col("__w2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("__w"), col("__w2")).as("__g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("__g")).as("n_distinct"))
+      docs.select("doc_id").join(counts, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_total", "n_distinct"))
         .withColumn("rep_milli",
           when(col("n_total") > 0,
             expr("((n_total - n_distinct) * 1000) div n_total"))

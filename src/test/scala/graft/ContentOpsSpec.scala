@@ -727,6 +727,29 @@ class RepeatedSpansSpec extends AnyFunSuite {
     assert(got == Seq((5L, 0L, 5L, 1L), (5L, 11L, 5L, 1L),
       (6L, 0L, 5L, 1L), (6L, 11L, 5L, 1L)))
   }
+
+  test("stripRepeatedSpans removes spans and rebuilds the survivors") {
+    val got = Dedup.stripRepeatedSpans(docs, "doc_id", "text", n = 5)
+      .select("doc_id", "text_clean", "n_dropped")
+      .as[(Long, String, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) == (("u1 u2 u3 u4", 7L)))
+    assert(got(2L) == (("v1 v2 v3 v4", 7L)))
+    assert(got(3L) == (("w1 w2 w3 w4 w5 w6 w7 w8", 0L))) // untouched
+    assert(got(5L) == (("x1 x2 x3 x4 x5 x6", 10L)))
+  }
+
+  test("a fully-covered exact duplicate strips to the empty string") {
+    val dups = Seq(
+      (10L, "m1 m2 m3 m4 m5 m6"),
+      (11L, "m1 m2 m3 m4 m5 m6"),
+      (12L, "k1 k2 k3 k4 k5 k6")
+    ).toDF("doc_id", "text")
+    val got = Dedup.stripRepeatedSpans(dups, "doc_id", "text", n = 5)
+      .select("doc_id", "text_clean", "n_dropped")
+      .as[(Long, String, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(10L) == (("", 6L)) && got(11L) == (("", 6L)))
+    assert(got(12L) == (("k1 k2 k3 k4 k5 k6", 0L)))
+  }
 }
 
 class ImportanceWeightsSpec extends AnyFunSuite {
