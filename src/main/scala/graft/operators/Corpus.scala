@@ -304,6 +304,71 @@ object Corpus {
       .na.fill(0L, Seq("dsir_micro"))
   }
 
+  /** CCNet-style n-gram language-model scoring (Wenzek et al. 2020,
+    * arXiv:1911.00359 use a KenLM for exactly this): train a bigram LM
+    * with Stupid Backoff (Brants et al. 2007) on the documents matching
+    * `trainPred`, then score EVERY document's token stream under it —
+    * the classic "does this look like the reference corpus" quality
+    * signal, complementary to [[importanceWeights]] (a discriminative
+    * bucket ratio; this is a generative sequence model).
+    *
+    * Per bigram occurrence (w1, w2):
+    *
+    *   score = ln(c2(w1,w2) / c1(w1))                 if c2 > 0
+    *         = ln(0.4 * (c1(w2) + 0.5) / (N + 0.5*V)) otherwise
+    *
+    * (c1/c2 = train unigram/bigram counts, N = train token count, V =
+    * train vocabulary size; the add-half unigram term keeps OOV w2
+    * finite). A document's `lm_micro` is the sum of per-occurrence
+    * scores integerized to micro-units BEFORE the sum (the BM25/DSIR
+    * determinism discipline — exact integer totals, order-proof);
+    * `n_bigrams` rides along so callers can form the mean (per-token
+    * perplexity) without losing exactness.
+    *
+    * Plan at corpus scale: one posexplode+lead pass forms bigram rows
+    * (one shuffle on the doc key); the LM tables are map-side-combined
+    * aggregates (vocabulary-sized, NOT corpus-sized) joined back on the
+    * token keys — the classic LM-scoring hash join, broadcast when the
+    * vocabulary is small and a plain shuffle join when it isn't (left to
+    * AQE, which sees the actual table sizes); the per-doc sum reuses the
+    * doc-key partitioning. Scores for featureless docs are 0 with
+    * n_bigrams 0.
+    */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      trainPred: org.apache.spark.sql.Column,
+      backoff: Double = 0.4): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), trainPred.cast("boolean").as("__tr"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val toks = exploded.select(col(idCol), col("__tr"), col("__w"))
+    val bigrams = exploded
+      .withColumn("__w2", lead(col("__w"), 1).over(wDoc))
+      .where(col("__w2").isNotNull)
+      .select(col(idCol), col("__tr"), col("__w"), col("__w2"))
+    val uni = toks.where(col("__tr"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("c1"))
+    val big = bigrams.where(col("__tr"))
+      .groupBy(col("__w"), col("__w2")).agg(count(lit(1)).as("c2"))
+    val tot = uni.agg(sum(col("c1")).as("lmN"), count(lit(1)).as("lmV"))
+    val scored = bigrams
+      .join(big, Seq("__w", "__w2"), "left")
+      .join(uni.withColumnRenamed("c1", "c1_w1"), Seq("__w"), "left")
+      .join(uni.withColumnRenamed("__w", "__w2")
+        .withColumnRenamed("c1", "c1_w2"), Seq("__w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__s", round(lit(1e6) *
+        when(col("c2").isNotNull && col("c2") > 0,
+          log(col("c2").cast("double") / col("c1_w1").cast("double")))
+        .otherwise(log(lit(backoff) *
+          (coalesce(col("c1_w2"), lit(0L)) + lit(0.5)) /
+          (col("lmN") + lit(0.5) * col("lmV"))))).cast("long"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__s")).as("lm_micro"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "lm_micro"))
+  }
+
   /** The full preprocessing pass a training pipeline runs: quality gate,
     * then near-duplicate removal ([[Dedup.dedupCorpus]] — LSH pairs,
     * Jaccard threshold, cluster resolution, keep min-id per cluster).

@@ -224,6 +224,18 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style bigram-LM scoring (operators/Corpus.lmScore): a Stupid
+    // Backoff LM trained on the lang='en' subset scores every document's
+    // token stream — the generative "looks like the reference corpus"
+    // signal next to q79's discriminative ratio. Per-occurrence scores
+    // integerize to micro before the per-doc sum, so the full
+    // (doc, n_bigrams, lm_micro) table hash-checks exactly.
+    "q80_lm_score" -> ((s, dir) => {
+      graft.operators.Corpus.lmScore(table(s, dir, "documents"),
+          "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
     // PII/link scrubbing (operators/Corpus.scrub): the synthetic corpus
     // carries no PII, so emails/URLs are PLANTED deterministically (docs
     // divisible by 7 get an email, by 11 a URL — both derived from
@@ -384,6 +396,36 @@ object TextQueries {
           per AS (SELECT doc_id, sum(lam) AS dsir_micro
                   FROM f JOIN lam USING (b) GROUP BY doc_id)
           SELECT d.doc_id, CAST(COALESCE(per.dsir_micro, 0) AS BIGINT) AS dsir_micro
+          FROM documents d LEFT JOIN per USING (doc_id)
+          ORDER BY doc_id""",
+
+    // Bigrams as zipped slice-unnests (tk[1:n-1] with tk[2:n]); the LM
+    // tables and the float chain (one division or the backoff product,
+    // one ln, x1e6, round) mirror the engine op-for-op.
+    "q80_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tr, $toksSql AS tk
+                     FROM documents),
+          toks AS (SELECT doc_id, tr, unnest(tk) AS w FROM t),
+          bg AS (SELECT doc_id, tr, unnest(tk[1:len(tk)-1]) AS w1,
+                   unnest(tk[2:len(tk)]) AS w2
+                 FROM t WHERE len(tk) >= 2),
+          uni AS (SELECT w, count(*) AS c1 FROM toks WHERE tr GROUP BY w),
+          big AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE tr
+                  GROUP BY w1, w2),
+          tot AS (SELECT sum(c1) AS lmN, count(*) AS lmV FROM uni),
+          sc AS (SELECT bg.doc_id,
+                   CAST(round(1e6 * CASE WHEN big.c2 IS NOT NULL AND big.c2 > 0
+                     THEN ln(CAST(big.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+                     ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 0.5)
+                       / (lmN + 0.5 * lmV)) END) AS BIGINT) AS s
+                 FROM bg
+                 LEFT JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+                 LEFT JOIN uni u1 ON bg.w1 = u1.w
+                 LEFT JOIN uni u2 ON bg.w2 = u2.w, tot),
+          per AS (SELECT doc_id, count(*) AS n_bigrams, sum(s) AS lm_micro
+                  FROM sc GROUP BY doc_id)
+          SELECT d.doc_id, CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            CAST(COALESCE(per.lm_micro, 0) AS BIGINT) AS lm_micro
           FROM documents d LEFT JOIN per USING (doc_id)
           ORDER BY doc_id""",
 

@@ -823,3 +823,70 @@ class ImportanceWeightsSpec extends AnyFunSuite {
     assert(got.keySet == Set(1L, 2L) && got(2L) == 0L)
   }
 }
+
+class LmScoreSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Driver-side mirror of Corpus.lmScore (bigram Stupid Backoff). */
+  private def reference(docs: Seq[(Long, String, Boolean)],
+      backoff: Double): Map[Long, (Long, Long)] = {
+    def toks(t: String) = t.split("\\s+").toSeq
+    val train = docs.filter(_._3)
+    val c1 = train.flatMap(d => toks(d._2)).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    val c2 = train.flatMap(d => toks(d._2).sliding(2).filter(_.size == 2))
+      .groupBy(identity).map { case (b, bs) => (b(0), b(1)) -> bs.size.toLong }
+    val n = c1.values.sum.toDouble
+    val v = c1.size.toDouble
+    docs.map { case (id, text, _) =>
+      val bgs = toks(text).sliding(2).filter(_.size == 2).toSeq
+      val s = bgs.map { b =>
+        val score = c2.get((b(0), b(1))) match {
+          case Some(cc) => math.log(cc.toDouble / c1(b(0)).toDouble)
+          case None => math.log(backoff * (c1.getOrElse(b(1), 0L) + 0.5)
+            / (n + 0.5 * v))
+        }
+        math.round(1e6 * score)
+      }.sum
+      id -> (bgs.size.toLong, s)
+    }.toMap
+  }
+
+  private val docs = Seq(
+    (1L, "spark join merge spark join", true),
+    (2L, "spark join spark merge", true),
+    (3L, "vector stream line batch", false),   // mostly OOV bigrams
+    (4L, "merge spark join merge", false),
+    (5L, "solo", true)                         // no bigrams
+  )
+
+  test("scores equal the driver-side Stupid Backoff mirror exactly") {
+    val got = graft.operators.Corpus
+      .lmScore(docs.toDF("doc_id", "text", "is_tr"), "doc_id", "text",
+        col("is_tr"))
+      .select("doc_id", "n_bigrams", "lm_micro")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got == reference(docs, 0.4))
+  }
+
+  test("in-domain text outscores OOV text per bigram") {
+    val got = graft.operators.Corpus
+      .lmScore(docs.toDF("doc_id", "text", "is_tr"), "doc_id", "text",
+        col("is_tr"))
+      .select("doc_id", "n_bigrams", "lm_micro")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> t._3.toDouble / t._2).toMap
+    assert(got(1L) > got(3L), "train-domain doc must beat the OOV doc")
+  }
+
+  test("a doc with no bigrams scores (0, 0)") {
+    val got = graft.operators.Corpus
+      .lmScore(docs.toDF("doc_id", "text", "is_tr"), "doc_id", "text",
+        col("is_tr"))
+      .where(col("doc_id") === 5L)
+      .select("n_bigrams", "lm_micro").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((0L, 0L)))
+  }
+}
