@@ -175,6 +175,60 @@ object CorpusBench {
       spark.stop(); return
     }
 
+    // spans mode: the round-10 content operators at corpus scale —
+    // span-level dedup (detect + strip), DSIR importance weights, and
+    // bigram-LM scoring. Invariant checked: the synthetic exact-duplicate
+    // pairs (id % 20 in {0,1}, minus the junk overlap) are FULLY covered
+    // by repeated spans, so their stripped text is empty.
+    if (mode == "spans") {
+      val t0 = System.nanoTime()
+      val nSpans = Dedup.repeatedSpans(docs, "doc_id", "text", 5).count()
+      val spanSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val stripped = Dedup.stripRepeatedSpans(docs, "doc_id", "text", 5)
+        .select(col("doc_id"), (col("text_clean") === "").as("empty"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nStripped = stripped.count()
+      val stripSecs = (System.nanoTime() - t1) / 1e9
+      val nEmpty = stripped.where(col("empty")).count()
+      stripped.unpersist(blocking = true)
+      // intact dup docs = 10% of corpus minus those overridden to junk
+      val nDup = (0L until nDocs).count(i => i % 20 < 2 && i % 25 != 7)
+      require(nStripped == nDocs, s"strip lost rows: $nStripped != $nDocs")
+      require(nEmpty >= nDup,
+        s"only $nEmpty docs stripped to empty; every intact dup doc ($nDup) must")
+      // force with a checksum aggregate over the score column, NOT
+      // count(): count() of the doc LEFT JOIN grouped-scores shape lets
+      // Catalyst eliminate the join and skip the whole computation (the
+      // Bench.pass lesson)
+      val t2 = System.nanoTime()
+      val dsirRow = Corpus.importanceWeights(docs, "doc_id", "text",
+          col("doc_id") % 5 === 0)
+        .agg(count(lit(1)).as("n"), sum(abs(col("dsir_micro"))).as("chk"))
+        .first()
+      val dsirSecs = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val lmRow = Corpus.lmScore(docs, "doc_id", "text",
+          col("doc_id") % 5 === 0)
+        .agg(count(lit(1)).as("n"), sum(abs(col("lm_micro"))).as("chk"))
+        .first()
+      val lmSecs = (System.nanoTime() - t3) / 1e9
+      require(dsirRow.getLong(0) == nDocs && lmRow.getLong(0) == nDocs,
+        "score row-count mismatch")
+      require(dsirRow.getLong(1) > 0 && lmRow.getLong(1) > 0,
+        "degenerate all-zero scores")
+      docs.unpersist(blocking = true)
+      println(s"""{"metric":"corpus_spans","n_docs":$nDocs,"n_spans":$nSpans,""" +
+        s""""span_sec":${math.round(spanSecs * 10) / 10.0},""" +
+        s""""span_docs_per_s":${math.round(nDocs / spanSecs)},""" +
+        s""""strip_sec":${math.round(stripSecs * 10) / 10.0},""" +
+        s""""n_stripped_empty":$nEmpty,"n_dup_expected":$nDup,""" +
+        s""""dsir_sec":${math.round(dsirSecs * 10) / 10.0},""" +
+        s""""lm_sec":${math.round(lmSecs * 10) / 10.0},""" +
+        s""""peak_heap_mb":$peakHeapMb}""")
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val kept = Corpus.preprocess(docs, "doc_id", "text").count()
     val secs = (System.nanoTime() - t0) / 1e9
