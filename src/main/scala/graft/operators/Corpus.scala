@@ -332,7 +332,11 @@ object Corpus {
     * vocabulary is small and a plain shuffle join when it isn't (left to
     * AQE, which sees the actual table sizes); the per-doc sum reuses the
     * doc-key partitioning. Scores for featureless docs are 0 with
-    * n_bigrams 0.
+    * n_bigrams 0. An EMPTY training subset degenerates deterministically
+    * to all-zero scores (the null LM totals null out every per-occurrence
+    * score and the fill normalizes them) — the caller owns picking a
+    * non-empty `trainPred`, and the operator stays lazy rather than
+    * paying an eager emptiness check per plan build.
     */
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
       trainPred: org.apache.spark.sql.Column,

@@ -428,6 +428,13 @@ object Dedup {
     * `pos - lag(pos) <= n`, so islands are a running sum of break flags,
     * per-doc partitioned (state bounded by document length, never corpus
     * size). No stage is quadratic; nothing collects to the driver.
+    *
+    * The occurrence side deliberately RECOMPUTES the shingle hash pass
+    * rather than shuffling it: at corpus scale the (doc, pos, hash) rows
+    * are the size of the corpus itself, so a map-side md5 recompute is
+    * cheaper than a full-corpus exchange — the repeated-hash side ships
+    * only post-partial-aggregation (hash, doc) pairs, and Catalyst picks
+    * broadcast vs shuffle for the semi join from actual sizes.
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, minDocs: Int = 2): DataFrame = {

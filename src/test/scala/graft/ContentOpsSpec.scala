@@ -881,6 +881,16 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got(1L) > got(3L), "train-domain doc must beat the OOV doc")
   }
 
+  test("an empty training subset degenerates to all-zero scores") {
+    val got = graft.operators.Corpus
+      .lmScore(docs.toDF("doc_id", "text", "is_tr"), "doc_id", "text",
+        lit(false))
+      .select("doc_id", "n_bigrams", "lm_micro")
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall(_._3 == 0L), "every score must normalize to 0")
+    assert(got.find(_._1 == 1L).get._2 == 4L, "bigram counts stay real")
+  }
+
   test("a doc with no bigrams scores (0, 0)") {
     val got = graft.operators.Corpus
       .lmScore(docs.toDF("doc_id", "text", "is_tr"), "doc_id", "text",
