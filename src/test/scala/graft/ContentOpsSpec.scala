@@ -900,3 +900,69 @@ class LmScoreSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 0L)))
   }
 }
+
+/** Property lock for the span-dedup family: 20 seeded random corpora vs a
+  * brute-force driver reference (the DedupSpec union-find-oracle
+  * discipline) — repeated-window detection, interval merging, and the
+  * strip/rebuild are pinned end to end.
+  */
+class RepeatedSpansPropertySpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val n = 4
+
+  /** Brute-force reference: per doc, the merged maximal spans of windows
+    * whose token n-gram occurs in >= 2 distinct documents.
+    */
+  private def reference(docs: Seq[(Long, String)])
+      : (Map[Long, Seq[(Long, Long)]], Map[Long, String]) = {
+    val toks = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val gramDocs = docs.flatMap { case (id, _) =>
+      toks(id).sliding(n).filter(_.size == n).map(g => (g.mkString(" "), id))
+    }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val spans = docs.map { case (id, _) =>
+      val hits = toks(id).sliding(n).zipWithIndex
+        .filter { case (g, _) => g.size == n && gramDocs(g.mkString(" ")) >= 2 }
+        .map(_._2).toSeq
+      val merged = hits.foldLeft(Vector.empty[(Int, Int)]) {
+        case (acc, p) if acc.nonEmpty && p <= acc.last._2 =>
+          acc.init :+ (acc.last._1, math.max(acc.last._2, p + n))
+        case (acc, p) => acc :+ (p, p + n)
+      }
+      id -> merged.map { case (a, b) => (a.toLong, (b - a).toLong) }
+    }.toMap
+    val clean = docs.map { case (id, _) =>
+      val covered = spans(id).flatMap { case (a, l) => a until a + l }.toSet
+      id -> toks(id).zipWithIndex.collect {
+        case (w, i) if !covered(i) => w }.mkString(" ")
+    }.toMap
+    (spans, clean)
+  }
+
+  private def corpus(seed: Int): Seq[(Long, String)] = {
+    val r = new scala.util.Random(seed)
+    val vocab = (0 until 8).map(i => s"w$i") // tiny vocab -> dense repeats
+    (0L until (3 + r.nextInt(6)).toLong).map { id =>
+      id -> Seq.fill(r.nextInt(14))(vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+  }
+
+  test("spans and strip equal the brute-force reference on 20 random corpora") {
+    (1 to 20).foreach { seed =>
+      val docs = corpus(seed)
+      val (expSpans, expClean) = reference(docs)
+      val df = docs.toDF("doc_id", "text")
+      val gotSpans = Dedup.repeatedSpans(df, "doc_id", "text", n)
+        .select("doc_id", "span_start", "span_len")
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (id, xs) =>
+          id -> xs.map(t => (t._2, t._3)).sortBy(_._1).toSeq }
+      assert(gotSpans == expSpans.filter(_._2.nonEmpty),
+        s"seed $seed spans diverge")
+      val gotClean = Dedup.stripRepeatedSpans(df, "doc_id", "text", n)
+        .select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+      assert(gotClean == expClean, s"seed $seed strip diverges")
+    }
+  }
+}
