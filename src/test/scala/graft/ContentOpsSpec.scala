@@ -814,6 +814,22 @@ class ImportanceWeightsSpec extends AnyFunSuite {
     assert(got(2L) > got(3L))
   }
 
+  test("weights equal the mirror on 10 random corpora") {
+    (1 to 10).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val vocab = (0 until 12).map(i => s"t$i")
+      val rnd = (0L until (4 + r.nextInt(8)).toLong).map { id =>
+        (id, Seq.fill(1 + r.nextInt(10))(vocab(r.nextInt(vocab.size)))
+          .mkString(" "), r.nextBoolean())
+      }
+      val got = graft.operators.Corpus
+        .importanceWeights(rnd.toDF("doc_id", "text", "is_tgt"),
+          "doc_id", "text", col("is_tgt"), nBuckets = 256)
+        .as[(Long, Long)].collect().toMap
+      assert(got == reference(rnd, 256, 0.5), s"seed $seed diverges")
+    }
+  }
+
   test("a null-text doc scores 0 and still appears in the output") {
     val df = Seq((1L, "spark join", true), (2L, null, false))
       .toDF("doc_id", "text", "is_tgt")
@@ -889,6 +905,27 @@ class LmScoreSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect()
     assert(got.forall(_._3 == 0L), "every score must normalize to 0")
     assert(got.find(_._1 == 1L).get._2 == 4L, "bigram counts stay real")
+  }
+
+  test("scores equal the mirror on 10 random corpora") {
+    (1 to 10).foreach { seed =>
+      val r = new scala.util.Random(seed + 100)
+      val vocab = (0 until 10).map(i => s"v$i")
+      val rnd = (0L until (4 + r.nextInt(8)).toLong).map { id =>
+        (id, Seq.fill(1 + r.nextInt(12))(vocab(r.nextInt(vocab.size)))
+          .mkString(" "), r.nextBoolean())
+      }
+      // guarantee a non-empty training subset (the documented contract)
+      val withTrain = if (rnd.exists(_._3)) rnd
+        else rnd.updated(0, (rnd(0)._1, rnd(0)._2, true))
+      val got = graft.operators.Corpus
+        .lmScore(withTrain.toDF("doc_id", "text", "is_tr"), "doc_id",
+          "text", col("is_tr"))
+        .select("doc_id", "n_bigrams", "lm_micro")
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      assert(got == reference(withTrain, 0.4), s"seed $seed diverges")
+    }
   }
 
   test("a doc with no bigrams scores (0, 0)") {
