@@ -95,7 +95,8 @@ object CorpusBench {
       .map(_.getPeakUsage.getUsed).sum / (1024 * 1024)
   }
 
-  /** Usage: `runMain graft.operators.CorpusBench [nDocs] [normal|boiler]`.
+  /** Usage: `runMain graft.operators.CorpusBench [nDocs]
+    * [normal|boiler|retrieval|spans|bpe|lshindex]`.
     * Boiler mode additionally measures LSH bucket pressure: the pre-cap
     * worst band bucket (how adversarial the corpus is) and the post-cap
     * worst bucket, and exits nonzero if the cap failed to bound it.
@@ -225,6 +226,84 @@ object CorpusBench {
         s""""n_stripped_empty":$nEmpty,"n_dup_expected":$nDup,""" +
         s""""dsir_sec":${math.round(dsirSecs * 10) / 10.0},""" +
         s""""lm_sec":${math.round(lmSecs * 10) / 10.0},""" +
+        s""""peak_heap_mb":$peakHeapMb}""")
+      spark.stop(); return
+    }
+
+    // bpe mode: tokenizer training + corpus encode at scale. The
+    // histogram/collect is the distributed half (vocabulary-bounded
+    // result); the driver merge loop is the incremental trainer; the
+    // encode is amortized over distinct words then joined back onto the
+    // corpus. Forced with a checksum aggregate (the Bench.pass lesson).
+    if (mode == "bpe") {
+      val t0 = System.nanoTime()
+      val merges = Bpe.train(docs, "text", nMerges = 200)
+      val trainSecs = (System.nanoTime() - t0) / 1e9
+      require(merges.length == 200, s"trained only ${merges.length} merges")
+      val t1 = System.nanoTime()
+      val enc = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+        .agg(count(lit(1)).as("n_tok"), sum("n_pieces").as("n_pieces"),
+          sum(length(col("word"))).as("n_chars"))
+        .first()
+      val encodeSecs = (System.nanoTime() - t1) / 1e9
+      val (nTok, nPieces, nChars) =
+        (enc.getLong(0), enc.getLong(1), enc.getLong(2))
+      // merges only ever shrink a token's piece count toward >= 1
+      require(nPieces >= nTok && nPieces <= nChars,
+        s"piece count $nPieces outside [$nTok, $nChars]")
+      docs.unpersist(blocking = true)
+      println(s"""{"metric":"corpus_bpe","n_docs":$nDocs,"n_merges":${merges.length},""" +
+        s""""train_sec":${math.round(trainSecs * 10) / 10.0},""" +
+        s""""train_docs_per_s":${math.round(nDocs / trainSecs)},""" +
+        s""""encode_sec":${math.round(encodeSecs * 10) / 10.0},""" +
+        s""""encode_docs_per_s":${math.round(nDocs / encodeSecs)},""" +
+        s""""n_tokens":$nTok,"n_pieces":$nPieces,""" +
+        s""""pieces_per_token_milli":${math.round(1000.0 * nPieces / nTok)},""" +
+        s""""peak_heap_mb":$peakHeapMb}""")
+      spark.stop(); return
+    }
+
+    // lshindex mode: the incremental-dedup ingest loop at scale — persist
+    // an LSH index over the accepted corpus, probe a daily batch against
+    // it, append the survivors. Batch = the id%20==1 members of the
+    // synthetic exact-dup pairs (every one has its jaccard-1.0 twin in
+    // the index — exact twins always band-collide, so they MUST all be
+    // dropped) plus the unique-seed id%20==5 docs (no twin anywhere —
+    // they MUST all survive; junk ids ≡7 mod 25 intersect neither batch
+    // class, by CRT). The survivor count is therefore exact, not a bound.
+    if (mode == "lshindex") {
+      val idxSide = docs.where(col("doc_id") % 20 =!= 1 &&
+        col("doc_id") % 20 =!= 5)
+      val batch = docs.where(col("doc_id") % 20 === 1 ||
+        col("doc_id") % 20 === 5)
+      val dir = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+      val t0 = System.nanoTime()
+      Dedup.saveLshIndex(idxSide, "doc_id", "text", dir)
+      val buildSecs = (System.nanoTime() - t0) / 1e9
+      val nIdx = idxSide.count()
+      val t1 = System.nanoTime()
+      val survivors = Dedup.dedupBatchAgainstLshIndex(spark, dir, batch,
+          jaccardThreshold = 0.99)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSurv = survivors.count()
+      val probeSecs = (System.nanoTime() - t1) / 1e9
+      val nBatch = batch.count()
+      val expSurv = (0L until nDocs).count(_ % 20 == 5)
+      require(nSurv == expSurv,
+        s"$nSurv batch survivors; expected exactly the $expSurv unique docs")
+      val t2 = System.nanoTime()
+      Dedup.appendToLshIndex(spark, dir, survivors)
+      val appendSecs = (System.nanoTime() - t2) / 1e9
+      survivors.unpersist(blocking = true)
+      Dedup.releaseCaches()
+      docs.unpersist(blocking = true)
+      println(s"""{"metric":"corpus_lshindex","n_docs":$nDocs,"n_indexed":$nIdx,""" +
+        s""""n_batch":$nBatch,"n_survivors":$nSurv,""" +
+        s""""build_sec":${math.round(buildSecs * 10) / 10.0},""" +
+        s""""build_docs_per_s":${math.round(nIdx / buildSecs)},""" +
+        s""""probe_sec":${math.round(probeSecs * 10) / 10.0},""" +
+        s""""probe_docs_per_s":${math.round(nBatch / probeSecs)},""" +
+        s""""append_sec":${math.round(appendSecs * 10) / 10.0},""" +
         s""""peak_heap_mb":$peakHeapMb}""")
       spark.stop(); return
     }

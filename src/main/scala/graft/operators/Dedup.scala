@@ -525,4 +525,131 @@ object Dedup {
           when(col(s"__b$kk") > 0, lit(1L << kk)).otherwise(0L)).reduce(_ + _)
           .as("simhash"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted LSH signature index — incremental corpus dedup. The daily-
+  // ingest pattern at 100 TB: fingerprint the accepted corpus ONCE, then
+  // dedup each incoming batch against the frozen index without re-shingling
+  // the corpus, and append the batch's survivors so tomorrow's batch sees
+  // them. Mirrors what saveIvfIndex/appendToIvfIndex do for the ANN
+  // surface (graft.operators.Similarity).
+  // ------------------------------------------------------------------
+
+  /** Persist a MinHash-LSH dedup index for `docs`:
+    *
+    *  - `dir/bands`   — (bsig, doc_id) partitioned by `band`: the probe's
+    *    join side, pre-exploded so a batch probe is one equi-join with no
+    *    corpus re-shingling.
+    *  - `dir/shingles` — (doc_id, shingles): the distinct hashed shingle
+    *    sets exact-Jaccard verification needs, stored so candidate
+    *    verification never re-reads corpus text.
+    *  - `dir/meta`    — (k, n_bands, shingle_n): the hash geometry, frozen
+    *    at save time; append and probe `require` it matches, because rows
+    *    banded under a different geometry would silently never collide.
+    *
+    * One signature pass feeds both tables (persisted for the two writes).
+    * Bands are repartitioned on (band, bsig) before the partitioned write
+    * so each band directory holds a bounded file count instead of one file
+    * per (task x band).
+    */
+  def saveLshIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 16, nBands: Int = 8): Unit = {
+    writeLshRows(docs, idCol, textCol, dir, k, nBands, "overwrite")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((k, nBands, 3)).toDF("k", "n_bands", "shingle_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Append new documents to a persisted index under its FROZEN geometry
+    * (k, bands, shingle width are `require`d to match the saved meta; the
+    * hash coefficients themselves are deterministic in k, so old and new
+    * rows band identically). Existing band partitions gain one file per
+    * touched band; nothing is rewritten.
+    */
+  def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val (k, nBands, _) = readLshMeta(spark, dir)
+    writeLshRows(docs, idCol, textCol, dir, k, nBands, "append")
+  }
+
+  private def writeLshRows(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int, nBands: Int, mode: String): Unit = {
+    val sigs = signatures(docs, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bands(sigs, idCol, k, nBands)
+        .select(col("band"), col("bsig"), col(idCol).as("doc_id"))
+        .repartition(col("band"), col("bsig"))
+        .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+      sigs.select(col(idCol).as("doc_id"), col("shingles"))
+        .write.mode(mode).parquet(s"$dir/shingles")
+    } finally sigs.unpersist()
+  }
+
+  private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$dir/meta").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Probe a persisted index with a new batch: every (batch doc, indexed
+    * doc) candidate pair from band-bucket collisions, verified with exact
+    * shingle-set Jaccard. Output: (batch_id, dup_of, jaccard) — ALL
+    * verified pairs; threshold downstream ([[dedupBatchAgainstLshIndex]]).
+    *
+    * Scale shape: the batch is shingled/banded once (scope-cached — it
+    * feeds both the band join and the Jaccard side); the index's band scan
+    * is ONE map-side pass joined on (band, bsig) — AQE broadcasts the
+    * batch side at runtime when it is small (the daily-ingest case), and
+    * falls back to a shuffled join for corpus-sized batches instead of
+    * OOMing the driver, so no forced broadcast hint. `maxBucket` caps
+    * INDEX bucket size exactly as [[candidates]] does for the self-join:
+    * a degenerate boilerplate bucket of B docs would otherwise multiply
+    * every colliding batch doc by B.
+    */
+  def matchesAgainstLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxBucket: Option[Int] = defaultMaxBucket,
+      scope: CacheScope = sessionScope): DataFrame = {
+    val (k, nBands, _) = readLshMeta(spark, dir)
+    val bSigs = scope.track(signatures(batch, idCol, textCol, k))
+    val bBands = bands(bSigs, idCol, k, nBands)
+      .select(col("band"), col("bsig"), col(idCol).as("batch_id"))
+    val iBands = pruneBuckets(
+      spark.read.parquet(s"$dir/bands")
+        .select(col("band").cast("int").as("band"), col("bsig"),
+          col("doc_id").as("dup_of")),
+      maxBucket)
+    val pairs = iBands.join(bBands, Seq("band", "bsig"))
+      .where(col("dup_of") =!= col("batch_id"))
+      .select("batch_id", "dup_of").distinct()
+    val sa = bSigs.select(col(idCol).as("batch_id"),
+      array_distinct(col("shingles")).as("__sa"))
+    val sb = spark.read.parquet(s"$dir/shingles")
+      .select(col("doc_id").as("dup_of"),
+        array_distinct(col("shingles")).as("__sb"))
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    pairs.join(sa, "batch_id").join(sb, "dup_of")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("__sa")) + size(col("__sb")) - inter))
+      .select("batch_id", "dup_of", "jaccard")
+  }
+
+  /** The batch rows surviving incremental dedup: anti-join of the batch
+    * against its &gt;= threshold matches. Typical ingest loop:
+    * survivors -> [[appendToLshIndex]] -> write to the corpus.
+    */
+  def dedupBatchAgainstLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, jaccardThreshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Option[Int] = defaultMaxBucket,
+      scope: CacheScope = sessionScope): DataFrame = {
+    val dups = matchesAgainstLshIndex(spark, dir, batch, idCol, textCol,
+        maxBucket, scope)
+      .where(col("jaccard") >= jaccardThreshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
 }

@@ -121,6 +121,30 @@ object DedupQueries {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // Incremental dedup against a PERSISTED LSH index (Dedup.saveLshIndex
+    // -> appendToLshIndex -> matchesAgainstLshIndex): the daily-ingest
+    // maintenance path — fingerprint a third of the corpus, append
+    // another third under the frozen hash geometry, then probe the
+    // remaining third as the incoming batch, with exact shingle-Jaccard
+    // verification on band collisions. maxBucket = None for uncapped
+    // oracle parity (the q51 convention); the oracle bands ALL documents
+    // with the identical arithmetic and restricts pairs to the same
+    // batch-vs-indexed split, so a dropped append row or a wrong banding
+    // after reload breaks the hash.
+    "q82_dedup_incremental" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q82_idx").toString
+      Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 1),
+        "doc_id", "text", tmp, K, BANDS)
+      Dedup.appendToLshIndex(s, tmp, docs.where(col("doc_id") % 3 === 2))
+      Dedup.matchesAgainstLshIndex(s, tmp, docs.where(col("doc_id") % 3 === 0),
+          maxBucket = None)
+        .where(col("jaccard") >= 0.8)
+        .select(col("batch_id"), col("dup_of"),
+          fp(col("jaccard")).as("jac_milli"))
+        .orderBy("batch_id", "dup_of")
+    }),
+
     // Span-level exact dedup (Dedup.repeatedSpans, the Lee et al. 2022
     // substring-dedup signal): maximal token spans whose every 5-gram
     // window recurs in >= 2 distinct documents — the shared-boilerplate
@@ -280,6 +304,44 @@ object DedupQueries {
           JOIN dsh sa ON sa.doc_id = doc_a
           JOIN dsh sb ON sb.doc_id = doc_b
           ORDER BY doc_a, doc_b""",
+
+    // The engine's exact minhash/banding arithmetic over ALL documents,
+    // pairs restricted to (batch = doc_id%3==0) x (indexed = the rest) —
+    // identical to probing the saved+appended index, because the hash
+    // geometry is deterministic in (k, bands) and append preserves it.
+    "q82_dedup_incremental" -> {
+      val sigExprs = TextSql.minhashSigExprs("hs", K)
+        .mkString("[", ",\n            ", "]")
+      val rows = K / BANDS
+      val bandSig = (1 to rows)
+        .map(r => s"CAST(sig[b * $rows + $r] AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+          sh AS (SELECT doc_id, ${TextSql.shingles("toks")} AS sh
+                 FROM d WHERE len(toks) >= 3),
+          h AS (SELECT doc_id, sh, ${TextSql.hashedArray("sh")} AS hs FROM sh),
+          sig AS (SELECT doc_id, $sigExprs AS sig FROM h),
+          bands AS (SELECT doc_id, b, $bandSig AS bsig
+                    FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
+          pairs AS (SELECT DISTINCT bt.doc_id AS batch_id, ix.doc_id AS dup_of
+                    FROM bands ix JOIN bands bt
+                      ON ix.b = bt.b AND ix.bsig = bt.bsig
+                    WHERE ix.doc_id % 3 <> 0 AND bt.doc_id % 3 = 0
+                      AND ix.doc_id <> bt.doc_id),
+          dsh AS (SELECT doc_id,
+                    list_distinct(${TextSql.hashedArray("sh")}) AS ds FROM h),
+          jacs AS (SELECT batch_id, dup_of,
+              CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+                / (len(sa.ds) + len(sb.ds)
+                   - len(list_intersect(sa.ds, sb.ds))) AS jac
+            FROM pairs
+            JOIN dsh sa ON sa.doc_id = batch_id
+            JOIN dsh sb ON sb.doc_id = dup_of)
+          SELECT batch_id, dup_of,
+            CAST(round(1000.0 * jac) AS BIGINT) AS jac_milli
+          FROM jacs WHERE jac >= 0.8
+          ORDER BY batch_id, dup_of"""
+    },
 
     "q52_dedup_simhash" ->
       s"""SELECT ${TextSql.simhash(s"list_transform(toks, s -> ${TextSql.hash48("s")})", 16)} AS simhash,

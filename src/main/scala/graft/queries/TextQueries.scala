@@ -255,8 +255,52 @@ object TextQueries {
         .select(col("doc_id"), col("n_emails"), col("n_urls"),
           Text.hash48(col("text_clean")).as("clean_hash"))
         .orderBy("doc_id")
+    }),
+
+    // BPE pair statistics (operators/Bpe.pairStats): the adjacent
+    // character-pair counts BPE's first iteration maximizes, weighted by
+    // word frequency. The engine explodes over the BOUNDED word histogram
+    // (vocabulary-sized, not corpus-sized); the oracle counts over raw
+    // token occurrences — the same statistic. The query restricts to
+    // ascii-alnum words because that is where Java-regex and RE2
+    // character semantics agree (code units vs code points); the corpus
+    // is entirely alnum, so the filter drops nothing here.
+    "q81_bpe_pairs" -> ((s, dir) => {
+      val hist = graft.operators.Bpe
+        .wordHistogram(table(s, dir, "documents"), "text")
+        .where(col("word").rlike("^[a-z0-9]+$"))
+      graft.operators.Bpe.pairStatsFromHistogram(hist).orderBy("pair")
+    }),
+
+    // BPE encode under a FIXED ranked merge list (operators/Bpe
+    // .encodeToken): the wrapped-symbol string fold — one literal
+    // `replace(" a  b ", " ab ")` per merge, greedy left-to-right by
+    // replace's own scan semantics — mirrored verbatim in DuckDB, so
+    // every (doc, token, piece) row hash-checks exactly. The merge list
+    // is a data-independent literal (training is data-dependent and
+    // can't live in static oracle SQL; Bpe.train is property-locked
+    // against a from-scratch reference in BpeSpec instead, and q81
+    // oracle-checks the statistic training maximizes).
+    "q81b_bpe_encode" -> ((s, dir) => {
+      val toks = table(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(Text.tokens(col("text"))).as(Seq("tok_pos", "word")))
+        .where(col("word").rlike("^[a-z0-9]+$"))
+      toks.select(col("doc_id"), col("tok_pos").cast("long").as("tok_pos"),
+          posexplode(graft.operators.Bpe.encodeToken(col("word"), bpeMerges))
+            .as(Seq("piece_pos", "piece")))
+        .select(col("doc_id"), col("tok_pos"),
+          col("piece_pos").cast("long").as("piece_pos"), col("piece"))
+        .orderBy("doc_id", "tok_pos", "piece_pos")
     })
   )
+
+  /** q81b's fixed merge ranking — common English digraphs that fire on the
+    * corpus vocabulary, including one cascade (t,h)→(th,e).
+    */
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("o", "w"),
+    ("a", "t"), ("s", "t"), ("a", "l"), ("u", "e"), ("q", "u"))
 
   /** The q74 retrieval batch — corpus-vocabulary terms so every query
     * matches documents at every SF.
@@ -446,6 +490,39 @@ object TextQueries {
             CAST(len(regexp_extract_all(t, '$url')) AS BIGINT) AS n_urls,
             ${TextSql.hash48(clean)} AS clean_hash
           FROM p ORDER BY doc_id"""
+    },
+
+    "q81_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($toksSql) AS word FROM documents),
+          f AS (SELECT word FROM w
+                WHERE regexp_matches(word, '^[a-z0-9]+${"$"}')
+                  AND length(word) >= 2),
+          p AS (SELECT unnest(list_transform(range(1, length(word)), i ->
+                  substring(word, CAST(i AS INTEGER), 1)
+                    || substring(word, CAST(i + 1 AS INTEGER), 1))) AS pair
+                FROM f)
+          SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+          FROM p GROUP BY pair ORDER BY pair""",
+
+    // The identical wrapped-symbol replace fold: regexp_replace wraps each
+    // character " c ", then one literal replace per merge in rank order.
+    "q81b_bpe_encode" -> {
+      val folded = bpeMerges.foldLeft(
+        "regexp_replace(word, '(.)', ' \\1 ', 'g')") { case (acc, (a, b)) =>
+        s"replace($acc, ' $a  $b ', ' ${a + b} ')"
+      }
+      s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
+          w AS (SELECT doc_id, unnest(tk) AS word,
+                  unnest(generate_series(0, len(tk) - 1)) AS tok_pos FROM t),
+          f AS (SELECT doc_id, tok_pos, word FROM w
+                WHERE regexp_matches(word, '^[a-z0-9]+${"$"}')),
+          e AS (SELECT doc_id, tok_pos,
+                  string_split(trim($folded), '  ') AS pieces FROM f)
+          SELECT doc_id, CAST(tok_pos AS BIGINT) AS tok_pos,
+            CAST(pos AS BIGINT) AS piece_pos, piece
+          FROM (SELECT doc_id, tok_pos, unnest(pieces) AS piece,
+                  unnest(generate_series(0, len(pieces) - 1)) AS pos FROM e)
+          ORDER BY doc_id, tok_pos, piece_pos"""
     }
   )
 }
