@@ -175,6 +175,32 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a trained merge list as a rank-ordered parquet table — the
+    * train-once/encode-many artifact (the tokenizer model a 100 TB corpus
+    * trains on one pass and every later ingest batch loads). Tiny by
+    * construction (nMerges rows), one file.
+    */
+  def saveBpeModel(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)], dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), r) => (r, a, b) }
+      .toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted merge list in learned order. Ranks are `require`d
+    * contiguous from 0 — a partially-written model must fail loudly, not
+    * silently encode under a truncated merge table.
+    */
+  def loadBpeModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(dir).select("rank", "a", "b").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    require(rows.map(_._1).sameElements(0 until rows.length),
+      s"bpe model at $dir has non-contiguous merge ranks")
+    rows.map(t => (t._2, t._3)).toSeq
+  }
+
   /** The wrapped symbol-string form: every character becomes " c ", so a
     * symbol boundary reads "  " and the string starts/ends with one space.
     */

@@ -240,8 +240,15 @@ object CorpusBench {
       val merges = Bpe.train(docs, "text", nMerges = 200)
       val trainSecs = (System.nanoTime() - t0) / 1e9
       require(merges.length == 200, s"trained only ${merges.length} merges")
+      // round-trip the model through its persisted form: the encode below
+      // runs off the LOADED merges, so the rehearsal exercises the
+      // train-once/encode-many artifact, not just the in-memory list
+      val mdir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+      Bpe.saveBpeModel(spark, merges, mdir)
+      val loaded = Bpe.loadBpeModel(spark, mdir)
+      require(loaded == merges, "loaded bpe model differs from trained")
       val t1 = System.nanoTime()
-      val enc = Bpe.encodeCorpus(docs, "doc_id", "text", merges)
+      val enc = Bpe.encodeCorpus(docs, "doc_id", "text", loaded)
         .agg(count(lit(1)).as("n_tok"), sum("n_pieces").as("n_pieces"),
           sum(length(col("word"))).as("n_chars"))
         .first()

@@ -96,6 +96,19 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("model save/load round-trips in learned order; truncation fails loudly") {
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"), ("i", "s"))
+    val dir = java.nio.file.Files.createTempDirectory("bpe_rt").toString
+    Bpe.saveBpeModel(spark, merges, dir)
+    assert(Bpe.loadBpeModel(spark, dir) == merges)
+    // a gap in the rank sequence (truncated/partial model) must throw
+    val bad = java.nio.file.Files.createTempDirectory("bpe_bad").toString
+    Seq((0, "t", "h"), (2, "a", "n")).toDF("rank", "a", "b")
+      .write.mode("overwrite").parquet(bad)
+    val e = intercept[IllegalArgumentException](Bpe.loadBpeModel(spark, bad))
+    assert(e.getMessage.contains("non-contiguous"))
+  }
+
   test("encodeCorpus covers every token via the vocabulary join") {
     val docs = Seq((1L, "aa ab aa"), (2L, "ab ba")).toDF("doc_id", "text")
     val merges = Seq(("a", "a"), ("a", "b"))
