@@ -1,6 +1,11 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "seaexplorertoolsspark"
+// The container's default file.encoding is ASCII; source fixtures carry
+// real UTF-8 (decomposed combining marks in NormalizeSpec/q83), so pin
+// the compiler's source encoding explicitly.
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "UTF-8"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

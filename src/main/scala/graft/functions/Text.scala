@@ -57,6 +57,18 @@ object Text {
   def hash48Builtin(s: Column): Column =
     conv(substring(md5(s), 1, 12), 16, 10).cast("long")
 
+  /** Unicode NFC canonical composition ([[graft.plans.NativeNormalize]]
+    * native expression; DuckDB mirror: `nfc_normalize`). Run before
+    * hashing/dedup so "é" and "e"+U+0301 cannot defeat exact matching.
+    */
+  def nfc(s: Column): Column = call_function("graft_nfc", s)
+
+  /** Accent strip: NFD → drop non-spacing marks → NFC (DuckDB mirror:
+    * `strip_accents`).
+    */
+  def stripAccents(s: Column): Column =
+    call_function("graft_strip_accents", s)
+
   /** hash48 reduced mod P (input to the affine family). */
   def hashMod(s: Column): Column = hash48(s) % P
 

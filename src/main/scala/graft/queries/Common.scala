@@ -29,6 +29,7 @@ object Common {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.plans.NativeHash48.register(s)
     graft.plans.NativeInterp.register(s)
+    graft.plans.NativeNormalize.register(s)
     s.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -292,6 +292,34 @@ object TextQueries {
         .select(col("doc_id"), col("tok_pos"),
           col("piece_pos").cast("long").as("piece_pos"), col("piece"))
         .orderBy("doc_id", "tok_pos", "piece_pos")
+    }),
+
+    // Unicode canonicalization (plans/NativeNormalize via Text.nfc /
+    // Text.stripAccents): each doc gets accents planted deterministically
+    // in BOTH engines — precomposed á/é via replace, plus a DECOMPOSED
+    // "e"+U+0301 and ñ ç ü appended — then NFC-composed and
+    // accent-stripped. Whole normalized strings hash-check byte-exact
+    // (nfc_hash proves composition: the combining acute must fuse into é
+    // before strip sees it), and byte_delta pins the multi-byte
+    // accounting. Parity is asserted exactly on the planted characters
+    // (the q73 discipline: both engines provably agree on Latin accents
+    // and Mn marks; the underlying corpus is ASCII, where both are
+    // identity).
+    "q83_normalize" -> ((s, dir) => {
+      val acc = concat(
+        call_function("replace",
+          call_function("replace", col("text"), lit("a"), lit("\u00e1")),
+          lit("e"), lit("\u00e9")),
+        lit(" e\u0301 \u00f1 \u00e7 \u00fc"))
+      val nf = Text.nfc(acc)
+      val norm = Text.stripAccents(nf)
+      table(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.hash48(nf).as("nfc_hash"),
+          Text.hash48(norm).as("norm_hash"),
+          (octet_length(acc) - octet_length(norm)).cast("long")
+            .as("byte_delta"))
+        .orderBy("doc_id")
     })
   )
 
@@ -523,6 +551,22 @@ object TextQueries {
           FROM (SELECT doc_id, tok_pos, unnest(pieces) AS piece,
                   unnest(generate_series(0, len(pieces) - 1)) AS pos FROM e)
           ORDER BY doc_id, tok_pos, piece_pos"""
-    }
+    },
+
+    // The identical accent plant via chr() codepoints (encoding-proof in
+    // the JSON round-trip): á=225 é=233, decomposed acute=769, ñ=241
+    // ç=231 ü=252. nfc_normalize composes, strip_accents removes marks —
+    // byte-equal to the engine's NFD→drop-Mn→NFC on this character set.
+    "q83_normalize" ->
+      s"""WITH a AS (SELECT doc_id,
+            replace(replace(text, 'a', chr(225)), 'e', chr(233))
+              || ' e' || chr(769) || ' ' || chr(241) || ' ' || chr(231)
+              || ' ' || chr(252) AS acc FROM documents),
+          n AS (SELECT doc_id, acc, nfc_normalize(acc) AS nf FROM a),
+          m AS (SELECT doc_id, acc, nf, strip_accents(nf) AS norm FROM n)
+          SELECT doc_id, ${TextSql.hash48("nf")} AS nfc_hash,
+            ${TextSql.hash48("norm")} AS norm_hash,
+            CAST(strlen(acc) - strlen(norm) AS BIGINT) AS byte_delta
+          FROM m ORDER BY doc_id"""
   )
 }

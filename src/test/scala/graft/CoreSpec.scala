@@ -17,6 +17,7 @@ object TestSpark {
     s.sparkContext.setLogLevel("WARN")
     graft.plans.NativeHash48.register(s)
     graft.plans.NativeInterp.register(s)
+    graft.plans.NativeNormalize.register(s)
     s
   }
 }
