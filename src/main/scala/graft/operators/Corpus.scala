@@ -172,6 +172,46 @@ object Corpus {
       .withColumn("shard", expr(s"__cum div $budget")).drop("__cum")
   }
 
+  /** Deterministic weighted upsampling — the mix-builder's other
+    * direction: where [[stratifiedSample]] thins a stratum by rate &lt; 1,
+    * this REPLICATES by weight &gt;= 0 (domain temperature/up-weighting: a
+    * stratum with weight 2.5 emits every doc 2 times plus a third copy
+    * for the hash-selected 50%). copies = floor(w) + (1 iff
+    * hash48(salt ‖ key) mod 1e6 &lt; frac(w)·1e6): exact integer
+    * arithmetic, so the full (doc, copy) multiset is a pure function of
+    * (salt, key) — identical across runs, engines, layouts, and appends,
+    * and weights &lt; 1 degrade to exactly [[stratifiedSample]]'s Bernoulli
+    * keep. The output `copy` index (0..copies-1) keeps replica identity
+    * for downstream packing/shuffling (e.g. re-salt per copy).
+    *
+    * Scale: weights resolve through a compile-time `when` chain (no join)
+    * and the explode's fan-out is the per-row copy count — map-only, no
+    * shuffle; output size is exactly the weighted corpus size.
+    */
+  def upsample(df: DataFrame, strataCol: String, weights: Map[String, Double],
+      defaultWeight: Double = 1.0, keyCol: String = "doc_id",
+      salt: String = ""): DataFrame = {
+    def wMicro(w: Double): Long = {
+      require(w >= 0.0, s"weight $w must be non-negative")
+      math.round(w * 1000000.0)
+    }
+    val micro = weights.foldLeft(lit(wMicro(defaultWeight))) {
+      case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum, lit(wMicro(w))).otherwise(acc)
+    }
+    val hashU = pmod(Text.hash48(
+      concat(lit(salt), col(keyCol).cast("string"))), lit(1000000L))
+    // exact integer floor: the numerator is a multiple of 1e6, so the
+    // double quotient is exact for any sane weight (< 2^53 micro-units)
+    val whole = ((micro - pmod(micro, lit(1000000L))) / lit(1000000L))
+      .cast("long")
+    df.withColumn("__copies",
+        whole + when(hashU < pmod(micro, lit(1000000L)), 1L).otherwise(0L))
+      .where(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
+
   /** Token-level sequence packing — training-batch construction: the
     * documents of each group, concatenated in deterministic `orderCol`
     * order, form one token stream that is cut into fixed-length sequences

@@ -145,6 +145,20 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Deterministic weighted upsampling (operators/Corpus.upsample): the
+    // mix-builder's up-direction — en 2.5x (2 copies + hash-selected
+    // third), de 0.4x (the sub-1 Bernoulli degenerate ≡ stratified
+    // sampling), zh 1.0x, everything else dropped. The full (doc, copy)
+    // multiset hash-checks: copies = floor(w) + (hm < frac) in exact
+    // integer micro-units on both engines.
+    "q84_upsample" -> ((s, dir) => {
+      graft.operators.Corpus.upsample(table(s, dir, "documents"),
+          "lang", Map("en" -> 2.5, "de" -> 0.4, "zh" -> 1.0),
+          defaultWeight = 0.0, keyCol = "doc_id", salt = "mix2")
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // Token-budget shard packing (operators/Corpus.packShards): shard =
     // exclusive prefix sum of token count div budget, per source in
     // doc_id order — exact integer window arithmetic, so the full
@@ -407,6 +421,19 @@ object TextQueries {
             CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                       WHEN 'zh' THEN 100000 ELSE 50000 END
           ORDER BY doc_id""",
+
+    "q84_upsample" ->
+      s"""WITH c AS (SELECT doc_id, lang,
+            (w // 1000000) + CASE WHEN hm < w % 1000000 THEN 1 ELSE 0 END
+              AS copies
+          FROM (SELECT doc_id, lang,
+              CASE lang WHEN 'en' THEN 2500000 WHEN 'de' THEN 400000
+                        WHEN 'zh' THEN 1000000 ELSE 0 END AS w,
+              ${TextSql.hash48("'mix2' || CAST(doc_id AS VARCHAR)")} % 1000000
+                AS hm
+            FROM documents))
+          SELECT doc_id, lang, unnest(range(0, copies)) AS copy
+          FROM c WHERE copies > 0 ORDER BY doc_id, copy""",
 
     "q70_pack_shards" ->
       s"""SELECT doc_id, source, n_tokens,

@@ -452,6 +452,48 @@ class MixConstructionSpec extends AnyFunSuite {
     assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet,
       "the chosen k must be stable across runs")
   }
+
+  test("upsample replicates by weight with exact copy counts") {
+    val weights = Map("en" -> 2.5, "de" -> 0.4, "zh" -> 1.0)
+    val up = Corpus.upsample(docs, "lang", weights, defaultWeight = 0.0,
+      salt = "u1")
+    val rows = up.select("doc_id", "lang", "copy").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // per-doc copy counts follow the closed form, copies indexed 0..n-1
+    val perDoc = rows.groupBy(_._1)
+    perDoc.foreach { case (_, rs) =>
+      val n = rs.length
+      assert(rs.map(_._3).sorted.sameElements(0L until n.toLong),
+        "copy indices must be a 0-origin run")
+    }
+    val byLang = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nDocs = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every en doc appears 2 or 3 times; aggregate within a 4-sigma band
+    // of 2.5x (hash-Bernoulli on the fractional part)
+    val en = nDocs("en")
+    assert(byLang("en") >= 2 * en && byLang("en") <= 3 * en)
+    val sigma = math.sqrt(en * 0.25)
+    assert(math.abs(byLang("en") - 2.5 * en) <= 4 * sigma,
+      s"en copies ${byLang("en")} outside 4-sigma of ${2.5 * en}")
+    // zh weight 1.0: exactly once each
+    assert(byLang("zh") == nDocs("zh"))
+    // default weight 0.0 drops the rest entirely
+    assert(!rows.exists(r => !weights.contains(r._2)))
+    // sub-1 weight is EXACTLY stratifiedSample's Bernoulli keep
+    val deUp = rows.filter(_._2 == "de").map(_._1).toSet
+    val deSample = Corpus.stratifiedSample(docs, "lang",
+        Map("de" -> 0.4), defaultRate = 0.0, salt = "u1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(deUp == deSample)
+    // determinism across runs
+    val again = Corpus.upsample(docs, "lang", weights,
+      defaultWeight = 0.0, salt = "u1")
+      .select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == rows.map(r => (r._1, r._3)).toSet)
+  }
 }
 
 class ScrubSpec extends AnyFunSuite {
