@@ -212,6 +212,50 @@ object Corpus {
       .drop("__copies")
   }
 
+  /** End-to-end deterministic training-mix construction — the composition
+    * a corpus pipeline actually ships: quality gate (language recognized,
+    * integerized quality/repetition thresholds — the q47 boundary
+    * semantics, engine-exact) → exact content dedup (keep the smallest id
+    * per text hash) → [[upsample]] by predicted-language weight → token
+    * counting → [[packShards]] into fixed token-budget shards per
+    * stratum. Output: one row per (doc, copy) with its shard assignment —
+    * a pure function of (corpus, weights, salt, budget), bit-stable
+    * across engines (q85 hash-checks the whole table).
+    *
+    * Scale: one exploded-token pass for the gate signals, one
+    * hash-partition window for dedup, a map-only upsample, one window
+    * pass per stratum for packing — no driver loops, every shuffle keyed.
+    * The LSH near-dup stage is deliberately NOT in this composition
+    * (compose [[preprocess]] upstream when near-dup semantics are wanted;
+    * its own q48 oracle covers that path) — exact dedup here keeps the
+    * composition's arithmetic closed-form on both engines.
+    */
+  def trainingMix(docs: DataFrame, weights: Map[String, Double],
+      budget: Long, textCol: String = "text", idCol: String = "doc_id",
+      defaultWeight: Double = 0.0, salt: String = "",
+      minQualityMilli: Long = 300, maxRepMilli: Long = 500): DataFrame = {
+    require(weights.values.forall(_ < 1000000.0),
+      "per-stratum weights must stay below 1e6 (ord-encoding bound)")
+    val gated = withQualitySignals(docs, textCol, idCol)
+      .where(col("lang_pred") =!= "und" &&
+        round(col("quality") * 1000).cast("long") >= minQualityMilli &&
+        col("rep_milli") <= maxRepMilli)
+    val wDup = Window.partitionBy(Text.hash48(col(textCol)))
+      .orderBy(col(idCol))
+    val deduped = gated.withColumn("__rn", row_number().over(wDup))
+      .where(col("__rn") === 1).drop("__rn")
+    val up = upsample(deduped, "lang_pred", weights, defaultWeight,
+      idCol, salt)
+    // deterministic pack order over (doc, copy): copy < 1e6 by the weight
+    // bound, so the encoding is collision-free exact integer arithmetic
+    val withTok = up
+      .withColumn("n_tokens", size(Text.tokens(col(textCol))).cast("long"))
+      .withColumn("__ord", col(idCol) * lit(1000000L) + col("copy"))
+    packShards(withTok, "n_tokens", budget, "__ord", Seq("lang_pred"))
+      .select(col(idCol), col("copy"), col("lang_pred"), col("n_tokens"),
+        col("shard"))
+  }
+
   /** Token-level sequence packing — training-batch construction: the
     * documents of each group, concatenated in deterministic `orderCol`
     * order, form one token stream that is cut into fixed-length sequences

@@ -159,6 +159,21 @@ object TextQueries {
         .orderBy("doc_id", "copy")
     }),
 
+    // End-to-end training-mix composition (operators/Corpus.trainingMix):
+    // quality gate → exact content dedup (min-id keeper per text hash) →
+    // upsample by PREDICTED language → token count → per-stratum
+    // token-budget shard packing. The full (doc, copy, lang_pred,
+    // n_tokens, shard) table hash-checks against a DuckDB mirror that
+    // chains the q47/q84/q70 arithmetic verbatim — one wrong boundary,
+    // keeper, copy decision, or pack order anywhere in the composition
+    // breaks the hash.
+    "q85_training_mix" -> ((s, dir) => {
+      graft.operators.Corpus.trainingMix(table(s, dir, "documents"),
+          Map("en" -> 2.0, "de" -> 1.5, "zh" -> 0.7), budget = 2000,
+          salt = "mix3")
+        .orderBy("doc_id", "copy")
+    }),
+
     // Token-budget shard packing (operators/Corpus.packShards): shard =
     // exclusive prefix sum of token count div budget, per source in
     // doc_id order — exact integer window arithmetic, so the full
@@ -421,6 +436,51 @@ object TextQueries {
             CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
                       WHEN 'zh' THEN 100000 ELSE 50000 END
           ORDER BY doc_id""",
+
+    // The composition mirror: the q47 gate inner query (verbatim
+    // arithmetic) → min-id keeper per text hash → the q84 copy formula on
+    // lang_pred → the q70 exclusive-prefix-sum pack over the same
+    // collision-free ord encoding (doc_id * 1e6 + copy).
+    "q85_training_mix" ->
+      s"""WITH g AS (
+            SELECT doc_id, text, lang_pred FROM (
+              SELECT doc_id, text, lang_pred, quality_milli,
+                CAST(CASE WHEN n_total > 0
+                  THEN ((n_total - n_distinct) * 1000) // n_total
+                  ELSE 0 END AS BIGINT) AS rep_milli
+              FROM (
+                SELECT doc_id, text,
+                  ${TextSql.langId("toks")} AS lang_pred,
+                  ${sqlFp(TextSql.qualityScore("text", "toks"))} AS quality_milli,
+                  CAST(len(sh) AS BIGINT) AS n_total,
+                  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
+                FROM (SELECT doc_id, text, $toksSql AS toks,
+                        ${TextSql.shingles(toksSql, 2)} AS sh FROM documents)))
+            WHERE lang_pred <> 'und' AND quality_milli >= 300
+              AND rep_milli <= 500),
+          d AS (SELECT doc_id, text, lang_pred FROM (
+              SELECT doc_id, text, lang_pred, row_number() OVER (
+                  PARTITION BY ${TextSql.hash48("text")} ORDER BY doc_id)
+                AS rn FROM g) WHERE rn = 1),
+          u AS (SELECT doc_id, lang_pred, text,
+              (w // 1000000) + CASE WHEN hm < w % 1000000 THEN 1 ELSE 0 END
+                AS copies
+            FROM (SELECT doc_id, lang_pred, text,
+                CASE lang_pred WHEN 'en' THEN 2000000 WHEN 'de' THEN 1500000
+                               WHEN 'zh' THEN 700000 ELSE 0 END AS w,
+                ${TextSql.hash48("'mix3' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  AS hm FROM d)),
+          e AS (SELECT doc_id, lang_pred,
+                CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                unnest(range(0, copies)) AS copy
+              FROM u WHERE copies > 0),
+          t AS (SELECT doc_id, lang_pred, copy, n_tokens,
+                doc_id * 1000000 + copy AS ord FROM e)
+          SELECT doc_id, copy, lang_pred, n_tokens,
+            CAST((sum(n_tokens) OVER (PARTITION BY lang_pred ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // 2000 AS BIGINT) AS shard
+          FROM t ORDER BY doc_id, copy""",
 
     "q84_upsample" ->
       s"""WITH c AS (SELECT doc_id, lang,

@@ -494,6 +494,44 @@ class MixConstructionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(again == rows.map(r => (r._1, r._3)).toSet)
   }
+
+  test("trainingMix composition invariants: gate, dedup keeper, copies, shard budget") {
+    val weights = Map("en" -> 2.0, "de" -> 1.5, "zh" -> 0.7)
+    val budget = 2000L
+    val mix = Corpus.trainingMix(docs, weights, budget, salt = "m")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    assert(mix.nonEmpty)
+    // copies per doc are floor(w) or floor(w)+1, indexed 0..n-1
+    mix.groupBy(_._1).foreach { case (id, rs) =>
+      val w = weights(rs.head._3)
+      val n = rs.length
+      assert(n == math.floor(w).toLong || n == math.floor(w).toLong + 1,
+        s"doc $id: $n copies under weight $w")
+      assert(rs.map(_._2).sorted.sameElements(0L until n.toLong), s"doc $id")
+    }
+    // dedup keeper: no two output docs share text, and each keeper is the
+    // min id among the gate survivors with that text
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mixIds = mix.map(_._1).distinct
+    assert(mixIds.map(texts).distinct.length == mixIds.length,
+      "two mix docs share identical text")
+    // shard budget: within (stratum, shard) in pack order, every shard's
+    // weight before its last row is < budget, and ids are non-decreasing
+    mix.groupBy(m => (m._3, m._5)).foreach { case ((l, sh), rs) =>
+      val ordered = rs.sortBy(r => (r._1, r._2))
+      assert(ordered.init.map(_._4).sum < budget,
+        s"$l shard $sh overfilled before its last row")
+    }
+    mix.groupBy(_._3).foreach { case (l, rs) =>
+      val shardsInOrder = rs.sortBy(r => (r._1, r._2)).map(_._5)
+      assert(shardsInOrder.zip(shardsInOrder.tail).forall { case (a, b) => a <= b },
+        s"$l: shard ids must be non-decreasing in pack order")
+      assert(shardsInOrder.head == 0L, s"$l: shards must start at 0")
+    }
+  }
 }
 
 class ScrubSpec extends AnyFunSuite {
