@@ -256,6 +256,25 @@ object Corpus {
         col("shard"))
   }
 
+  /** Deterministic within-shard training order — the loader's shuffle,
+    * pinned: each row gets a 0-origin `shuffle_pos` inside its shard,
+    * ordered by hash48(salt ‖ key…) with the keys as tiebreak. The order
+    * is a pure function of (salt, keys) — reproducible across runs and
+    * engines, re-randomizable per epoch by re-salting ("epoch3‖…"), and
+    * uncorrelated with document order, which is exactly what a training
+    * loader wants from "shuffled" data without ever materializing a
+    * global sort (one window pass partitioned by shard — parallel across
+    * shards at any corpus size).
+    */
+  def shuffleWithinShards(df: DataFrame, shardCols: Seq[String],
+      keyCols: Seq[String], salt: String = ""): DataFrame = {
+    val keyStr = concat(lit(salt) +:
+      keyCols.flatMap(k => Seq(lit("|"), col(k).cast("string"))): _*)
+    val w = Window.partitionBy(shardCols.map(col): _*)
+      .orderBy(Text.hash48(keyStr).asc +: keyCols.map(col(_).asc): _*)
+    df.withColumn("shuffle_pos", row_number().over(w).cast("long") - 1)
+  }
+
   /** Token-level sequence packing — training-batch construction: the
     * documents of each group, concatenated in deterministic `orderCol`
     * order, form one token stream that is cut into fixed-length sequences

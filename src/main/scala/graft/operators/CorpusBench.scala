@@ -315,6 +315,34 @@ object CorpusBench {
       spark.stop(); return
     }
 
+    // mix mode: the trainingMix composition + within-shard shuffle at
+    // scale. en weight is exactly 2.0, so every (gate ∧ dedup) survivor
+    // emits exactly two copies — rows == 2 x distinct docs is closed-form,
+    // checked from ONE aggregate over the final frame (no second pass).
+    if (mode == "mix") {
+      val t0 = System.nanoTime()
+      val mix = Corpus.trainingMix(docs, Map("en" -> 2.0),
+        budget = 100000, salt = "m")
+      val shuffled = Corpus.shuffleWithinShards(mix,
+        Seq("lang_pred", "shard"), Seq("doc_id", "copy"), salt = "e1")
+      val r = shuffled.agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id")).as("nd"),
+        sum("n_tokens").as("tok"), max("shard").as("maxsh"),
+        sum("shuffle_pos").as("posck")).first()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (n, nd) = (r.getLong(0), r.getLong(1))
+      require(n == 2 * nd, s"$n mix rows != 2 x $nd survivors at weight 2.0")
+      require(n > 0 && r.getLong(3) >= 0)
+      docs.unpersist(blocking = true)
+      println(s"""{"metric":"corpus_mix","n_docs":$nDocs,"n_rows":$n,""" +
+        s""""n_survivors":$nd,"n_tokens":${r.getLong(2)},""" +
+        s""""max_shard":${r.getLong(3)},""" +
+        s""""mix_sec":${math.round(secs * 10) / 10.0},""" +
+        s""""mix_docs_per_s":${math.round(nDocs / secs)},""" +
+        s""""peak_heap_mb":$peakHeapMb}""")
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val kept = Corpus.preprocess(docs, "doc_id", "text").count()
     val secs = (System.nanoTime() - t0) / 1e9

@@ -14,6 +14,52 @@ object TextQueries {
 
   private val toksSql = TextSql.tokens("text")
 
+  /** The q85/q86 composition mirror's shared CTE chain: gate survivors →
+    * min-id dedup keepers → copy counts → exploded copies with token
+    * counts → the packed mix table (doc_id, copy, lang_pred, n_tokens,
+    * shard).
+    */
+  private lazy val mixCtes: String =
+    s"""g AS (
+            SELECT doc_id, text, lang_pred FROM (
+              SELECT doc_id, text, lang_pred, quality_milli,
+                CAST(CASE WHEN n_total > 0
+                  THEN ((n_total - n_distinct) * 1000) // n_total
+                  ELSE 0 END AS BIGINT) AS rep_milli
+              FROM (
+                SELECT doc_id, text,
+                  ${TextSql.langId("toks")} AS lang_pred,
+                  ${sqlFp(TextSql.qualityScore("text", "toks"))} AS quality_milli,
+                  CAST(len(sh) AS BIGINT) AS n_total,
+                  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
+                FROM (SELECT doc_id, text, $toksSql AS toks,
+                        ${TextSql.shingles(toksSql, 2)} AS sh FROM documents)))
+            WHERE lang_pred <> 'und' AND quality_milli >= 300
+              AND rep_milli <= 500),
+          d AS (SELECT doc_id, text, lang_pred FROM (
+              SELECT doc_id, text, lang_pred, row_number() OVER (
+                  PARTITION BY ${TextSql.hash48("text")} ORDER BY doc_id)
+                AS rn FROM g) WHERE rn = 1),
+          u AS (SELECT doc_id, lang_pred, text,
+              (w // 1000000) + CASE WHEN hm < w % 1000000 THEN 1 ELSE 0 END
+                AS copies
+            FROM (SELECT doc_id, lang_pred, text,
+                CASE lang_pred WHEN 'en' THEN 2000000 WHEN 'de' THEN 1500000
+                               WHEN 'zh' THEN 700000 ELSE 0 END AS w,
+                ${TextSql.hash48("'mix3' || CAST(doc_id AS VARCHAR)")} % 1000000
+                  AS hm FROM d)),
+          e AS (SELECT doc_id, lang_pred,
+                CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                unnest(range(0, copies)) AS copy
+              FROM u WHERE copies > 0),
+          t AS (SELECT doc_id, lang_pred, copy, n_tokens,
+                doc_id * 1000000 + copy AS ord FROM e),
+          mix AS (SELECT doc_id, copy, lang_pred, n_tokens,
+            CAST((sum(n_tokens) OVER (PARTITION BY lang_pred ORDER BY ord
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // 2000 AS BIGINT) AS shard
+          FROM t)"""
+
   val queries: Map[String, Q] = Map(
     "q40_token_counts" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -171,6 +217,23 @@ object TextQueries {
       graft.operators.Corpus.trainingMix(table(s, dir, "documents"),
           Map("en" -> 2.0, "de" -> 1.5, "zh" -> 0.7), budget = 2000,
           salt = "mix3")
+        .orderBy("doc_id", "copy")
+    }),
+
+    // Deterministic within-shard training order (operators/Corpus
+    // .shuffleWithinShards) over the SAME mix: every row's 0-origin
+    // shuffle_pos inside its (lang_pred, shard), ordered by
+    // hash48('sh1'|doc|copy) with (doc, copy) tiebreak — the loader's
+    // epoch shuffle as a pure data function, hash-checked row for row.
+    "q86_shuffle_order" -> ((s, dir) => {
+      val mix = graft.operators.Corpus.trainingMix(
+        table(s, dir, "documents"),
+        Map("en" -> 2.0, "de" -> 1.5, "zh" -> 0.7), budget = 2000,
+        salt = "mix3")
+      graft.operators.Corpus.shuffleWithinShards(mix,
+          Seq("lang_pred", "shard"), Seq("doc_id", "copy"), salt = "sh1")
+        .select(col("doc_id"), col("copy"), col("lang_pred"), col("shard"),
+          col("shuffle_pos"))
         .orderBy("doc_id", "copy")
     }),
 
@@ -440,47 +503,23 @@ object TextQueries {
     // The composition mirror: the q47 gate inner query (verbatim
     // arithmetic) → min-id keeper per text hash → the q84 copy formula on
     // lang_pred → the q70 exclusive-prefix-sum pack over the same
-    // collision-free ord encoding (doc_id * 1e6 + copy).
+    // collision-free ord encoding (doc_id * 1e6 + copy). The CTE chain is
+    // shared with q86, which adds the loader's within-shard hash order.
     "q85_training_mix" ->
-      s"""WITH g AS (
-            SELECT doc_id, text, lang_pred FROM (
-              SELECT doc_id, text, lang_pred, quality_milli,
-                CAST(CASE WHEN n_total > 0
-                  THEN ((n_total - n_distinct) * 1000) // n_total
-                  ELSE 0 END AS BIGINT) AS rep_milli
-              FROM (
-                SELECT doc_id, text,
-                  ${TextSql.langId("toks")} AS lang_pred,
-                  ${sqlFp(TextSql.qualityScore("text", "toks"))} AS quality_milli,
-                  CAST(len(sh) AS BIGINT) AS n_total,
-                  CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct
-                FROM (SELECT doc_id, text, $toksSql AS toks,
-                        ${TextSql.shingles(toksSql, 2)} AS sh FROM documents)))
-            WHERE lang_pred <> 'und' AND quality_milli >= 300
-              AND rep_milli <= 500),
-          d AS (SELECT doc_id, text, lang_pred FROM (
-              SELECT doc_id, text, lang_pred, row_number() OVER (
-                  PARTITION BY ${TextSql.hash48("text")} ORDER BY doc_id)
-                AS rn FROM g) WHERE rn = 1),
-          u AS (SELECT doc_id, lang_pred, text,
-              (w // 1000000) + CASE WHEN hm < w % 1000000 THEN 1 ELSE 0 END
-                AS copies
-            FROM (SELECT doc_id, lang_pred, text,
-                CASE lang_pred WHEN 'en' THEN 2000000 WHEN 'de' THEN 1500000
-                               WHEN 'zh' THEN 700000 ELSE 0 END AS w,
-                ${TextSql.hash48("'mix3' || CAST(doc_id AS VARCHAR)")} % 1000000
-                  AS hm FROM d)),
-          e AS (SELECT doc_id, lang_pred,
-                CAST(len($toksSql) AS BIGINT) AS n_tokens,
-                unnest(range(0, copies)) AS copy
-              FROM u WHERE copies > 0),
-          t AS (SELECT doc_id, lang_pred, copy, n_tokens,
-                doc_id * 1000000 + copy AS ord FROM e)
-          SELECT doc_id, copy, lang_pred, n_tokens,
-            CAST((sum(n_tokens) OVER (PARTITION BY lang_pred ORDER BY ord
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
-              // 2000 AS BIGINT) AS shard
-          FROM t ORDER BY doc_id, copy""",
+      s"""WITH $mixCtes
+          SELECT doc_id, copy, lang_pred, n_tokens, shard
+          FROM mix ORDER BY doc_id, copy""",
+
+    // One more window over the SAME mix: the deterministic within-shard
+    // shuffle position (hash order, keys as tiebreak).
+    "q86_shuffle_order" ->
+      s"""WITH $mixCtes
+          SELECT doc_id, copy, lang_pred, shard,
+            row_number() OVER (PARTITION BY lang_pred, shard
+              ORDER BY ${TextSql.hash48(
+                "'sh1' || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(copy AS VARCHAR)")},
+                doc_id, copy) - 1 AS shuffle_pos
+          FROM mix ORDER BY doc_id, copy""",
 
     "q84_upsample" ->
       s"""WITH c AS (SELECT doc_id, lang,

@@ -532,6 +532,37 @@ class MixConstructionSpec extends AnyFunSuite {
       assert(shardsInOrder.head == 0L, s"$l: shards must start at 0")
     }
   }
+
+  test("shuffleWithinShards: 0-origin permutation per shard, re-salt reorders") {
+    val mix = Corpus.trainingMix(docs,
+      Map("en" -> 2.0, "de" -> 1.5, "zh" -> 0.7), budget = 2000, salt = "m")
+    def run(salt: String) = Corpus.shuffleWithinShards(mix,
+        Seq("lang_pred", "shard"), Seq("doc_id", "copy"), salt = salt)
+      .select("lang_pred", "shard", "doc_id", "copy", "shuffle_pos")
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4))))
+    val e1 = run("e1")
+    e1.groupBy(_._1).foreach { case (sh, rs) =>
+      assert(rs.map(_._2._3).sorted.sameElements(0L until rs.length.toLong),
+        s"$sh: positions must be a 0-origin permutation")
+    }
+    // deterministic under the same salt
+    assert(run("e1").sortBy(_.toString).sameElements(e1.sortBy(_.toString)))
+    // a different epoch salt keeps the same membership but reorders at
+    // least one reasonably-sized shard
+    val e2 = run("e2")
+    assert(e2.map(x => (x._1, x._2._1, x._2._2)).toSet ==
+      e1.map(x => (x._1, x._2._1, x._2._2)).toSet)
+    val bigShards = e1.groupBy(_._1).filter(_._2.length >= 5).keySet
+    assert(bigShards.nonEmpty, "fixture too small to test reordering")
+    val reordered = bigShards.exists { sh =>
+      def order(rs: Array[((String, Long), (Long, Long, Long))]) =
+        rs.filter(_._1 == sh).sortBy(_._2._3).map(x => (x._2._1, x._2._2)).toSeq
+      order(e1) != order(e2)
+    }
+    assert(reordered, "re-salting never changed any within-shard order")
+  }
 }
 
 class ScrubSpec extends AnyFunSuite {
