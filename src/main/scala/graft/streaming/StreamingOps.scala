@@ -353,6 +353,67 @@ object StreamingOps {
       .drop("__key_hash", "__rn")
   }
 
+  /** Streaming corpus ingest with incremental near-dup dedup — the
+    * daily-ingest loop as a stream. Each micro-batch is (1) SELF-deduped
+    * ([[graft.operators.Dedup.dedupCorpus]] within the batch, so a batch
+    * carrying its own near-dup pair admits one survivor), (2) probed
+    * against the PERSISTED LSH index
+    * ([[graft.operators.Dedup.dedupBatchAgainstLshIndex]] — no corpus
+    * re-shingling), then (3) its survivors are appended to the index AND
+    * to the accepted-corpus parquet sink, so every later micro-batch sees
+    * them. `foreachBatch` is the canonical pattern for maintaining a
+    * stateful external artifact from a stream: the index IS the streaming
+    * state, persisted, bounded, and shared with the batch surface — one
+    * dedup code path serves batch backfills and the live stream.
+    *
+    * Semantics: at-least-once on epoch retry (a replayed epoch would
+    * re-append its survivors); production gates the body on `epochId`
+    * against a commit log. The spec pins the no-failure path: stream
+    * output ≡ the sequential batch loop over the same micro-batches.
+    * Caller configures trigger/checkpoint on the returned writer and
+    * calls `start()`.
+    */
+  def ingestWithDedup(stream: DataFrame, indexDir: String,
+      corpusDir: String, jaccardThreshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Option[Int] = graft.operators.Dedup.defaultMaxBucket)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestBatch(batch.toDF(), indexDir, corpusDir, jaccardThreshold,
+          idCol, textCol, maxBucket)
+    }
+
+  /** One ingest step — the foreachBatch body, exposed so a batch backfill
+    * loop and the stream run literally the same code (the spec's
+    * equivalence is code identity plus micro-batch boundaries).
+    */
+  def ingestBatch(batch: DataFrame, indexDir: String, corpusDir: String,
+      jaccardThreshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text",
+      maxBucket: Option[Int] = graft.operators.Dedup.defaultMaxBucket)
+      : Unit = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val scope = new Dedup.CacheScope
+    // survivors feed two writes (index append + corpus sink): persist so
+    // the probe computes once
+    val survivors = {
+      val self = Dedup.dedupCorpus(batch, idCol, textCol, jaccardThreshold,
+        maxBucket = maxBucket, scope = scope)
+      Dedup.dedupBatchAgainstLshIndex(spark, indexDir, self,
+          jaccardThreshold, idCol, textCol, maxBucket, scope)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    try {
+      Dedup.appendToLshIndex(spark, indexDir, survivors, idCol, textCol)
+      survivors.write.mode("append").parquet(corpusDir)
+    } finally {
+      survivors.unpersist()
+      scope.release()
+    }
+  }
+
   /** Run a streaming query over a parquet directory to a memory sink and
     * block until all available input is processed (local smoke harness).
     */

@@ -123,6 +123,87 @@ class BpeSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming ingest over the persisted LSH index: the foreachBatch loop
+  * equals the sequential batch loop (same code, same micro-batches), and
+  * the planted drops land exactly.
+  */
+class StreamingIngestSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.streaming.StreamingOps
+
+  /** Disjoint-vocabulary docs: zero cross-doc shingle overlap except what
+    * the fixture plants, so every drop below is a closed-form decision.
+    */
+  private def doc(seed: Long, n: Int = 30): String =
+    (1 to n).map(j => s"w${seed}x$j").mkString(" ")
+
+  /** One trailing-token mutation: 27 of 29 distinct shingles shared
+    * (jaccard ≈ 0.93) — comfortably over the 0.7 threshold and a
+    * near-certain band collision under the deterministic hash family.
+    */
+  private def nearDup(seed: Long): String =
+    doc(seed).split(" ").dropRight(1).mkString(" ") + " zz"
+
+  test("streamed ingest == sequential batch loop; planted drops land") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-").toString
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(s"$root/in/$name")
+    val batches = Seq(
+      // b1: exact dup of seed 5 (dropped vs index) + two uniques
+      Seq((100L, doc(5)), (101L, doc(300)), (102L, doc(301))),
+      // b2: near-dup of b1's survivor 101 (dropped ONLY if b1's append
+      // became visible — the cross-batch visibility proof) + a unique
+      Seq((110L, nearDup(300)), (111L, doc(302))),
+      // b3: within-batch exact pair (self-dedup keeps min id 120) +
+      // exact dup of seed 7 + a unique
+      Seq((120L, doc(400)), (121L, doc(400)), (122L, doc(7)),
+        (123L, doc(303))))
+    batches.zipWithIndex.foreach { case (b, i) => writeBatch(s"b${i + 1}", b) }
+    val seed = (0L until 20L).map(i => (i, doc(i))).toDF("doc_id", "text")
+    def freshIndex(tag: String): String = {
+      val d = s"$root/$tag/index"
+      Dedup.saveLshIndex(seed, "doc_id", "text", d)
+      d
+    }
+
+    // sequential truth: the same ingestBatch body, explicit loop
+    val loopIdx = freshIndex("loop")
+    val loopCorpus = s"$root/loop/corpus"
+    batches.foreach { b =>
+      StreamingOps.ingestBatch(b.toDF("doc_id", "text"), loopIdx,
+        loopCorpus, jaccardThreshold = 0.7)
+    }
+    val expect = spark.read.parquet(loopCorpus)
+      .select("doc_id").as[Long].collect().toSet
+
+    // the stream: one file per trigger, in write order
+    val streamIdx = freshIndex("stream")
+    val streamCorpus = s"$root/stream/corpus"
+    val schema = spark.read.parquet(s"$root/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in/{b1,b2,b3}")
+    val q = StreamingOps.ingestWithDedup(stream, streamIdx, streamCorpus,
+        jaccardThreshold = 0.7)
+      .option("checkpointLocation", s"$root/stream/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(streamCorpus)
+      .select("doc_id").as[Long].collect().toSet
+
+    assert(got == expect, "stream diverged from the sequential batch loop")
+    assert(got == Set(100L, 101L, 102L, 110L, 111L, 120L, 121L, 122L, 123L)
+      .diff(Set(100L, 110L, 121L, 122L)),
+      s"planted drop set violated: $got")
+    // the grown index carries seed + all survivors under one geometry:
+    // re-probing any survivor's exact copy now drops it
+    val reprobe = Dedup.dedupBatchAgainstLshIndex(spark, streamIdx,
+      Seq((999L, doc(303))).toDF("doc_id", "text"),
+      jaccardThreshold = 0.7)
+    assert(reprobe.count() == 0L,
+      "a survivor's exact copy must be dropped by the grown index")
+  }
+}
+
 /** Persisted LSH index: probe parity with the one-shot minhashLsh pairs,
   * append-vs-rebuild equality, and the index-bucket cap.
   */
