@@ -275,6 +275,34 @@ object Corpus {
     df.withColumn("shuffle_pos", row_number().over(w).cast("long") - 1)
   }
 
+  /** CCNet-style perplexity bucketing (arXiv:1911.00359 §4.3): rank each
+    * stratum's documents by LM score per bigram and cut into `nBuckets`
+    * equal tiles — head/middle/tail quality bands for mix construction
+    * (keep head, sample middle, drop tail). The rate is exact integer
+    * arithmetic ((lm_micro·1000) div n_bigrams — length-normalized so
+    * long docs aren't penalized by the raw sum), bigramless docs sink to
+    * the tail via a sentinel, ties break on the id, and `ntile` follows
+    * the SQL-standard floor+remainder split — the full bucket assignment
+    * is a pure data function, mirrored verbatim in the oracle.
+    *
+    * One window pass per stratum (the [[quotaPerStratum]] note applies: a
+    * pathologically dominant stratum concentrates in one partition —
+    * pre-thin or sub-stratify if a single stratum exceeds executor
+    * memory).
+    */
+  def perplexityBuckets(scored: DataFrame, nBuckets: Int,
+      strataCols: Seq[String], idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    val rate = when(col("n_bigrams") > 0,
+      expr("(lm_micro * 1000) div n_bigrams"))
+      .otherwise(lit(-1000000000000000000L))
+    scored.withColumn("lm_rate_milli", rate)
+      .withColumn("bucket", ntile(nBuckets).over(
+        Window.partitionBy(strataCols.map(col): _*)
+          .orderBy(col("lm_rate_milli").desc, col(idCol)))
+        .cast("long"))
+  }
+
   /** Token-level sequence packing — training-batch construction: the
     * documents of each group, concatenated in deterministic `orderCol`
     * order, form one token stream that is cut into fixed-length sequences

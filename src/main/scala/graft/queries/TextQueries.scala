@@ -60,6 +60,36 @@ object TextQueries {
               // 2000 AS BIGINT) AS shard
           FROM t)"""
 
+  /** The q80/q87 Stupid-Backoff LM mirror's shared CTE chain, ending in
+    * `lm` (doc_id, lang, n_bigrams, lm_micro) over ALL documents.
+    */
+  private lazy val lmCtes: String =
+    s"""t AS (SELECT doc_id, lang = 'en' AS tr, $toksSql AS tk
+                     FROM documents),
+          toks AS (SELECT doc_id, tr, unnest(tk) AS w FROM t),
+          bg AS (SELECT doc_id, tr, unnest(tk[1:len(tk)-1]) AS w1,
+                   unnest(tk[2:len(tk)]) AS w2
+                 FROM t WHERE len(tk) >= 2),
+          uni AS (SELECT w, count(*) AS c1 FROM toks WHERE tr GROUP BY w),
+          big AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE tr
+                  GROUP BY w1, w2),
+          tot AS (SELECT sum(c1) AS lmN, count(*) AS lmV FROM uni),
+          sc AS (SELECT bg.doc_id,
+                   CAST(round(1e6 * CASE WHEN big.c2 IS NOT NULL AND big.c2 > 0
+                     THEN ln(CAST(big.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
+                     ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 0.5)
+                       / (lmN + 0.5 * lmV)) END) AS BIGINT) AS s
+                 FROM bg
+                 LEFT JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
+                 LEFT JOIN uni u1 ON bg.w1 = u1.w
+                 LEFT JOIN uni u2 ON bg.w2 = u2.w, tot),
+          per AS (SELECT doc_id, count(*) AS n_bigrams, sum(s) AS lm_micro
+                  FROM sc GROUP BY doc_id),
+          lm AS (SELECT d.doc_id, d.lang,
+              CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+              CAST(COALESCE(per.lm_micro, 0) AS BIGINT) AS lm_micro
+            FROM documents d LEFT JOIN per USING (doc_id))"""
+
   val queries: Map[String, Q] = Map(
     "q40_token_counts" -> ((s, dir) => {
       table(s, dir, "documents")
@@ -325,6 +355,21 @@ object TextQueries {
     "q80_lm_score" -> ((s, dir) => {
       graft.operators.Corpus.lmScore(table(s, dir, "documents"),
           "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet head/middle/tail perplexity split (operators/Corpus
+    // .perplexityBuckets) over q80's LM scores, per metadata language:
+    // exact integer per-bigram rate, sentinel for bigramless docs, ntile
+    // with id tiebreak — the full bucket assignment hash-checks.
+    "q87_ppl_buckets" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = graft.operators.Corpus.lmScore(docs,
+          "doc_id", "text", col("lang") === "en")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      graft.operators.Corpus.perplexityBuckets(scored, 3, Seq("lang"))
+        .select(col("doc_id"), col("lang"), col("n_bigrams"),
+          col("lm_micro"), col("lm_rate_milli"), col("bucket"))
         .orderBy("doc_id")
     }),
 
@@ -601,31 +646,21 @@ object TextQueries {
     // tables and the float chain (one division or the backoff product,
     // one ln, x1e6, round) mirror the engine op-for-op.
     "q80_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, lang = 'en' AS tr, $toksSql AS tk
-                     FROM documents),
-          toks AS (SELECT doc_id, tr, unnest(tk) AS w FROM t),
-          bg AS (SELECT doc_id, tr, unnest(tk[1:len(tk)-1]) AS w1,
-                   unnest(tk[2:len(tk)]) AS w2
-                 FROM t WHERE len(tk) >= 2),
-          uni AS (SELECT w, count(*) AS c1 FROM toks WHERE tr GROUP BY w),
-          big AS (SELECT w1, w2, count(*) AS c2 FROM bg WHERE tr
-                  GROUP BY w1, w2),
-          tot AS (SELECT sum(c1) AS lmN, count(*) AS lmV FROM uni),
-          sc AS (SELECT bg.doc_id,
-                   CAST(round(1e6 * CASE WHEN big.c2 IS NOT NULL AND big.c2 > 0
-                     THEN ln(CAST(big.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
-                     ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 0.5)
-                       / (lmN + 0.5 * lmV)) END) AS BIGINT) AS s
-                 FROM bg
-                 LEFT JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
-                 LEFT JOIN uni u1 ON bg.w1 = u1.w
-                 LEFT JOIN uni u2 ON bg.w2 = u2.w, tot),
-          per AS (SELECT doc_id, count(*) AS n_bigrams, sum(s) AS lm_micro
-                  FROM sc GROUP BY doc_id)
-          SELECT d.doc_id, CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-            CAST(COALESCE(per.lm_micro, 0) AS BIGINT) AS lm_micro
-          FROM documents d LEFT JOIN per USING (doc_id)
-          ORDER BY doc_id""",
+      s"""WITH $lmCtes
+          SELECT doc_id, n_bigrams, lm_micro FROM lm ORDER BY doc_id""",
+
+    // One ntile window over the SAME lm table: per-language thirds on the
+    // exact integer per-bigram rate, bigramless docs sunk by the sentinel.
+    "q87_ppl_buckets" ->
+      s"""WITH $lmCtes,
+          r AS (SELECT doc_id, lang, n_bigrams, lm_micro,
+                CASE WHEN n_bigrams > 0 THEN (lm_micro * 1000) // n_bigrams
+                     ELSE -1000000000000000000 END AS lm_rate_milli
+              FROM lm)
+          SELECT doc_id, lang, n_bigrams, lm_micro, lm_rate_milli,
+            CAST(ntile(3) OVER (PARTITION BY lang
+              ORDER BY lm_rate_milli DESC, doc_id) AS BIGINT) AS bucket
+          FROM r ORDER BY doc_id""",
 
     "q73_pii_scrub" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -563,6 +563,29 @@ class MixConstructionSpec extends AnyFunSuite {
     }
     assert(reordered, "re-salting never changed any within-shard order")
   }
+
+  test("perplexityBuckets: balanced tiles per stratum, rate order, sentinel tail") {
+    import spark.implicits._
+    val scored = Seq(
+      // lang A: rates 9000, 5000, 1000, and a bigramless doc
+      (1L, "A", 2L, 18L), (2L, "A", 2L, 10L), (3L, "A", 4L, 4L),
+      (4L, "A", 0L, 0L),
+      // lang B: two docs
+      (10L, "B", 1L, 7L), (11L, "B", 1L, 3L))
+      .toDF("doc_id", "lang", "n_bigrams", "lm_micro")
+    val got = Corpus.perplexityBuckets(scored, 3, Seq("lang"))
+      .select("doc_id", "bucket", "lm_rate_milli")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // A: 4 docs over 3 tiles -> sizes 2,1,1; best rate (doc 1) in bucket 1,
+    // bigramless doc 4 sinks to the last tile via the sentinel
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L)
+    assert(got(3L)._1 == 2L)
+    assert(got(4L)._1 == 3L && got(4L)._2 < -1000000000L)
+    // exact integer rates: 18*1000 div 2 = 9000
+    assert(got(1L)._2 == 9000L && got(3L)._2 == 1000L)
+    // B: 2 docs over 3 tiles -> buckets 1 and 2, higher rate first
+    assert(got(10L)._1 == 1L && got(11L)._1 == 2L)
+  }
 }
 
 class ScrubSpec extends AnyFunSuite {
