@@ -431,6 +431,30 @@ object TextQueries {
         .orderBy("doc_id", "tok_pos", "piece_pos")
     }),
 
+    // Token-budget packing in MODEL tokens (operators/Bpe +
+    // Corpus.packShards): per-doc BPE piece counts under the q81b fixed
+    // merge list become the shard-packing weight — "budget the corpus in
+    // what the model actually consumes", the composition the Bpe scaladoc
+    // promises. Docs with no alnum tokens weigh 0 and ride along via the
+    // left join; the full (doc, n_pieces, shard) assignment hash-checks.
+    "q88_bpe_budget_shards" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val pieces = docs
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+        .where(col("word").rlike("^[a-z0-9]+$"))
+        .select(col("doc_id"),
+          size(graft.operators.Bpe.encodeToken(col("word"), bpeMerges))
+            .cast("long").as("__np"))
+        .groupBy("doc_id").agg(sum("__np").as("n_pieces"))
+      val weighted = docs.select(col("doc_id"), col("source"))
+        .join(pieces, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_pieces"))
+      graft.operators.Corpus.packShards(weighted, "n_pieces",
+          budget = 3000, orderCol = "doc_id", groupCols = Seq("source"))
+        .select("doc_id", "source", "n_pieces", "shard")
+        .orderBy("doc_id")
+    }),
+
     // Unicode canonicalization (plans/NativeNormalize via Text.nfc /
     // Text.stripAccents): each doc gets accents planted deterministically
     // in BOTH engines — precomposed á/é via replace, plus a DECOMPOSED
@@ -466,6 +490,15 @@ object TextQueries {
   private val bpeMerges: Seq[(String, String)] = Seq(
     ("t", "h"), ("th", "e"), ("e", "r"), ("i", "n"), ("o", "w"),
     ("a", "t"), ("s", "t"), ("a", "l"), ("u", "e"), ("q", "u"))
+
+  /** The q81b/q88 DuckDB mirror of [[graft.operators.Bpe.encodeToken]]
+    * over a column named `word`: wrap each char " c ", one literal
+    * replace per merge in rank order.
+    */
+  private lazy val bpeFoldSql: String = bpeMerges.foldLeft(
+    "regexp_replace(word, '(.)', ' \\1 ', 'g')") { case (acc, (a, b)) =>
+    s"replace($acc, ' $a  $b ', ' ${a + b} ')"
+  }
 
   /** The q74 retrieval batch — corpus-vocabulary terms so every query
     * matches documents at every SF.
@@ -696,10 +729,7 @@ object TextQueries {
     // The identical wrapped-symbol replace fold: regexp_replace wraps each
     // character " c ", then one literal replace per merge in rank order.
     "q81b_bpe_encode" -> {
-      val folded = bpeMerges.foldLeft(
-        "regexp_replace(word, '(.)', ' \\1 ', 'g')") { case (acc, (a, b)) =>
-        s"replace($acc, ' $a  $b ', ' ${a + b} ')"
-      }
+      val folded = bpeFoldSql
       s"""WITH t AS (SELECT doc_id, $toksSql AS tk FROM documents),
           w AS (SELECT doc_id, unnest(tk) AS word,
                   unnest(generate_series(0, len(tk) - 1)) AS tok_pos FROM t),
@@ -718,6 +748,26 @@ object TextQueries {
     // the JSON round-trip): á=225 é=233, decomposed acute=769, ñ=241
     // ç=231 ü=252. nfc_normalize composes, strip_accents removes marks —
     // byte-equal to the engine's NFD→drop-Mn→NFC on this character set.
+    // The identical piece-count fold summed per doc, packed with the q70
+    // exclusive-prefix-sum window.
+    "q88_bpe_budget_shards" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS tk FROM documents),
+          w AS (SELECT doc_id, unnest(tk) AS word FROM t),
+          f AS (SELECT doc_id, word FROM w
+                WHERE regexp_matches(word, '^[a-z0-9]+${"$"}')),
+          e AS (SELECT doc_id,
+                  len(string_split(trim($bpeFoldSql), '  ')) AS np FROM f),
+          p AS (SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces
+                FROM e GROUP BY doc_id),
+          d AS (SELECT t.doc_id, t.source,
+                  COALESCE(p.n_pieces, 0) AS n_pieces
+                FROM t LEFT JOIN p USING (doc_id))
+          SELECT doc_id, source, n_pieces,
+            CAST((sum(n_pieces) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_pieces)
+              // 3000 AS BIGINT) AS shard
+          FROM d ORDER BY doc_id""",
+
     "q83_normalize" ->
       s"""WITH a AS (SELECT doc_id,
             replace(replace(text, 'a', chr(225)), 'e', chr(233))
