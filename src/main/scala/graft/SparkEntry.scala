@@ -37,7 +37,10 @@ object SparkEntry {
       col("shear"), avg)
   }
 
-  private val packs: Seq[(Map[String, Common.Q], Map[String, String])] = Seq(
+  // a def, not a val: TextQueries.oracle embeds the BM25 idf literals its
+  // query entries stash at run time, so oracleSql must be re-evaluated
+  // after the queries run (Verify dumps it last)
+  private def packs: Seq[(Map[String, Common.Q], Map[String, String])] = Seq(
     (RelationalQueries.queries, RelationalQueries.oracle),
     (WindowQueries.queries, WindowQueries.oracle),
     (GridQueries.queries, GridQueries.oracle),

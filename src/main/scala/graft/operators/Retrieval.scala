@@ -28,11 +28,57 @@ import graft.functions.Text
   * Determinism across engines (the driver's DuckDB oracle): per-(doc,term)
   * scores are integerized to micro-units BEFORE the per-doc sum (integer
   * sums are exact and commutative, so shuffle order can't perturb the
-  * total), and ties rank by doc id. The float chain (one ln, a handful of
-  * mul/div in fixed order) is mirrored op-for-op in
-  * [[graft.queries.TextQueries]]'s oracle SQL.
+  * total), and ties rank by doc id. The transcendental (ln in idf) is NOT
+  * part of the cross-engine contract: `idf_micro` is computed ONCE in
+  * driver-side Scala ([[idfMicro]], `StrictMath.log` — bit-specified by
+  * the JVM spec) per distinct query term and injected into both plans as
+  * a literal (term -> idf_micro) broadcast table. The remaining shared
+  * chain is exact integers plus IEEE-754 basic ops (+ - * /, each
+  * correctly rounded, hence bit-identical on any compliant engine) and a
+  * `floor(x + 0.5)` integerization (floor is exact; `round()` half-case
+  * semantics vary across engines/versions and are avoided). Empty tokens
+  * from the whitespace split are filtered on both sides, so
+  * leading/trailing-whitespace handling differences between Java's
+  * `split` and DuckDB's `string_split_regex` cannot perturb `dl`/`tf`.
   */
 object Retrieval {
+
+  /** The one transcendental, evaluated driver-side only:
+    * round(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1e6). `StrictMath.log` is
+    * fdlibm-exact by spec, so the literal is reproducible on any JVM.
+    */
+  def idfMicro(nDocs: Long, df: Long): Long =
+    Math.round(StrictMath.log(
+      1.0 + (nDocs.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5)) * 1e6)
+
+  /** Driver-side (term -> idf_micro) for a query vocabulary: one
+    * column-pruned pass computes N and per-term document frequency
+    * (collected — at most |vocab| + 1 rows), then [[idfMicro]] maps them.
+    * Terms absent from the corpus get df = 0 (they can never score, but
+    * the table stays total over the vocabulary).
+    */
+  def idfMicroTable(docs: DataFrame, vocab: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): Map[String, Long] = {
+    val toks = nonEmptyTokens(col(textCol))
+    // two tiny column-pruned jobs: per-term df over distinct matched
+    // terms (<= |vocab| rows), and the corpus doc count
+    val rows = docs
+      .select(col(idCol).as("doc_id"), array_distinct(toks).as("__ts"))
+      .select(col("doc_id"), explode(col("__ts")).as("w"))
+      .where(col("w").isin(vocab: _*))
+      .groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .collect()
+    val nDocs = docs.select(count(lit(1))).head().getLong(0)
+    val dfMap = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    vocab.map(t => t -> idfMicro(nDocs, dfMap.getOrElse(t, 0L))).toMap
+  }
+
+  /** Whitespace tokens with empties removed — the BM25 token contract
+    * (mirrored as `list_filter(string_split_regex(...), t -> t <> '')` in
+    * the oracle SQL).
+    */
+  private def nonEmptyTokens(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(Text.tokens(text), t => t =!= lit(""))
 
   /** Batch BM25: score every (query, matching doc) pair, keep the top `k`
     * docs per query. `queries` = (q_id, terms); duplicate terms within one
@@ -41,14 +87,18 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, queries: Seq[(String, Seq[String])], k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      idfTable: Option[Map[String, Long]] = None): DataFrame = {
     val spark = docs.sparkSession
     val vocab = queries.flatMap(_._2).distinct
     require(vocab.nonEmpty, "bm25: empty query vocabulary")
 
+    // the one transcendental, resolved driver-side (see object doc)
+    val idfMap = idfTable.getOrElse(idfMicroTable(docs, vocab, idCol, textCol))
+
     // one tokenize per doc; dl = token count (the BM25 document length)
     val docsTok = docs.select(col(idCol).as("doc_id"),
-      Text.tokens(col(textCol)).as("__toks"))
+      nonEmptyTokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))
 
@@ -66,23 +116,17 @@ object Retrieval {
       .groupBy(col("doc_id"), col("dl"), col("w"))
       .agg(count(lit(1)).as("tf"))
 
-    // document frequency per term (|vocab| rows), derived from the already
-    // aggregated tf frame — no second corpus pass
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-
-    // query membership: (q_id, w) literal rows, broadcast
+    // (q_id, w, idf_micro) literal rows, broadcast — query membership and
+    // the driver-computed idf in one tiny join
     import spark.implicits._
-    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
-      .toDF("q_id", "w")
+    val qterms = queries.flatMap { case (q, ts) =>
+      ts.distinct.map(t => (q, t, idfMap(t))) }
+      .toDF("q_id", "w", "idf_micro")
 
     val scored = tf
-      .join(broadcast(dfreq), "w")
       .join(broadcast(qterms), "w")
       .crossJoin(broadcast(stats))
-    // integerize per (doc, term) BEFORE summing: the per-doc total is an
-    // exact integer sum, bit-stable under any aggregation order
-    val perTerm = scored.withColumn("__s",
-      round(idfExpr * tfExpr(k1, b) * lit(1000000.0)).cast("long"))
+    val perTerm = scored.withColumn("__s", scoreMicroExpr(k1, b))
 
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
@@ -94,24 +138,22 @@ object Retrieval {
         col("score_micro"))
   }
 
-  /** The idf over bound `n_docs`/`df` columns —
-    * ln(1 + (N - df + 0.5)/(df + 0.5)), the Okapi BM25+ form. One shared
-    * definition for [[bm25]] and [[searchIndex]], so serving from a
-    * persisted index is bit-identical to the in-memory pass.
+  /** The per-(doc, term) score in micro-units over bound
+    * `idf_micro`/`tf`/`dl`/`sum_dl`/`n_docs` columns:
+    * floor(idf_micro * tf(k1+1)/(tf + k1(1 - b + b·dl/avgdl)) + 0.5).
+    * Every op is an IEEE basic op or floor — bit-identical across engines
+    * (and mirrored op-for-op in [[bm25Sql]]). Integerized per (doc, term)
+    * BEFORE summing, so the per-doc total is an exact integer sum,
+    * bit-stable under any aggregation order. One shared definition for
+    * [[bm25]] and [[searchIndex]], so serving from a persisted index is
+    * bit-identical to the in-memory pass.
     */
-  private def idfExpr: org.apache.spark.sql.Column =
-    log(lit(1.0) +
-      (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5)))
-
-  /** The tf saturation over bound `tf`/`dl`/`sum_dl`/`n_docs` columns —
-    * tf(k1+1) / (tf + k1(1 - b + b·dl/avgdl)).
-    */
-  private def tfExpr(k1: Double, b: Double): org.apache.spark.sql.Column = {
+  private def scoreMicroExpr(k1: Double, b: Double): org.apache.spark.sql.Column = {
     val tfd = col("tf").cast("double")
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-    tfd * lit(k1 + 1.0) /
+    val sat = tfd * lit(k1 + 1.0) /
       (tfd + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    floor(col("idf_micro").cast("double") * sat + lit(0.5)).cast("long")
   }
 
   /** Build and persist an inverted index — the build-once/serve-many shape
@@ -132,7 +174,7 @@ object Retrieval {
     require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
     graft.plans.NativeHash48.register(docs.sparkSession)
     val docsTok = docs.select(col(idCol).as("doc_id"),
-      Text.tokens(col(textCol)).as("__toks"))
+      nonEmptyTokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))
     val postings = docsTok
@@ -174,20 +216,26 @@ object Retrieval {
       .where(col("bucket").isin(buckets.map(Long.box): _*))
       .where(col("term").isin(vocab: _*))
     val doclens = spark.read.parquet(s"$dir/doclens")
-    val dfreq = broadcast(statsAll.where(col("term").isin(vocab: _*))
-      .select(col("term"), col("df")))
+    // idf from the INDEX's persisted df (not the corpus): a wrong or stale
+    // df in stats/ diverges from the in-memory pass and breaks the q77
+    // identity. The collect is <= |vocab| + 1 rows of index metadata.
+    val dfRows = statsAll.where(col("term").isin(vocab: _*))
+      .select(col("term"), col("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocsIdx = statsAll.select(col("n_docs")).head().getLong(0)
+    val idfMap = vocab.map(t =>
+      t -> idfMicro(nDocsIdx, dfRows.getOrElse(t, 0L))).toMap
     val stats = broadcast(statsAll
       .select(col("n_docs"), col("sum_dl")).limit(1))
     import spark.implicits._
-    val qterms = queries.flatMap { case (q, ts) => ts.distinct.map((q, _)) }
-      .toDF("q_id", "term")
+    val qterms = queries.flatMap { case (q, ts) =>
+      ts.distinct.map(t => (q, t, idfMap(t))) }
+      .toDF("q_id", "term", "idf_micro")
     val scored = postings
-      .join(dfreq, "term")
       .join(broadcast(qterms), "term")
       .join(doclens, "doc_id")
       .crossJoin(stats)
-    val perTerm = scored.withColumn("__s",
-      round(idfExpr * tfExpr(k1, b) * lit(1000000.0)).cast("long"))
+    val perTerm = scored.withColumn("__s", scoreMicroExpr(k1, b))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
     perTerm.groupBy(col("q_id"), col("doc_id"))
@@ -199,36 +247,40 @@ object Retrieval {
   }
 
   /** DuckDB mirror of [[bm25]] for the driver oracle — identical arithmetic
-    * in identical order (ln, the k1/b literals, micro-integerization before
-    * the per-doc sum, rank tiebreak on doc id).
+    * in identical order. `idfTable` is the SAME driver-computed
+    * (term -> idf_micro) map the Spark plan embeds, emitted here as a
+    * VALUES CTE: the shared cross-engine chain contains no transcendental
+    * and no `round()` — only exact integers, IEEE basic ops, and floor.
+    * Empty tokens are filtered to mirror the Spark side exactly.
     */
   def bm25Sql(queries: Seq[(String, Seq[String])], k: Int,
+      idfTable: Map[String, Long],
       k1: Double = 1.2, b: Double = 0.75,
       table: String = "documents", idCol: String = "doc_id",
       textCol: String = "text"): String = {
     val vocab = queries.flatMap(_._2).distinct
     val vocabLst = vocab.map(t => s"'$t'").mkString("[", ", ", "]")
-    val qRows = queries.flatMap { case (q, ts) => ts.distinct.map(t => s"('$q', '$t')") }
+    val qRows = queries.flatMap { case (q, ts) =>
+      ts.distinct.map(t => s"('$q', '$t', CAST(${idfTable(t)} AS BIGINT))") }
       .mkString(", ")
-    val toks = graft.functions.TextSql.tokens(textCol)
+    val toks =
+      s"list_filter(${graft.functions.TextSql.tokens(textCol)}, t -> t <> '')"
     s"""WITH d AS (SELECT $idCol AS doc_id, $toks AS toks FROM $table),
         dt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
         stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dt),
         tf AS (SELECT doc_id, dl, w, count(*) AS tf
                FROM (SELECT doc_id, dl, unnest(toks) AS w FROM dt)
                WHERE list_contains($vocabLst, w) GROUP BY 1, 2, 3),
-        dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
-        qt(q_id, w) AS (VALUES $qRows),
+        qt(q_id, w, idf_micro) AS (VALUES $qRows),
         per_term AS (SELECT q_id, doc_id,
-            CAST(round(
-              ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                        / (CAST(df AS DOUBLE) + 0.5))
+            CAST(floor(
+              CAST(idf_micro AS DOUBLE)
               * (CAST(tf AS DOUBLE) * ${k1 + 1.0}
                  / (CAST(tf AS DOUBLE) + $k1 * (1.0 - $b + $b *
                      (CAST(dl AS DOUBLE)
                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
-              * 1000000.0) AS BIGINT) AS s
-          FROM tf JOIN dfreq USING (w) JOIN qt USING (w), stats),
+              + 0.5) AS BIGINT) AS s
+          FROM tf JOIN qt USING (w), stats),
         totals AS (SELECT q_id, doc_id, sum(s) AS score_micro
                    FROM per_term GROUP BY 1, 2),
         ranked AS (SELECT q_id, doc_id, score_micro,

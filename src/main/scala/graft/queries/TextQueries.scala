@@ -296,11 +296,17 @@ object TextQueries {
     // batches over the corpus vocabulary, top-10 each. Per-(doc,term)
     // scores integerize to micro-units BEFORE the per-doc sum, so the
     // total is an exact integer and the ranking (score desc, doc_id)
-    // hash-checks; the one transcendental (ln in idf) is mirrored
-    // op-for-op and rounds identically at micro precision.
+    // hash-checks. The one transcendental (ln in idf) is computed
+    // driver-side in Scala and injected into BOTH plans as a literal
+    // (term -> idf_micro) table (stashed here for the oracle's VALUES
+    // CTE), so the cross-engine chain is exact integers + IEEE basic ops
+    // + floor — no libm, no round() half-case semantics.
     "q74_bm25" -> ((s, dir) => {
+      val idf = graft.operators.Retrieval.idfMicroTable(
+        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct)
+      bm25IdfStash.set(idf)
       graft.operators.Retrieval.bm25(table(s, dir, "documents"),
-          bm25Queries, k = 10)
+          bm25Queries, k = 10, idfTable = Some(idf))
         .orderBy("q_id", "rank")
     }),
 
@@ -508,7 +514,56 @@ object TextQueries {
     "qb" -> Seq("window", "hash", "scan"),
     "qc" -> Seq("vector", "stream", "batch", "line"))
 
-  val oracle: Map[String, String] = Map(
+  /** The driver-computed (term -> idf_micro) table, set by the q74 entry
+    * when it runs. [[oracle]] is a `def` and Verify dumps it AFTER running
+    * every query, so the stash is populated by then and the BM25 oracle
+    * SQL embeds the exact literals the Spark plans used.
+    */
+  private val bm25IdfStash =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](null)
+
+  /** BM25 oracle: the idf-literal mirror when the stash is live (the
+    * Verify flow), else a self-contained ln-based approximation so
+    * evaluating [[oracle]] standalone (specs, tooling) never throws.
+    */
+  private def bm25OracleSql: String = Option(bm25IdfStash.get()) match {
+    case Some(idf) =>
+      graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10, idfTable = idf)
+    case None => // pre-r11 inline-ln form; never reached in the Verify flow
+      val toks = s"list_filter($toksSql, t -> t <> '')"
+      val vocab = bm25Queries.flatMap(_._2).distinct
+      val vocabLst = vocab.map(t => s"'$t'").mkString("[", ", ", "]")
+      val qRows = bm25Queries.flatMap { case (q, ts) =>
+        ts.distinct.map(t => s"('$q', '$t')") }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id, $toks AS toks FROM documents),
+          dt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS dl FROM d),
+          stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dt),
+          tf AS (SELECT doc_id, dl, w, count(*) AS tf
+                 FROM (SELECT doc_id, dl, unnest(toks) AS w FROM dt)
+                 WHERE list_contains($vocabLst, w) GROUP BY 1, 2, 3),
+          dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+          qt(q_id, w) AS (VALUES $qRows),
+          per_term AS (SELECT q_id, doc_id,
+              CAST(floor(
+                CAST(round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                          / (CAST(df AS DOUBLE) + 0.5)) * 1000000.0) AS DOUBLE)
+                * (CAST(tf AS DOUBLE) * 2.2
+                   / (CAST(tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+                       (CAST(dl AS DOUBLE)
+                        / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
+                + 0.5) AS BIGINT) AS s
+            FROM tf JOIN dfreq USING (w) JOIN qt USING (w), stats),
+          totals AS (SELECT q_id, doc_id, sum(s) AS score_micro
+                     FROM per_term GROUP BY 1, 2),
+          ranked AS (SELECT q_id, doc_id, score_micro,
+                       row_number() OVER (PARTITION BY q_id
+                         ORDER BY score_micro DESC, doc_id) AS rank
+                     FROM totals)
+          SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank, score_micro
+          FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""
+  }
+
+  def oracle: Map[String, String] = Map(
     "q40_token_counts" ->
       s"""SELECT doc_id,
           CAST(len($toksSql) AS BIGINT) AS n_tokens,
@@ -629,10 +684,10 @@ object TextQueries {
             FROM documents)
           WHERE rk <= 30 ORDER BY doc_id""",
 
-    "q74_bm25" -> graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10),
+    "q74_bm25" -> bm25OracleSql,
 
     // identity: index-served BM25 == the in-memory pass, one shared oracle
-    "q77_bm25_index" -> graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10),
+    "q77_bm25_index" -> bm25OracleSql,
 
     "q75_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source,

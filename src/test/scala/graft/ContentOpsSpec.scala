@@ -653,12 +653,13 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(_._1)
     // N=4, dl = (3,2,3,3), avgdl = 11/4; df(a)=2, df(d)=1
-    val n = 4.0; val avgdl = 11.0 / 4.0
-    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    val avgdl = 11.0 / 4.0
     def tfs(tf: Double, dl: Double) =
       tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
-    def s(tf: Double, dl: Double, df: Double) =
-      math.round(idf(df) * tfs(tf, dl) * 1e6)
+    // the r11 contract: idf_micro is a driver-side literal, the engine
+    // chain is floor(idf_micro * tf_sat + 0.5)
+    def s(tf: Double, dl: Double, df: Long) =
+      math.floor(Retrieval.idfMicro(4L, df).toDouble * tfs(tf, dl) + 0.5).toLong
     val expect = Seq(
       (1L, s(2, 3, 2)),              // doc 1: "a" twice
       (2L, s(1, 2, 2)),              // doc 2: "a" once, shorter doc
