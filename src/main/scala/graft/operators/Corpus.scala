@@ -387,11 +387,16 @@ object Corpus {
     * standard cheap proxy for "select pretraining data that looks like
     * the eval domain".
     *
-    * Determinism across engines (the q74 BM25 discipline): each bucket's
+    * Determinism across engines (the r11 BM25 discipline): each bucket's
     * lambda is integerized to micro-units BEFORE the per-doc sum, so the
-    * total is an exact integer and shuffle order can't perturb it; the
-    * float chain (two ln's, subtraction, one multiply) is mirrored
-    * op-for-op in the oracle SQL.
+    * total is an exact integer and shuffle order can't perturb it — and
+    * the two ln's are NOT part of any cross-engine contract: the bucket
+    * table is bounded (`nBuckets` rows), so [[dsirLambdaTable]] collects
+    * it and evaluates the lambdas ONCE in driver-side Scala
+    * (`StrictMath.log`, bit-specified by the JVM); the engine plan joins
+    * the resulting literal table. An oracle mirrors the same literals as
+    * a VALUES CTE, leaving only exact-integer feature extraction and
+    * sums in the shared chain.
     *
     * Plan, built for the 100 TB corpus: ONE tokenize+posexplode pass with
     * a window lead yields both feature kinds per token row (bigram null at
@@ -404,35 +409,65 @@ object Corpus {
     */
   def importanceWeights(docs: DataFrame, idCol: String, textCol: String,
       isTarget: org.apache.spark.sql.Column, nBuckets: Int = 1024,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5,
+      lambdaTable: Option[Map[Long, Long]] = None): DataFrame = {
     require(nBuckets >= 2, "importanceWeights: need nBuckets >= 2")
+    val spark = docs.sparkSession
+    val feats = dsirFeatures(docs, idCol, textCol, isTarget, nBuckets)
+    val lamMap = lambdaTable.getOrElse(
+      dsirLambdaTable(docs, idCol, textCol, isTarget, nBuckets, alpha))
+    import spark.implicits._
+    val lam = lamMap.toSeq.toDF("__b", "lam_micro")
+    val perDoc = feats.join(broadcast(lam), Seq("__b"))
+      .groupBy(col(idCol)).agg(sum(col("lam_micro")).as("dsir_micro"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("dsir_micro"))
+  }
+
+  /** The hashed unigram+bigram feature rows (idCol, __tgt, __b) shared by
+    * the scoring plan and the lambda-table builder — one
+    * tokenize+posexplode pass with a window lead, one shuffle on the doc
+    * key.
+    */
+  private def dsirFeatures(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column, nBuckets: Int): DataFrame = {
     val exploded = docs
       .select(col(idCol), isTarget.cast("boolean").as("__tgt"),
         posexplode(Text.tokens(col(textCol))).as(Seq("__pos", "__w")))
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
     val uniH = Text.hashMod(col("__w"))
     val bigH = Text.hashMod(concat_ws(" ", col("__w"), col("__next")))
-    val feats = exploded
+    exploded
       .withColumn("__next", lead(col("__w"), 1).over(wDoc))
       .select(col(idCol), col("__tgt"),
         explode(when(col("__next").isNotNull, array(uniH, bigH))
           .otherwise(array(uniH))).as("__f"))
       .withColumn("__b", col("__f") % nBuckets.toLong) // hashMod >= 0
-    val stats = feats.groupBy(col("__b")).agg(
-      count(lit(1)).as("raw_n"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_n"))
-    val tot = stats.agg(sum(col("raw_n")).as("rawT"), sum(col("tgt_n")).as("tgtT"))
-    val lam = stats.crossJoin(broadcast(tot))
-      .select(col("__b"),
-        round(lit(1e6) *
-          (log((col("tgt_n") + alpha) / (col("tgtT") + alpha * nBuckets)) -
-           log((col("raw_n") + alpha) / (col("rawT") + alpha * nBuckets))))
-          .cast("long").as("lam_micro"))
-    val perDoc = feats.join(broadcast(lam), Seq("__b"))
-      .groupBy(col(idCol)).agg(sum(col("lam_micro")).as("dsir_micro"))
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
-      .na.fill(0L, Seq("dsir_micro"))
+  }
+
+  /** Driver-side (bucket -> lambda_micro): the bucket statistics are a
+    * bounded aggregate (`nBuckets` rows), collected and mapped through
+    * `StrictMath.log` in Scala so no transcendental enters the
+    * distributed plan or the cross-engine oracle contract. Totals are
+    * exact integer sums of the collected rows.
+    */
+  def dsirLambdaTable(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: org.apache.spark.sql.Column, nBuckets: Int = 1024,
+      alpha: Double = 0.5): Map[Long, Long] = {
+    val rows = dsirFeatures(docs, idCol, textCol, isTarget, nBuckets)
+      .groupBy(col("__b")).agg(
+        count(lit(1)).as("raw_n"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rawT = rows.map(_._2).sum
+    val tgtT = rows.map(_._3).sum
+    rows.map { case (b, rawN, tgtN) =>
+      b -> Math.round(1e6 *
+        (StrictMath.log((tgtN + alpha) / (tgtT + alpha * nBuckets)) -
+         StrictMath.log((rawN + alpha) / (rawT + alpha * nBuckets))))
+    }.toMap
   }
 
   /** CCNet-style n-gram language-model scoring (Wenzek et al. 2020,
@@ -472,6 +507,27 @@ object Corpus {
   def lmScore(docs: DataFrame, idCol: String, textCol: String,
       trainPred: org.apache.spark.sql.Column,
       backoff: Double = 0.4): DataFrame = {
+    // floor(x+0.5), not round(x): exact for any IEEE double, so no
+    // engine half-case semantics in the contract (the Common.fp rule)
+    val scored = lmOccurrenceScores(docs, idCol, textCol, trainPred, backoff)
+      .withColumn("__s", floor(col("__x") + lit(0.5)).cast("long"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__s")).as("lm_micro"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "lm_micro"))
+  }
+
+  /** The per-bigram-occurrence frame with the PRE-ROUND micro-scaled
+    * float score `__x = 1e6 * ln-chain` — [[lmScore]]'s internals, also
+    * consumed by OracleMarginSpec to assert every occurrence's distance
+    * to its rounding boundary exceeds a safety band (the ln stays inside
+    * the engine here because its input cardinality — distinct bigram
+    * count — is unbounded, unlike BM25/DSIR where it was hoisted to
+    * driver-side literals).
+    */
+  private[graft] def lmOccurrenceScores(docs: DataFrame, idCol: String,
+      textCol: String, trainPred: org.apache.spark.sql.Column,
+      backoff: Double): DataFrame = {
     val exploded = docs
       .select(col(idCol), trainPred.cast("boolean").as("__tr"),
         posexplode(Text.tokens(col(textCol))).as(Seq("__pos", "__w")))
@@ -486,22 +542,18 @@ object Corpus {
     val big = bigrams.where(col("__tr"))
       .groupBy(col("__w"), col("__w2")).agg(count(lit(1)).as("c2"))
     val tot = uni.agg(sum(col("c1")).as("lmN"), count(lit(1)).as("lmV"))
-    val scored = bigrams
+    bigrams
       .join(big, Seq("__w", "__w2"), "left")
       .join(uni.withColumnRenamed("c1", "c1_w1"), Seq("__w"), "left")
       .join(uni.withColumnRenamed("__w", "__w2")
         .withColumnRenamed("c1", "c1_w2"), Seq("__w2"), "left")
       .crossJoin(broadcast(tot))
-      .withColumn("__s", round(lit(1e6) *
+      .withColumn("__x", lit(1e6) *
         when(col("c2").isNotNull && col("c2") > 0,
           log(col("c2").cast("double") / col("c1_w1").cast("double")))
         .otherwise(log(lit(backoff) *
           (coalesce(col("c1_w2"), lit(0L)) + lit(0.5)) /
-          (col("lmN") + lit(0.5) * col("lmV"))))).cast("long"))
-    val perDoc = scored.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("__s")).as("lm_micro"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .na.fill(0L, Seq("n_bigrams", "lm_micro"))
+          (col("lmN") + lit(0.5) * col("lmV")))))
   }
 
   /** The full preprocessing pass a training pipeline runs: quality gate,

@@ -64,24 +64,34 @@ object Common {
   /** Epoch microseconds as BIGINT (ntz-safe; for us/ms-precision columns). */
   def epochUs(ts: Column): Column = unix_micros(ts.cast("timestamp"))
 
-  /** Continuous double -> fixed-point BIGINT at 10^scale. */
+  /** Continuous double -> fixed-point BIGINT at 10^scale.
+    *
+    * floor(x + 0.5), NOT round(x): floor is exact on any IEEE double, so
+    * the integerization is bit-identical across engines even when x lands
+    * EXACTLY on a half boundary (observed for the q42 quality score at
+    * sf0.001), where `round()` half-case semantics are an engine/version
+    * dialect. Half-way values go toward +inf on both sides by
+    * construction. Same discipline in [[intSum]]/[[exactMeanMilli]] and
+    * the SQL mirrors.
+    */
   def fp(c: Column, scale: Int = 3): Column =
-    round(c * lit(math.pow(10, scale))).cast("long")
+    floor(c * lit(math.pow(10, scale)) + lit(0.5)).cast("long")
 
-  /** Exact integer sum of a k-decimal value: sum(round(x*10^k)) :: BIGINT. */
+  /** Exact integer sum of a k-decimal value:
+    * sum(floor(x*10^k + 0.5)) :: BIGINT. */
   def intSum(c: Column, k: Int = 2): Column =
-    sum(round(c * lit(math.pow(10, k)))).cast("long")
+    sum(floor(c * lit(math.pow(10, k)) + lit(0.5))).cast("long")
 
   /** Deterministic mean in milli-units of a k-decimal value. */
   def exactMeanMilli(c: Column, k: Int = 2): Column =
-    round(lit(1000.0) * sum(round(c * lit(math.pow(10, k)))) /
-      lit(math.pow(10, k)) / count(c)).cast("long")
+    floor(lit(1000.0) * sum(floor(c * lit(math.pow(10, k)) + lit(0.5))) /
+      lit(math.pow(10, k)) / count(c) + lit(0.5)).cast("long")
 
   // SQL-side mirrors (DuckDB dialect, ANSI-portable).
   def sqlFp(x: String, scale: Int = 3): String =
-    s"CAST(round(($x) * ${math.pow(10, scale)}) AS BIGINT)"
+    s"CAST(floor(($x) * ${math.pow(10, scale)} + 0.5) AS BIGINT)"
   def sqlIntSum(x: String, k: Int = 2): String =
-    s"CAST(sum(round(($x) * ${math.pow(10, k)})) AS BIGINT)"
+    s"CAST(sum(floor(($x) * ${math.pow(10, k)} + 0.5)) AS BIGINT)"
   def sqlExactMeanMilli(x: String, k: Int = 2): String =
-    s"CAST(round(1000.0 * sum(round(($x) * ${math.pow(10, k)})) / ${math.pow(10, k)} / count($x)) AS BIGINT)"
+    s"CAST(floor(1000.0 * sum(floor(($x) * ${math.pow(10, k)} + 0.5)) / ${math.pow(10, k)} / count($x) + 0.5) AS BIGINT)"
 }

@@ -75,10 +75,10 @@ object TextQueries {
                   GROUP BY w1, w2),
           tot AS (SELECT sum(c1) AS lmN, count(*) AS lmV FROM uni),
           sc AS (SELECT bg.doc_id,
-                   CAST(round(1e6 * CASE WHEN big.c2 IS NOT NULL AND big.c2 > 0
+                   CAST(floor(1e6 * CASE WHEN big.c2 IS NOT NULL AND big.c2 > 0
                      THEN ln(CAST(big.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE))
                      ELSE ln(0.4 * (COALESCE(u2.c1, 0) + 0.5)
-                       / (lmN + 0.5 * lmV)) END) AS BIGINT) AS s
+                       / (lmN + 0.5 * lmV)) END + 0.5) AS BIGINT) AS s
                  FROM bg
                  LEFT JOIN big ON bg.w1 = big.w1 AND bg.w2 = big.w2
                  LEFT JOIN uni u1 ON bg.w1 = u1.w
@@ -343,12 +343,19 @@ object TextQueries {
     // DSIR importance weights (operators/Corpus.importanceWeights, the
     // Xie et al. 2023 hashed-n-gram importance-resampling score): docs
     // scored by the log-likelihood ratio of their unigram+bigram buckets
-    // under the target domain (lang = 'en') vs the raw corpus. Per-bucket
-    // lambdas integerize to micro-units BEFORE the per-doc sum (the q74
-    // BM25 ln discipline), so the full score table hash-checks exactly.
+    // under the target domain (lang = 'en') vs the raw corpus. The
+    // per-bucket lambdas are driver-side Scala literals (the r11 BM25
+    // discipline — no ln in the cross-engine chain), stashed here for the
+    // oracle's VALUES CTE; integerized to micro-units BEFORE the per-doc
+    // sum, so the full score table hash-checks exactly.
     "q79_dsir" -> ((s, dir) => {
+      val lam = graft.operators.Corpus.dsirLambdaTable(
+        table(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", nBuckets = 1024)
+      dsirLamStash.set(lam)
       graft.operators.Corpus.importanceWeights(table(s, dir, "documents"),
-          "doc_id", "text", col("lang") === "en", nBuckets = 1024)
+          "doc_id", "text", col("lang") === "en", nBuckets = 1024,
+          lambdaTable = Some(lam))
         .orderBy("doc_id")
     }),
 
@@ -522,11 +529,17 @@ object TextQueries {
   private val bm25IdfStash =
     new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](null)
 
+  /** Same pattern for q79: the driver-computed DSIR (bucket -> lambda)
+    * literals, stashed by the query entry for the oracle's VALUES CTE.
+    */
+  private val dsirLamStash =
+    new java.util.concurrent.atomic.AtomicReference[Map[Long, Long]](null)
+
   /** BM25 oracle: the idf-literal mirror when the stash is live (the
     * Verify flow), else a self-contained ln-based approximation so
     * evaluating [[oracle]] standalone (specs, tooling) never throws.
     */
-  private def bm25OracleSql: String = Option(bm25IdfStash.get()) match {
+  private def bm25OracleSql: String = Option(bm25IdfStash.get()).filter(_.nonEmpty) match {
     case Some(idf) =>
       graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10, idfTable = idf)
     case None => // pre-r11 inline-ln form; never reached in the Verify flow
@@ -706,9 +719,26 @@ object TextQueries {
           FROM x ORDER BY doc_id, seq""",
 
     // Feature rows = unigrams UNION ALL bigrams, hashed and bucketed with
-    // the engine's exact arithmetic; the float chain (two ln's, subtract,
-    // x1e6, round) is mirrored op-for-op. 512.0 = alpha * nBuckets.
-    "q79_dsir" ->
+    // the engine's exact arithmetic. The per-bucket lambdas come from the
+    // stash as literals (no ln in the cross-engine chain); the stashless
+    // fallback recomputes them in SQL (two ln's, subtract, x1e6, round;
+    // 512.0 = alpha * nBuckets) and is never reached in the Verify flow.
+    "q79_dsir" -> {
+      val lamCte = Option(dsirLamStash.get()).filter(_.nonEmpty) match {
+        case Some(lam) =>
+          val rows = lam.toSeq.sorted
+            .map { case (b, v) => s"($b, CAST($v AS BIGINT))" }.mkString(", ")
+          s"lam(b, lam) AS (VALUES $rows)"
+        case None =>
+          s"""stats AS (SELECT b, count(*) AS raw_n,
+                      sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_n
+                    FROM f GROUP BY b),
+          tot AS (SELECT sum(raw_n) AS rawT, sum(tgt_n) AS tgtT FROM stats),
+          lam AS (SELECT b, CAST(round(1e6 *
+                    (ln((tgt_n + 0.5) / (tgtT + 512.0)) -
+                     ln((raw_n + 0.5) / (rawT + 512.0)))) AS BIGINT) AS lam
+                  FROM stats, tot)"""
+      }
       s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt, $toksSql AS tk
                      FROM documents),
           uni AS (SELECT doc_id, tgt, unnest(tk) AS s FROM t),
@@ -716,19 +746,13 @@ object TextQueries {
                   FROM t),
           f AS (SELECT doc_id, tgt, ${TextSql.hashMod("s")} % 1024 AS b
                 FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
-          stats AS (SELECT b, count(*) AS raw_n,
-                      sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_n
-                    FROM f GROUP BY b),
-          tot AS (SELECT sum(raw_n) AS rawT, sum(tgt_n) AS tgtT FROM stats),
-          lam AS (SELECT b, CAST(round(1e6 *
-                    (ln((tgt_n + 0.5) / (tgtT + 512.0)) -
-                     ln((raw_n + 0.5) / (rawT + 512.0)))) AS BIGINT) AS lam
-                  FROM stats, tot),
+          $lamCte,
           per AS (SELECT doc_id, sum(lam) AS dsir_micro
                   FROM f JOIN lam USING (b) GROUP BY doc_id)
           SELECT d.doc_id, CAST(COALESCE(per.dsir_micro, 0) AS BIGINT) AS dsir_micro
           FROM documents d LEFT JOIN per USING (doc_id)
-          ORDER BY doc_id""",
+          ORDER BY doc_id"""
+    },
 
     // Bigrams as zipped slice-unnests (tk[1:n-1] with tk[2:n]); the LM
     // tables and the float chain (one division or the backoff product,
