@@ -33,12 +33,30 @@ object VectorQueries {
         .orderBy("bucket")
     }),
 
-    // IVF ANN (inverted-list scale path: coarse quantizer + one Lloyd
-    // iteration + in-cell exact search). Engine-specific float iteration —
-    // rows-only driver check; recall asserted against brute force in the spec.
+    // IVF ANN under a GENUINELY PRUNED probe (nProbe = 1 of 8 cells) with
+    // a full hash oracle — the planted-cluster construction (the
+    // q57b/q56c closed-form pattern, retiring the last rows-only row):
+    // each query vector is planted back into the corpus as 5 exact copies
+    // under fresh ids. Assignment and probe ranking use the SAME argmax
+    // scoring function (Similarity.nearestCell / probeCellsOf, both
+    // topCellsCol with zero bias), so a copy's cell == the query's top-1
+    // probe cell for ANY centroid geometry the engine trains — the probed
+    // cell provably contains all 5 copies, and since copies score cosine
+    // 1.0 (no natural vector comes close at any SF), pruned-probe top-5
+    // IS brute-force top-5 over the planted corpus: the q55-shaped SQL is
+    // an exact oracle for the whole train -> assign -> prune -> in-cell
+    // rank path. Ties among copies break on vec_id in both engines.
+    // Natural-corpus recall at pruned probes stays asserted in
+    // ScaleOpsSpec/AnnBench.
     "q56b_ann_ivf" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      Similarity.ivfTopK(e.where(col("vec_id") < 8), e, 5, 8, DIM)
+      val qs = e.where(col("vec_id") < 8)
+      val copies = qs.select(col("vec_id"), col("embedding"))
+        .crossJoin(s.range(5).select(col("id").as("__j")))
+        .select((lit(10000000L) + col("vec_id") * 10 + col("__j")).as("vec_id"),
+          col("embedding"))
+      val corpus = e.select(col("vec_id"), col("embedding")).unionByName(copies)
+      Similarity.ivfTopK(qs, corpus, 5, 8, DIM, nProbe = 1)
         .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
           fp(col("cosine"), 6).as("cos_micro"))
         .orderBy("q_id", "rank")
@@ -207,6 +225,25 @@ object VectorQueries {
     "q55_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
           c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
+          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                     FROM c, q WHERE vec_id <> q_id),
+          ranked AS (SELECT q_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+            ${sqlFp("cosine", 6)} AS cos_micro
+          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // brute force over the PLANTED corpus (base + 5 copies of each query
+    // vector): provably equal to the engine's nProbe=1 pruned probe — see
+    // the query comment.
+    "q56b_ann_ivf" ->
+      s"""WITH base AS (SELECT vec_id, $vSql AS cv FROM embeddings),
+          q AS (SELECT vec_id AS q_id, cv AS qv FROM base WHERE vec_id < 8),
+          copies AS (SELECT 10000000 + q_id * 10 + j AS vec_id, qv AS cv
+                     FROM q, (SELECT unnest(range(5)) AS j)),
+          c AS (SELECT vec_id, cv FROM base
+                UNION ALL SELECT vec_id, cv FROM copies),
           scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
                      FROM c, q WHERE vec_id <> q_id),
           ranked AS (SELECT q_id, vec_id, cosine,
