@@ -429,6 +429,55 @@ object GridOutput {
       .withColumnRenamed("__dir", "direction")
   }
 
+  /** verify_calcENUfromXYZ computational core (process_adcp.py:1289-1316
+    * — the dz/dt-vs-U comparison; the :1272-1287 first-figure histograms
+    * are matplotlib over the same masks and the :1317-1327 pcolor is a
+    * plot sink): restrict to `Pressure > 10` (:1289), per-ping
+    * U = nan-mean of the `u` array over gridded_bin (:1297), dP =
+    * np.gradient(Depth, time seconds) along the FILTERED per-mission ping
+    * sequence (:1298), d = dP - U; regimes dive (`Pitch < 0 & Depth >
+    * 20`) and climb (`Pitch > 0 & Depth > 20`) (:1292-1293). Output: one
+    * row per (mission, regime, bin) — the 99-bin left-closed histogram of
+    * d over [-0.02, 0.02) (the reference's `bins / 10`,
+    * linspace(-1,1,100)*0.2/10, :1300,1310-1311) with the per-regime
+    * finite count and nan-mean (the :1313-1314 axvline values) attached.
+    *
+    * Plan: one elementwise projection (array mean, regime mask), one
+    * window gradient per mission, one hash aggregate onto O(regimes x
+    * bins) rows plus a broadcast-joined per-regime stats aggregate —
+    * nothing scales with ping count past the shuffle. `timeCol` must be
+    * unique within a mission (it orders the gradient window).
+    */
+  def verifyEnu(adcp: DataFrame, missionCols: Seq[String] = Nil,
+      timeUsCol: String = "time_us", pitchCol: String = "pitch",
+      depthCol: String = "depth", pressureCol: String = "pressure",
+      uCol: String = "u"): DataFrame = {
+    val lo = -0.02; val n = 99; val step = 0.04 / n
+    val w = Window.partitionBy(missionCols.map(col): _*)
+      .orderBy(col(timeUsCol))
+    val g = adcp.where(col(pressureCol) > 10.0)
+      .withColumn("__u", ArrayOps.arrayMean(col(uCol)))
+      .withColumn("__dp", graft.core.Windows.gradient(col(depthCol),
+        col(timeUsCol).cast("double") / 1e6, w))
+      .withColumn("__d", col("__dp") - col("__u"))
+      .withColumn("regime",
+        when(col(pitchCol) < 0 && col(depthCol) > 20.0, "dive")
+          .when(col(pitchCol) > 0 && col(depthCol) > 20.0, "climb"))
+      .where(col("regime").isNotNull)
+    val grp = missionCols :+ "regime"
+    val hist = g
+      .withColumn("bin", graft.core.Bins.cutLeft(col("__d"), lo, step, n))
+      .where(col("bin").isNotNull)
+      .groupBy((grp :+ "bin").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    // nan-mean over ALL regime rows (avg/count skip nulls), not just the
+    // in-histogram ones — np.nanmean parity (:1313-1314)
+    val stats = g.groupBy(grp.map(col): _*)
+      .agg(avg(col("__d")).as("mean_d"), count(col("__d")).as("n_regime"))
+    hist.join(broadcast(stats), grp)
+      .select((grp ++ Seq("bin", "n", "n_regime", "mean_d")).map(col): _*)
+  }
+
   /** calc_bias verification core (:1985-1995): per-depth-row nan-variance of
     * ADCP_E, ADCP_N and the velocity magnitude across profiles.
     */

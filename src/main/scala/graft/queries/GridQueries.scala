@@ -156,6 +156,36 @@ object GridQueries {
         .orderBy("var", "slab", "direction", "bin")
     }),
 
+    // verify_calcENUfromXYZ computational core (process_adcp.py:1289-1316)
+    // on an events-derived ping frame: depth/pressure = value, pitch sign
+    // from user parity, a 3-slot u array (middle slot null — exercises the
+    // nan-mean) of exact rationals in [-0.02, 0.02), and a synthetic
+    // strictly-monotone time axis (event_id x 1000 s) sized so dP =
+    // np.gradient(depth, t) mostly lands inside the reference's bins/10
+    // histogram range. Drives the real GridOutput.verifyEnu operator
+    // (pressure gate, per-mission window gradient, regime masks, 99-bin
+    // histogram + per-regime nan-mean); every value chain is IEEE basic
+    // ops mirrored op-for-op, so the full frame hash-checks.
+    "q89_verify_enu" -> ((s, dir) => {
+      import graft.pipeline.GridOutput
+      val ev = events(s, dir).where(col("value").isNotNull)
+      val pings = ev.select(
+        col("user_id"),
+        (col("event_id") * 1000000000L).as("time_us"),
+        col("value").as("depth"), col("value").as("pressure"),
+        when(pmod(col("user_id"), lit(2)) === 0, lit(15.0))
+          .otherwise(lit(-15.0)).as("pitch"),
+        array(
+          (pmod(col("event_id"), lit(40L)).cast("double") - 20.0) / 1000.0,
+          lit(null).cast("double"),
+          (pmod(col("event_id") * 7L, lit(40L)).cast("double") - 20.0) / 1000.0
+        ).as("u"))
+      GridOutput.verifyEnu(pings, missionCols = Seq("user_id"))
+        .select(col("user_id"), col("regime"), col("bin"), col("n"),
+          col("n_regime"), fp(col("mean_d"), 6).as("mean_micro"))
+        .orderBy("user_id", "regime", "bin")
+    }),
+
     // Nearest as-of match (process_adcp.py:1503-1507): each click matched to
     // the temporally nearest error event per user; ties toward earlier.
     "q11_asof_nearest" -> ((s, dir) => {
@@ -272,6 +302,47 @@ object GridQueries {
         "CASE WHEN x0 = x THEN y0 WHEN x1 = x THEN y1 " +
           "WHEN x0 IS NOT NULL AND x1 IS NOT NULL THEN y0 + (y1 - y0) * (x - x0) / (x1 - x0) END")} AS interp_milli
           FROM w WHERE is_src = 0 ORDER BY event_id""",
+
+    // the u nan-mean ((0 + ua + uc) / 2 — the middle null slot drops),
+    // np.gradient via the q09 lag/lead pattern, regime masks, cutLeft
+    // histogram and per-regime avg/count — every op mirrored in order.
+    "q89_verify_enu" -> {
+      val cut = Bins.cutLeftSql("d", -0.02, 0.04 / 99, 99)
+      s"""WITH p AS (SELECT user_id, event_id * 1000000000 AS time_us,
+                value AS depth, value AS pressure,
+                CASE WHEN user_id % 2 = 0 THEN 15.0 ELSE -15.0 END AS pitch,
+                ((event_id % 40) - 20.0) / 1000.0 AS ua,
+                (((event_id * 7) % 40) - 20.0) / 1000.0 AS uc
+              FROM events WHERE value IS NOT NULL),
+          f AS (SELECT *, CAST(time_us AS DOUBLE) / 1000000.0 AS t
+                FROM p WHERE pressure > 10),
+          g AS (SELECT user_id, pitch, depth,
+                  (0.0 + ua + uc) / 2 AS u,
+                  lag(depth) OVER w AS vp, lead(depth) OVER w AS vn,
+                  lag(t) OVER w AS tp, lead(t) OVER w AS tn,
+                  depth AS v, t
+                FROM f WINDOW w AS (PARTITION BY user_id ORDER BY time_us)),
+          rr AS (SELECT user_id,
+                  CASE WHEN pitch < 0 AND depth > 20.0 THEN 'dive'
+                       WHEN pitch > 0 AND depth > 20.0 THEN 'climb' END AS regime,
+                  (CASE WHEN tp IS NOT NULL AND tn IS NOT NULL THEN (vn - vp) / (tn - tp)
+                        WHEN tp IS NULL AND tn IS NOT NULL THEN (vn - v) / (tn - t)
+                        WHEN tn IS NULL AND tp IS NOT NULL THEN (v - vp) / (t - tp) END) - u AS d
+                FROM g
+                WHERE (CASE WHEN pitch < 0 AND depth > 20.0 THEN 'dive'
+                            WHEN pitch > 0 AND depth > 20.0 THEN 'climb' END) IS NOT NULL),
+          hist AS (SELECT user_id, regime, bin, count(*) AS n
+                   FROM (SELECT user_id, regime, $cut AS bin FROM rr)
+                   WHERE bin IS NOT NULL GROUP BY 1, 2, 3),
+          stats AS (SELECT user_id, regime, avg(d) AS mean_d,
+                      count(d) AS n_regime
+                    FROM rr GROUP BY 1, 2)
+          SELECT h.user_id, h.regime, h.bin, h.n,
+            CAST(s.n_regime AS BIGINT) AS n_regime,
+            ${sqlFp("s.mean_d", 6)} AS mean_micro
+          FROM hist h JOIN stats s USING (user_id, regime)
+          ORDER BY user_id, regime, bin"""
+    },
 
     "q62_depth_bias_hist" -> {
       val step = 1.0 / 99 // GridOutput.histStep, shortest-repr round-trips
