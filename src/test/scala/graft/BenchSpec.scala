@@ -54,6 +54,31 @@ class BenchSpec extends AnyFunSuite {
     assert(w("good") == math.min(w1("good"), w2("good")))
   }
 
+  test("the 63-query bridge is the warm total over exactly the round-1 set") {
+    // one bridge query (timed), one non-bridge query (must not count),
+    // one bridge query that fails (must not count, and must drop the n)
+    import org.apache.spark.sql.functions._
+    val blow = udf { x: Long =>
+      if (x > 2) throw new RuntimeException("mid-run failure"); true
+    }
+    val qs = Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame](
+      "q01_scan_filter_project" -> ((s, _) => s.range(10).toDF("id")),
+      "q99_not_in_bridge" -> ((s, _) => s.range(10).toDF("id")),
+      "q02_qc_mask" -> ((s, _) => s.range(5).toDF("id").where(blow(col("id")))))
+    val Seq(full, compact) = Bench.render(qs, spark, "/unused")
+    implicit val fmts: Formats = DefaultFormats
+    for (line <- Seq(full, compact)) {
+      val j = JsonMethods.parse(line)
+      val w = (JsonMethods.parse(full) \ "queries_warm").extract[Map[String, Double]]
+      assert((j \ "bridge_63q_warm").extract[Double] ==
+        w("q01_scan_filter_project"),
+        "bridge must sum warm times over bridge63 members only, skipping sentinels")
+      assert((j \ "bridge_63q_n").extract[Int] == 1)
+    }
+    assert(Bench.bridge63.size == 63)
+  }
+
   test("an all-green run emits an empty errors list") {
     val Seq(full, compact) = Bench.render(queries - "boom", spark, "/unused")
     implicit val fmts: Formats = DefaultFormats
