@@ -39,7 +39,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Restrict the oracle dump to the queries that actually ran: some
+    // oracles (q74/q77/q79) embed driver-computed literal tables stashed
+    // by their query entry — dumping them for a query that did NOT run
+    // this invocation would silently emit a structurally different
+    // fallback form.
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -281,7 +281,7 @@ object Retrieval {
                       / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
               + 0.5) AS BIGINT) AS s
           FROM tf JOIN qt USING (w), stats),
-        totals AS (SELECT q_id, doc_id, sum(s) AS score_micro
+        totals AS (SELECT q_id, doc_id, CAST(sum(s) AS BIGINT) AS score_micro
                    FROM per_term GROUP BY 1, 2),
         ranked AS (SELECT q_id, doc_id, score_micro,
                      row_number() OVER (PARTITION BY q_id

@@ -319,6 +319,11 @@ object TextQueries {
     // exact oracle for the whole build->persist->load->serve cycle: a
     // lost posting, wrong df, or stale stat breaks the hash.
     "q77_bm25_index" -> ((s, dir) => {
+      // Populate the idf stash here too (not just in q74): a filtered
+      // Verify run (`only=q77_bm25_index`) must dump the same
+      // literal-table oracle the Spark plan used, never the ln fallback.
+      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
+        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
       val tmp = java.nio.file.Files.createTempDirectory("q77_idx").toString
       graft.operators.Retrieval.buildIndex(table(s, dir, "documents"), tmp)
       graft.operators.Retrieval.searchIndex(s, tmp, bm25Queries, k = 10)
@@ -566,7 +571,7 @@ object TextQueries {
                         / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))
                 + 0.5) AS BIGINT) AS s
             FROM tf JOIN dfreq USING (w) JOIN qt USING (w), stats),
-          totals AS (SELECT q_id, doc_id, sum(s) AS score_micro
+          totals AS (SELECT q_id, doc_id, CAST(sum(s) AS BIGINT) AS score_micro
                      FROM per_term GROUP BY 1, 2),
           ranked AS (SELECT q_id, doc_id, score_micro,
                        row_number() OVER (PARTITION BY q_id

@@ -45,13 +45,22 @@ def main(sf_dir: str, out_dir: str) -> int:
             results[name] = f"ORACLE-SQL-ERROR {e}"
             continue
         g, e = canon(got), canon(exp)
+        # Type-strict: the driver's hash is representation-sensitive, so a
+        # DuckDB HUGEINT (pandas float64/object) vs Spark int64 must FAIL
+        # here too, even when every value is numerically equal (the exact
+        # q74/q77 round-10/11 failure mode that check_dtype=False masked).
+        dt_bad = [c for c in g.columns
+                  if len(g) and str(g[c].dtype) != str(e[c].dtype)]
         if list(g.columns) != list(e.columns):
             results[name] = f"SCHEMA-MISMATCH got={list(g.columns)} exp={list(e.columns)}"
         elif len(g) != len(e):
             results[name] = f"ROWCOUNT-MISMATCH got={len(g)} exp={len(e)}"
+        elif dt_bad:
+            results[name] = "DTYPE-MISMATCH " + "; ".join(
+                f"{c}: got={g[c].dtype} exp={e[c].dtype}" for c in dt_bad[:3])
         else:
             try:
-                pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+                pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
                 results[name] = f"OK rows={len(g)}"
             except AssertionError as ex:
                 neq = []
