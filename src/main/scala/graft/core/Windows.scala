@@ -49,15 +49,28 @@ object Windows {
   /** Adjacent difference `x[i] - x[i-1]` (np.diff; process_adcp.py:1221,1345). */
   def diff(c: Column, w: WindowSpec): Column = c - lag(c, 1).over(w)
 
-  /** Centered first derivative with one-sided edges — np.gradient parity
-    * (process_adcp.py:1171,1186-1194,1298):
-    * interior: (v[i+1] - v[i-1]) / (x[i+1] - x[i-1]);
-    * edges:    forward/backward one-sided difference.
+  /** First derivative along a coordinate axis — np.gradient parity for
+    * numpy >= 1.13 with an explicit (possibly NON-uniform) coordinate
+    * array (process_adcp.py:1171,1298 pass a gappy time axis):
+    * interior: numpy's second-order weighted form
+    *   a*v[i-1] + b*v[i] + c*v[i+1]  with  dx1 = x[i] - x[i-1],
+    *   dx2 = x[i+1] - x[i],  a = -dx2 / (dx1*(dx1+dx2)),
+    *   b = (dx2-dx1) / (dx1*dx2),  c = dx1 / (dx2*(dx1+dx2))
+    *   (numpy's exact coefficient evaluation, function_base.py);
+    * edges: forward/backward one-sided difference (edge_order=1, the
+    * numpy default). For unit spacing (dx1 = dx2 = 1) the chain is
+    * bit-identical to the centered (v[i+1]-v[i-1])/2: a,c are the exact
+    * halves and b is exactly 0. Duplicate x within a partition would make
+    * a spacing 0 and the result inf/NaN — exactly numpy's behavior.
     */
   def gradient(v: Column, x: Column, w: WindowSpec): Column = {
     val vp = lag(v, 1).over(w); val vn = lead(v, 1).over(w)
     val xp = lag(x, 1).over(w); val xn = lead(x, 1).over(w)
-    when(xp.isNotNull && xn.isNotNull, (vn - vp) / (xn - xp))
+    val dx1 = x - xp; val dx2 = xn - x
+    val a = -dx2 / (dx1 * (dx1 + dx2))
+    val b = (dx2 - dx1) / (dx1 * dx2)
+    val c = dx1 / (dx2 * (dx1 + dx2))
+    when(xp.isNotNull && xn.isNotNull, a * vp + b * v + c * vn)
       .when(xp.isNull && xn.isNotNull, (vn - v) / (xn - x))
       .when(xn.isNull && xp.isNotNull, (v - vp) / (x - xp))
   }

@@ -435,7 +435,10 @@ object GridOutput {
     * plot sink): restrict to `Pressure > 10` (:1289), per-ping
     * U = nan-mean of the `u` array over gridded_bin (:1297), dP =
     * np.gradient(Depth, time seconds) along the FILTERED per-mission ping
-    * sequence (:1298), d = dP - U; regimes dive (`Pitch < 0 & Depth >
+    * sequence (:1298) — the post-gate time axis has gaps, so
+    * [[graft.core.Windows.gradient]] implements numpy's NON-uniform
+    * second-order interior weights, not the centered first-order form —
+    * d = dP - U; regimes dive (`Pitch < 0 & Depth >
     * 20`) and climb (`Pitch > 0 & Depth > 20`) (:1292-1293). Output: one
     * row per (mission, regime, bin) — the 99-bin left-closed histogram of
     * d over [-0.02, 0.02) (the reference's `bins / 10`,

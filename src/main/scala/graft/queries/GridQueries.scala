@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.{Bins, Grid2d, InterpJoin}
 import Common._
 
@@ -18,6 +19,24 @@ object GridQueries {
   private def dayCol = (col("ts_us") - lit(T0us)).cast("double") / 8.64e10
 
   private val sqlDay = "(epoch_us(ts) - 1704067200000000) / 86400000000.0"
+
+  /** q89's synthetic ping frame (shared with OracleMarginSpec's guard-band
+    * check on the per-regime mean chain): depth/pressure = value, pitch
+    * sign from user parity, a 3-slot u array (middle null — the nan-mean),
+    * strictly-monotone synthetic time (event_id x 1000 s).
+    */
+  def q89Pings(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).where(col("value").isNotNull).select(
+      col("user_id"),
+      (col("event_id") * 1000000000L).as("time_us"),
+      col("value").as("depth"), col("value").as("pressure"),
+      when(pmod(col("user_id"), lit(2)) === 0, lit(15.0))
+        .otherwise(lit(-15.0)).as("pitch"),
+      array(
+        (pmod(col("event_id"), lit(40L)).cast("double") - 20.0) / 1000.0,
+        lit(null).cast("double"),
+        (pmod(col("event_id") * 7L, lit(40L)).cast("double") - 20.0) / 1000.0
+      ).as("u"))
 
   val queries: Map[String, Q] = Map(
     // grid2d with mean agg: pd.cut right-closed bins on both axes. Mean is
@@ -168,19 +187,7 @@ object GridQueries {
     // ops mirrored op-for-op, so the full frame hash-checks.
     "q89_verify_enu" -> ((s, dir) => {
       import graft.pipeline.GridOutput
-      val ev = events(s, dir).where(col("value").isNotNull)
-      val pings = ev.select(
-        col("user_id"),
-        (col("event_id") * 1000000000L).as("time_us"),
-        col("value").as("depth"), col("value").as("pressure"),
-        when(pmod(col("user_id"), lit(2)) === 0, lit(15.0))
-          .otherwise(lit(-15.0)).as("pitch"),
-        array(
-          (pmod(col("event_id"), lit(40L)).cast("double") - 20.0) / 1000.0,
-          lit(null).cast("double"),
-          (pmod(col("event_id") * 7L, lit(40L)).cast("double") - 20.0) / 1000.0
-        ).as("u"))
-      GridOutput.verifyEnu(pings, missionCols = Seq("user_id"))
+      GridOutput.verifyEnu(q89Pings(s, dir), missionCols = Seq("user_id"))
         .select(col("user_id"), col("regime"), col("bin"), col("n"),
           col("n_regime"), fp(col("mean_d"), 6).as("mean_micro"))
         .orderBy("user_id", "regime", "bin")
@@ -325,7 +332,10 @@ object GridQueries {
           rr AS (SELECT user_id,
                   CASE WHEN pitch < 0 AND depth > 20.0 THEN 'dive'
                        WHEN pitch > 0 AND depth > 20.0 THEN 'climb' END AS regime,
-                  (CASE WHEN tp IS NOT NULL AND tn IS NOT NULL THEN (vn - vp) / (tn - tp)
+                  (CASE WHEN tp IS NOT NULL AND tn IS NOT NULL THEN
+                          (-(tn - t) / ((t - tp) * ((t - tp) + (tn - t)))) * vp
+                          + (((tn - t) - (t - tp)) / ((t - tp) * (tn - t))) * v
+                          + ((t - tp) / ((tn - t) * ((t - tp) + (tn - t)))) * vn
                         WHEN tp IS NULL AND tn IS NOT NULL THEN (vn - v) / (tn - t)
                         WHEN tn IS NULL AND tp IS NOT NULL THEN (v - vp) / (t - tp) END) - u AS d
                 FROM g

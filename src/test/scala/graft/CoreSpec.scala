@@ -76,6 +76,21 @@ class WindowsSpec extends AnyFunSuite {
     got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
   }
 
+  test("gradient matches np.gradient on a NON-uniform axis (second-order)") {
+    // v = x^2 on x = [0,1,3,6,10]: numpy's >=1.13 second-order interior
+    // weights are EXACT on quadratics, so interior = 2x; edges one-sided.
+    // np.gradient([0,1,9,36,100], [0,1,3,6,10]) = [1, 2, 6, 12, 16].
+    // The pre-r12 centered form would give e.g. (9-0)/(3-0) = 3 at x=1 —
+    // this test locks the second-order weights.
+    val df = Seq((1L, 0.0, 0.0), (1L, 1.0, 1.0), (1L, 3.0, 9.0),
+      (1L, 6.0, 36.0), (1L, 10.0, 100.0)).toDF("k", "t", "v")
+    val got = df
+      .select(col("t"), Windows.gradient(col("v"), col("t"), w).as("g"))
+      .orderBy("t").collect().map(_.getDouble(1))
+    val exp = Seq(1.0, 2.0, 6.0, 12.0, 16.0)
+    got.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-12) }
+  }
+
   test("runningMedian exact on odd/even frames") {
     val got = series.select(col("t"), Windows.runningMedian(col("v"), 1, w).as("m"))
       .orderBy("t").collect().map(_.getDouble(1))
