@@ -32,6 +32,19 @@ object Bins {
     when(x.isNotNull && !isnan(x) && k >= 0 && k < n, k)
   }
 
+  /** [[cutLeft]] with np.histogram's LAST-bin closure: every bin is
+    * [edge, edge) except the last, which is [edge98, hi] — a value landing
+    * exactly on (or floor-dividing to) the upper edge while still &lt;= hi
+    * joins bin n-1 instead of being dropped. This is plt.hist/np.histogram
+    * parity for the verify histograms (process_adcp.py:1300,1310-1311).
+    */
+  def cutLeftHist(x: Column, lo: Double, step: Double, n: Int): Column = {
+    val k = floor((x - lit(lo)) / lit(step)).cast("long")
+    when(x.isNotNull && !isnan(x) && k >= 0 && k < n, k)
+      .when(x.isNotNull && !isnan(x) && k === n && x <= lit(lo + n * step),
+        lit(n - 1L))
+  }
+
   /** Reference edge generation: `arange(min, max + step, step)` from data
     * aggregates (process_adcp.py:118-121). Returns (lo, n) given observed
     * min/max; driver-side because edges parameterize the plan.
@@ -54,4 +67,12 @@ object Bins {
     s"(CASE WHEN $x IS NOT NULL AND CAST(floor(($x - $lo)/$step) AS BIGINT) >= 0 " +
       s"AND CAST(floor(($x - $lo)/$step) AS BIGINT) < $n " +
       s"THEN CAST(floor(($x - $lo)/$step) AS BIGINT) END)"
+
+  /** DuckDB mirror of [[cutLeftHist]] — identical chain, last bin closed. */
+  def cutLeftHistSql(x: String, lo: Double, step: Double, n: Int): String =
+    s"(CASE WHEN $x IS NOT NULL AND CAST(floor(($x - $lo)/$step) AS BIGINT) >= 0 " +
+      s"AND CAST(floor(($x - $lo)/$step) AS BIGINT) < $n " +
+      s"THEN CAST(floor(($x - $lo)/$step) AS BIGINT) " +
+      s"WHEN $x IS NOT NULL AND CAST(floor(($x - $lo)/$step) AS BIGINT) = $n " +
+      s"AND $x <= ${lo + n * step} THEN CAST(${n - 1} AS BIGINT) END)"
 }

@@ -88,6 +88,25 @@ object Bpe {
     trainFromHistogram(hist, nMerges)
   }
 
+  /** Split a word into Unicode CODE POINTS (not UTF-16 code units): the
+    * distributed wrap `regexp_replace(word, "(.)", ...)` matches `.`
+    * against a full code point (Java regex and DuckDB's RE2 alike), so the
+    * driver-side twins must split identically or supplementary-plane text
+    * (emoji, rare CJK — routine in web corpora) trains merges containing
+    * lone surrogates that `lit()` then corrupts, silently diverging encode
+    * from training.
+    */
+  private[operators] def codePoints(w: String): Array[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   /** The driver-side merge loop, exposed for property tests. Incremental:
     * `pairWords` indexes which words contain each pair, so one merge
     * rescans only those words' symbol lists.
@@ -95,7 +114,7 @@ object Bpe {
   def trainFromHistogram(hist: Seq[(String, Long)],
       nMerges: Int): Seq[(String, String)] = {
     val words: Array[Array[String]] =
-      hist.map(_._1.toCharArray.map(_.toString)).toArray
+      hist.map(h => codePoints(h._1)).toArray
     val counts: Array[Long] = hist.map(_._2).toArray
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
@@ -211,6 +230,13 @@ object Bpe {
     * one literal string replace over the wrapped form, then split the
     * surviving "  " boundaries. Returns array&lt;string&gt; of pieces whose
     * concatenation is the word. Pure codegen — no UDF.
+    *
+    * BOUND: the fold nests one `replace` call per merge, so the Catalyst
+    * expression tree is O(nMerges) deep — fine for the few-hundred-merge
+    * models the oracle queries train, but a realistic 10k-50k-merge
+    * tokenizer would blow analysis/codegen. [[encodeCorpus]] switches to
+    * the JVM-loop vocabulary encoder past `maxFoldMerges` for exactly
+    * that reason; use that entry point for production-size models.
     */
   def encodeToken(word: Column, merges: Seq[(String, String)]): Column = {
     val folded = merges.foldLeft(wrapChars(word)) { case (s, (a, b)) =>
@@ -224,16 +250,23 @@ object Bpe {
     */
   def encodeWordDriver(word: String,
       merges: Seq[(String, String)]): Seq[String] = {
-    var syms: Array[String] = word.toCharArray.map(_.toString)
+    var syms: Array[String] = codePoints(word)
     merges.foreach { case (a, b) =>
-      val out = mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
+      // a merge can only fire if its concatenation appears in the word
+      // (adjacent symbols concatenate to a substring of the word), so an
+      // indexOf prune makes the fold O(applicable merges), which is what
+      // lets [[encodeCorpus]]'s JVM path carry realistic 10k-50k-merge
+      // models the Catalyst fold cannot.
+      if (word.contains(a + b)) {
+        val out = mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
       }
-      syms = out.toArray
     }
     syms.toSeq
   }
@@ -245,9 +278,26 @@ object Bpe {
     * Output: (idCol, tok_pos, word, pieces, n_pieces).
     */
   def encodeCorpus(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
-    val vocabPieces = wordHistogram(docs, textCol)
-      .select(col("word"), encodeToken(col("word"), merges).as("pieces"))
+      merges: Seq[(String, String)],
+      maxFoldMerges: Int = 512): DataFrame = {
+    val hist = wordHistogram(docs, textCol)
+    val vocabPieces =
+      if (merges.size <= maxFoldMerges)
+        hist.select(col("word"), encodeToken(col("word"), merges).as("pieces"))
+      else {
+        // Production-size models (10k-50k merges): the Catalyst replace
+        // fold would nest one call per merge and blow analysis/codegen,
+        // so run the IDENTICAL greedy fold as a JVM loop over the
+        // vocabulary-bounded histogram instead — still one encode per
+        // DISTINCT word, merges shipped once per task in the closure,
+        // no-op merges pruned by substring containment.
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val ms = merges.toIndexedSeq
+        hist.select(col("word")).as[String]
+          .mapPartitions(_.map(w => (w, encodeWordDriver(w, ms))))
+          .toDF("word", "pieces")
+      }
     docs.select(col(idCol),
         posexplode(Text.tokens(col(textCol))).as(Seq("tok_pos", "word")))
       .where(length(col("word")) >= 1)

@@ -544,8 +544,9 @@ object Dedup {
     *    sets exact-Jaccard verification needs, stored so candidate
     *    verification never re-reads corpus text.
     *  - `dir/meta`    — (k, n_bands, shingle_n): the hash geometry, frozen
-    *    at save time; append and probe `require` it matches, because rows
-    *    banded under a different geometry would silently never collide.
+    *    at save time; append and probe ADOPT all three from the meta (the
+    *    caller cannot pass a conflicting geometry), because rows banded
+    *    under a different geometry would silently never collide.
     *
     * One signature pass feeds both tables (persisted for the two writes).
     * Bands are repartitioned on (band, bsig) before the partitioned write
@@ -553,11 +554,11 @@ object Dedup {
     * per (task x band).
     */
   def saveLshIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, k: Int = 16, nBands: Int = 8): Unit = {
-    writeLshRows(docs, idCol, textCol, dir, k, nBands, "overwrite")
+      dir: String, k: Int = 16, nBands: Int = 8, shingleN: Int = 3): Unit = {
+    writeLshRows(docs, idCol, textCol, dir, k, nBands, shingleN, "overwrite")
     val spark = docs.sparkSession
     import spark.implicits._
-    Seq((k, nBands, 3)).toDF("k", "n_bands", "shingle_n")
+    Seq((k, nBands, shingleN)).toDF("k", "n_bands", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
@@ -570,13 +571,13 @@ object Dedup {
   def appendToLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): Unit = {
-    val (k, nBands, _) = readLshMeta(spark, dir)
-    writeLshRows(docs, idCol, textCol, dir, k, nBands, "append")
+    val (k, nBands, shingleN) = readLshMeta(spark, dir)
+    writeLshRows(docs, idCol, textCol, dir, k, nBands, shingleN, "append")
   }
 
   private def writeLshRows(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, k: Int, nBands: Int, mode: String): Unit = {
-    val sigs = signatures(docs, idCol, textCol, k)
+      dir: String, k: Int, nBands: Int, shingleN: Int, mode: String): Unit = {
+    val sigs = signatures(docs, idCol, textCol, k, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bands(sigs, idCol, k, nBands)
@@ -613,10 +614,15 @@ object Dedup {
       dir: String, batch: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxBucket: Option[Int] = defaultMaxBucket,
       scope: CacheScope = sessionScope): DataFrame = {
-    val (k, nBands, _) = readLshMeta(spark, dir)
-    val bSigs = scope.track(signatures(batch, idCol, textCol, k))
-    val bBands = bands(bSigs, idCol, k, nBands)
-      .select(col("band"), col("bsig"), col(idCol).as("batch_id"))
+    val (k, nBands, shingleN) = readLshMeta(spark, dir)
+    val bSigs = scope.track(signatures(batch, idCol, textCol, k, shingleN))
+    // cap BOTH sides: a degenerate boilerplate bucket can arrive in the
+    // batch too, and an uncapped batch bucket of B docs would multiply
+    // every capped-index collision by B
+    val bBands = pruneBuckets(
+      bands(bSigs, idCol, k, nBands)
+        .select(col("band"), col("bsig"), col(idCol).as("batch_id")),
+      maxBucket)
     val iBands = pruneBuckets(
       spark.read.parquet(s"$dir/bands")
         .select(col("band").cast("int").as("band"), col("bsig"),

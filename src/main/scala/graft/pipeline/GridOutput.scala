@@ -403,7 +403,7 @@ object GridOutput {
   def verifyDepthBias(out: DataFrame, axes: Axes, spark: SparkSession,
       vars: Seq[String] = Seq("ADCP_E", "ADCP_N", "MAG")): DataFrame = {
     val cells = slabbed(directedCells(out, axes, vars), axes, spark)
-      .withColumn("bin", graft.core.Bins.cutLeft(col("v"), histLo, histStep, histN))
+      .withColumn("bin", graft.core.Bins.cutLeftHist(col("v"), histLo, histStep, histN))
       .where(col("bin").isNotNull)
     val grp = axes.missionCols ++ Seq("var", "slab", "__dir")
     val wGrp = Window.partitionBy(grp.map(col): _*)
@@ -469,7 +469,7 @@ object GridOutput {
       .where(col("regime").isNotNull)
     val grp = missionCols :+ "regime"
     val hist = g
-      .withColumn("bin", graft.core.Bins.cutLeft(col("__d"), lo, step, n))
+      .withColumn("bin", graft.core.Bins.cutLeftHist(col("__d"), lo, step, n))
       .where(col("bin").isNotNull)
       .groupBy((grp :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("n"))

@@ -66,13 +66,15 @@ object Common {
 
   /** Continuous double -> fixed-point BIGINT at 10^scale.
     *
-    * floor(x + 0.5), NOT round(x): floor is exact on any IEEE double, so
-    * the integerization is bit-identical across engines even when x lands
-    * EXACTLY on a half boundary (observed for the q42 quality score at
-    * sf0.001), where `round()` half-case semantics are an engine/version
-    * dialect. Half-way values go toward +inf on both sides by
-    * construction. Same discipline in [[intSum]]/[[exactMeanMilli]] and
-    * the SQL mirrors.
+    * floor(x + 0.5), NOT round(x). The guarantee is cross-engine
+    * DETERMINISM, not mathematical exactness: the x + 0.5 addition itself
+    * rounds (e.g. x = 0.49999999999999994 yields floor(1.0) = 1, the
+    * mathematically wrong integer), but both engines run the IDENTICAL
+    * IEEE add+floor chain on the same x, so they produce the same integer
+    * — including when x lands EXACTLY on a half boundary (observed for
+    * the q42 quality score at sf0.001), where `round()` half-case
+    * semantics are an engine/version dialect. Same discipline in
+    * [[intSum]]/[[exactMeanMilli]] and the SQL mirrors.
     */
   def fp(c: Column, scale: Int = 3): Column =
     floor(c * lit(math.pow(10, scale)) + lit(0.5)).cast("long")

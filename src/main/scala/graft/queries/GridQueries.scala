@@ -314,7 +314,7 @@ object GridQueries {
     // np.gradient via the q09 lag/lead pattern, regime masks, cutLeft
     // histogram and per-regime avg/count — every op mirrored in order.
     "q89_verify_enu" -> {
-      val cut = Bins.cutLeftSql("d", -0.02, 0.04 / 99, 99)
+      val cut = Bins.cutLeftHistSql("d", -0.02, 0.04 / 99, 99)
       s"""WITH p AS (SELECT user_id, event_id * 1000000000 AS time_us,
                 value AS depth, value AS pressure,
                 CASE WHEN user_id % 2 = 0 THEN 15.0 ELSE -15.0 END AS pitch,
@@ -401,7 +401,7 @@ object GridQueries {
                     FROM (SELECT unnest(generate_series(0, 19)) AS i) CROSS JOIN ym y),
           dr AS (SELECT (((y.ymax - 5.0) / 19.0) / 2.0) AS drange FROM ym y),
           binned AS (
-            SELECT var, slab, direction, ${graft.core.Bins.cutLeftSql("v", -0.5, step, 99)} AS bin
+            SELECT var, slab, direction, ${graft.core.Bins.cutLeftHistSql("v", -0.5, step, 99)} AS bin
             FROM vals CROSS JOIN slabs CROSS JOIN dr
             WHERE abs(vals.p - slabs.sd) < dr.drange)
           SELECT var, slab, direction, bin, count(*) AS n,

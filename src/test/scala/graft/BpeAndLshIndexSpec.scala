@@ -121,6 +121,61 @@ class BpeSpec extends AnyFunSuite {
     assert(got.filter(_._3 == "aa").forall(_._4 == Seq("aa")))
     assert(got.filter(_._3 == "ba").forall(_._4 == Seq("b", "a")))
   }
+
+  test("non-BMP text trains whole-code-point merges; encoders agree") {
+    // U+1F600 GRINNING FACE is a surrogate pair in UTF-16. The regex wrap
+    // splits code POINTS, so the driver twins must too — pre-r12 they
+    // split code UNITS and trained lone-surrogate merges that lit()
+    // corrupted, silently diverging encode from training.
+    val smile = new String(Character.toChars(0x1F600))
+    val docs = Seq((1L, s"$smile$smile a$smile $smile$smile"),
+      (2L, s"a$smile $smile$smile b")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 4)
+    assert(merges.nonEmpty)
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isHighSurrogate(c)) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+            return false
+          i += 2
+        } else if (Character.isLowSurrogate(c)) return false
+        else i += 1
+      }
+      true
+    }
+    merges.foreach { case (a, b) =>
+      Seq(a, b).foreach(s => assert(wellFormed(s),
+        s"merge symbol ${s.map(_.toInt.toHexString).mkString(",")} holds a lone surrogate"))
+    }
+    // the dominant pair is (smile, smile)
+    assert(merges.head == ((smile, smile)))
+    val words = docs
+      .select(explode(graft.functions.Text.tokens(col("text"))).as("word"))
+      .distinct().as[String].collect().sorted
+    val enc = docs.sparkSession.createDataset(words.toSeq).toDF("word")
+      .select(col("word"), Bpe.encodeToken(col("word"), merges).as("pieces"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(enc(w) == Bpe.encodeWordDriver(w, merges), s"word $w")
+      assert(enc(w).mkString == w, s"concat identity for $w")
+    }
+  }
+
+  test("encodeCorpus JVM path (maxFoldMerges exceeded) == Catalyst fold") {
+    val docs = Seq(
+      (1L, "the weather pattern gathered there then"),
+      (2L, "that feather gathers other weather data"),
+      (3L, "breathe the theme either way")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, "text", nMerges = 8)
+    val key = (r: (Long, Int, String, Seq[String])) => (r._1, r._2)
+    def run(maxFold: Int) =
+      Bpe.encodeCorpus(docs, "doc_id", "text", merges, maxFoldMerges = maxFold)
+        .select("doc_id", "tok_pos", "word", "pieces")
+        .as[(Long, Int, String, Seq[String])].collect().sortBy(key)
+    assert(run(512).toSeq == run(0).toSeq) // 0 forces the JVM vocab encoder
+  }
 }
 
 /** Streaming ingest over the persisted LSH index: the foreachBatch loop
@@ -259,6 +314,44 @@ class LshIndexSpec extends AnyFunSuite {
       assert(got == expected, s"seed $seed")
       assert(got.nonEmpty, s"seed $seed produced no cross pairs — weak fixture")
     }
+  }
+
+  test("probe and append honor the persisted shingle_n, not the default") {
+    // 2-token docs shingle ONLY at width 2 — under the default width 3
+    // they produce zero shingles and could never collide. A probe that
+    // read meta but kept the default (the pre-r12 bug) would find nothing.
+    val idx = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta"), (11L, "epsilon zeta"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("lshn2")
+    Dedup.saveLshIndex(idx, "doc_id", "text", dir, shingleN = 2)
+    val got = Dedup.matchesAgainstLshIndex(spark, dir, batch,
+        maxBucket = None)
+      .select("batch_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L)), s"got $got")
+    // append under the frozen width-2 geometry: the appended copy collides
+    Dedup.appendToLshIndex(spark, dir,
+      Seq((3L, "epsilon zeta")).toDF("doc_id", "text"))
+    val got2 = Dedup.matchesAgainstLshIndex(spark, dir, batch,
+        maxBucket = None)
+      .select("batch_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got2 == Set((10L, 1L), (11L, 3L)), s"got $got2")
+  }
+
+  test("batch-side degenerate buckets are capped like index-side ones") {
+    // 60 identical batch docs collide with one indexed copy in every band:
+    // with maxBucket = 50 the BATCH bucket (60 > 50) must be dropped too,
+    // while a distinct batch doc with a small bucket still matches.
+    val idx = Seq((1L, "a b c d e f g h"), (2L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("lshbcap")
+    Dedup.saveLshIndex(idx, "doc_id", "text", dir)
+    val batch = ((100L until 160L).map(i => (i, "a b c d e f g h")) :+
+      (200L, "p q r s t u v w")).toDF("doc_id", "text")
+    val got = Dedup.matchesAgainstLshIndex(spark, dir, batch,
+        maxBucket = Some(50))
+      .select("batch_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(got == Set((200L, 2L)), s"got $got")
   }
 
   test("dedupBatchAgainstLshIndex keeps exactly the unmatched batch docs") {

@@ -42,6 +42,15 @@ class BinsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0L, 0L, 1L, 2L, null))
   }
 
+  test("cutLeftHist closes the LAST bin like np.histogram") {
+    // bins [0,1,2,3]: 3.0 joins bin 2 (last-bin closure), 2.99 -> 2,
+    // 3.5 -> null, 0.0 -> 0; interior edges stay left-closed (1.0 -> 1)
+    val df = Seq(0.0, 0.99, 1.0, 2.99, 3.0, 3.5, -0.5).toDF("x")
+    val got = df.select(Bins.cutLeftHist(col("x"), 0.0, 1.0, 3).as("b"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(got.toSeq == Seq(0L, 0L, 1L, 2L, 2L, null, null))
+  }
+
   test("arangeEdges mirrors np.arange(min, max+step, step)") {
     // np.arange(0, 10+1, 1) -> 11 edges -> 10 intervals
     assert(Bins.arangeEdges(0.0, 10.0, 1.0) == ((0.0, 10)))
