@@ -60,8 +60,15 @@ object Windows {
     * edges: forward/backward one-sided difference (edge_order=1, the
     * numpy default). For unit spacing (dx1 = dx2 = 1) the chain is
     * bit-identical to the centered (v[i+1]-v[i-1])/2: a,c are the exact
-    * halves and b is exactly 0. Duplicate x within a partition would make
-    * a spacing 0 and the result inf/NaN — exactly numpy's behavior.
+    * halves and b is exactly 0.
+    *
+    * Degenerate (zero) spacing — coincident x within a partition, e.g.
+    * ns timestamps flooring to the same microsecond — yields NULL, a
+    * documented deviation from numpy (which emits inf/NaN with a runtime
+    * warning): Spark 4 runs ANSI mode, where a double division by zero
+    * THROWS, so an unguarded chain would kill the task over one
+    * coincident pair; downstream (histogram bins, null-skipping
+    * aggregates) a null behaves like the out-of-range inf would.
     */
   def gradient(v: Column, x: Column, w: WindowSpec): Column = {
     val vp = lag(v, 1).over(w); val vn = lead(v, 1).over(w)
@@ -70,9 +77,10 @@ object Windows {
     val a = -dx2 / (dx1 * (dx1 + dx2))
     val b = (dx2 - dx1) / (dx1 * dx2)
     val c = dx1 / (dx2 * (dx1 + dx2))
-    when(xp.isNotNull && xn.isNotNull, a * vp + b * v + c * vn)
-      .when(xp.isNull && xn.isNotNull, (vn - v) / (xn - x))
-      .when(xn.isNull && xp.isNotNull, (v - vp) / (x - xp))
+    when(xp.isNotNull && xn.isNotNull && dx1 =!= 0.0 && dx2 =!= 0.0,
+        a * vp + b * v + c * vn)
+      .when(xp.isNull && xn.isNotNull && dx2 =!= 0.0, (vn - v) / dx2)
+      .when(xn.isNull && xp.isNotNull && dx1 =!= 0.0, (v - vp) / dx1)
   }
 
   /** Gradient w.r.t. an implicit unit-spaced coordinate (the reference's

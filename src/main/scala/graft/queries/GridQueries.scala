@@ -332,12 +332,13 @@ object GridQueries {
           rr AS (SELECT user_id,
                   CASE WHEN pitch < 0 AND depth > 20.0 THEN 'dive'
                        WHEN pitch > 0 AND depth > 20.0 THEN 'climb' END AS regime,
-                  (CASE WHEN tp IS NOT NULL AND tn IS NOT NULL THEN
+                  (CASE WHEN tp IS NOT NULL AND tn IS NOT NULL
+                          AND (t - tp) <> 0 AND (tn - t) <> 0 THEN
                           (-(tn - t) / ((t - tp) * ((t - tp) + (tn - t)))) * vp
                           + (((tn - t) - (t - tp)) / ((t - tp) * (tn - t))) * v
                           + ((t - tp) / ((tn - t) * ((t - tp) + (tn - t)))) * vn
-                        WHEN tp IS NULL AND tn IS NOT NULL THEN (vn - v) / (tn - t)
-                        WHEN tn IS NULL AND tp IS NOT NULL THEN (v - vp) / (t - tp) END) - u AS d
+                        WHEN tp IS NULL AND tn IS NOT NULL AND (tn - t) <> 0 THEN (vn - v) / (tn - t)
+                        WHEN tn IS NULL AND tp IS NOT NULL AND (t - tp) <> 0 THEN (v - vp) / (t - tp) END) - u AS d
                 FROM g
                 WHERE (CASE WHEN pitch < 0 AND depth > 20.0 THEN 'dive'
                             WHEN pitch > 0 AND depth > 20.0 THEN 'climb' END) IS NOT NULL),

@@ -170,12 +170,13 @@ object WindowQueries {
             lag(t) OVER ($W) AS tp, lead(t) OVER ($W) AS tn,
             value AS v, t FROM t)
           SELECT event_id, ${sqlFp(
-        "CASE WHEN tp IS NOT NULL AND tn IS NOT NULL THEN " +
+        "CASE WHEN tp IS NOT NULL AND tn IS NOT NULL " +
+          "AND (t - tp) <> 0 AND (tn - t) <> 0 THEN " +
           "(-(tn - t) / ((t - tp) * ((t - tp) + (tn - t)))) * vp " +
           "+ (((tn - t) - (t - tp)) / ((t - tp) * (tn - t))) * v " +
           "+ ((t - tp) / ((tn - t) * ((t - tp) + (tn - t)))) * vn " +
-          "WHEN tp IS NULL AND tn IS NOT NULL THEN (vn - v) / (tn - t) " +
-          "WHEN tn IS NULL AND tp IS NOT NULL THEN (v - vp) / (t - tp) END", 6)} AS grad_micro
+          "WHEN tp IS NULL AND tn IS NOT NULL AND (tn - t) <> 0 THEN (vn - v) / (tn - t) " +
+          "WHEN tn IS NULL AND tp IS NOT NULL AND (t - tp) <> 0 THEN (v - vp) / (t - tp) END", 6)} AS grad_micro
           FROM g ORDER BY event_id""",
 
     "q09b_diff" ->
