@@ -70,6 +70,54 @@ object ScaleUp {
         (col("n_chars") + when(col("__rep") === 0, lit(0))
           .otherwise(length(concat(lit(" rep"), col("__rep"))))).as("n_chars"))
 
+  /** Key offset separating replica key spaces — far above any generated
+    * key at the source SFs, and the SAME for every replicated fact/dim so
+    * cross-table keys stay consistent (copy i of orders references copy i
+    * of customer: the join fans 10x, not 100x).
+    */
+  private val KeyOffset = 1000000000000L
+
+  /** TPC-H-ish relational tables. Replication semantics:
+    *  - lineitem: l_orderkey offset per copy (per-order line groups stay
+    *    intact per copy); l_partkey/l_suppkey KEPT, so joins against the
+    *    un-offset rep-0 dims deepen 10x per key.
+    *  - orders: o_orderkey AND o_custkey offset together.
+    *  - customer: c_custkey offset (matches orders); c_nationkey kept —
+    *    nation stays a broadcast dim.
+    *  - part: p_partkey offset — replica parts have NO lineitems, so the
+    *    q15 anti-join's "unsold parts" side grows with the data while the
+    *    sold set stays rep-0.
+    */
+  def replicateKeyed(df: org.apache.spark.sql.DataFrame, factor: Int,
+      keyCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val reps = df.sparkSession.range(factor)
+      .select(col("id").cast("long").as("__rep"))
+    val out = df.crossJoin(broadcast(reps))
+    keyCols.foldLeft(out) { (d, k) =>
+      d.withColumn(k, col(k) + col("__rep") * lit(KeyOffset))
+    }.drop("__rep")
+  }
+
+  /** Embeddings: vec_id offset per copy; replica vectors get a
+    * deterministic +rep*1e-3 jitter on component 0, so every original becomes
+    * a factor-way NEAR-dup cluster (cosine ~0.999+) — the documents
+    * " repI" recipe for the vector surface: near-dup detection, semantic
+    * dedup and ANN ranking all do genuinely more work instead of
+    * short-circuiting on bit-equal vectors.
+    */
+  def replicateEmbeddings(df: org.apache.spark.sql.DataFrame, factor: Int):
+      org.apache.spark.sql.DataFrame = {
+    val reps = df.sparkSession.range(factor)
+      .select(col("id").cast("long").as("__rep"))
+    df.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("__rep") * lit(KeyOffset)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x + col("__rep").cast("float") * lit(1e-3f))
+            .otherwise(x)).as("embedding"),
+        col("label"))
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
@@ -79,18 +127,23 @@ object ScaleUp {
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def tbl(n: String) = graft.queries.Common.table(spark, srcDir, n)
+    def write(df: org.apache.spark.sql.DataFrame, n: String, parts: Int = 64): Unit =
+      df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
 
     // events: ts normalized to bigint ns and written back as plain
     // bigint, which Common.events consumes via its LongType branch
-    replicateEvents(graft.queries.Common.table(spark, srcDir, "events"), factor)
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    write(replicateEvents(tbl("events"), factor), "events")
+    write(replicateDocs(tbl("documents"), factor), "documents")
+    write(replicateKeyed(tbl("lineitem"), factor, Seq("l_orderkey")), "lineitem")
+    write(replicateKeyed(tbl("orders"), factor, Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicateKeyed(tbl("customer"), factor, Seq("c_custkey")), "customer", 8)
+    write(replicateKeyed(tbl("part"), factor, Seq("p_partkey")), "part", 8)
+    write(replicateEmbeddings(tbl("embeddings"), factor), "embeddings")
+    // broadcast dims pass through unreplicated
+    Seq("region", "nation", "supplier").foreach(n => write(tbl(n), n, 1))
 
-    replicateDocs(graft.queries.Common.table(spark, srcDir, "documents"), factor)
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-
-    println(s"wrote ${factor}x events+documents from $srcDir to $outDir")
+    println(s"wrote ${factor}x all-tables from $srcDir to $outDir")
     spark.stop()
   }
 }
