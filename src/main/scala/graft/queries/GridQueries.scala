@@ -290,7 +290,7 @@ object GridQueries {
          s AS (
            SELECT user_id, tus, value,
              CAST(sum(f) OVER (PARTITION BY user_id ORDER BY tus
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               RANGE UNBOUNDED PRECEDING) AS BIGINT) AS session_id
            FROM o)
          SELECT user_id, session_id, count(*) AS n_events,
            min(tus) AS t_start_us, max(tus) AS t_end_us,

@@ -187,6 +187,16 @@ object StreamingOps {
     * that shares its key). This is the batch twin of [[gapSessionsStream]];
     * the driver oracle (q65) checks this form, and the StreamingSpec
     * equivalence run pins the streaming form to it.
+    *
+    * The running sum uses a RANGE frame, not ROWS: with TIED ts_us values
+    * (us-coincident events — the sf1 replica corpus has 100k such pairs) a
+    * ROWS frame hands tied rows different session ids depending on the
+    * engine's arbitrary tie order, and two window passes (flag vs sum) may
+    * even order ties differently WITHIN one engine. Under RANGE every tied
+    * row sees the whole tie group's flag total — and that total is
+    * tie-order-independent (exactly one row of a tie group lags back to
+    * the previous distinct timestamp), so the assignment is deterministic
+    * on any input.
     */
   def gapSessions(events: DataFrame, gapUs: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -195,7 +205,7 @@ object StreamingOps {
       .withColumn("__new", when(
         col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
       .withColumn("session_id", sum(col("__new")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        w.rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("ts_us")).as("t_start_us"),

@@ -217,6 +217,24 @@ class StreamingSpec extends AnyFunSuite {
         s"${(expectClosed diff got).size} missing of ${expectClosed.size}")
   }
 
+  test("gapSessions assigns tied timestamps deterministically (RANGE frame)") {
+    // us-coincident events (the sf1 replica shape: ns jitter floors to the
+    // same microsecond) — under a ROWS running sum the tie order decided
+    // which tied rows landed in the new session; RANGE hands the whole tie
+    // group one id. 3 tied at t=0, then a >12h gap, then 2 tied.
+    import spark.implicits._
+    val gap = 43200000000L
+    val t2 = 50L * 3600 * 1000000
+    val ev = Seq((7L, 0L, 1.0), (7L, 0L, 2.0), (7L, 0L, 4.0),
+      (7L, t2, 8.0), (7L, t2, 16.0))
+      .toDF("user_id", "ts_us", "value")
+      .repartition(4) // scramble physical order so ties are genuinely unordered
+    val got = StreamingOps.gapSessions(ev, gap)
+      .select("session_id", "n_events", "sum_cents")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 3L, 700L), (1L, 2L, 2400L)), s"got $got")
+  }
+
   test("gap session absorbs a cross-batch late row into its start time") {
     // a row older than the open session's first event, arriving one
     // micro-batch later but inside the watermark, must extend the session

@@ -25,8 +25,23 @@ def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if os.path.isdir(p):  # Spark-written directory table (ScaleUp replicas)
+            src = f"'{p}/*.parquet'"
+        elif os.path.exists(p):
+            src = f"'{p}'"
+        else:
+            continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
+        if t == "events":
+            # the engine's Common.tsUs seam, mirrored: ScaleUp replicas write
+            # ts as BIGINT epoch-ns (driver testdata: TIMESTAMP) — floor to
+            # micros so epoch_us(ts) in every oracle reads identically
+            (dt,) = [r[1] for r in con.sql("DESCRIBE events").fetchall()
+                     if r[0] == "ts"][:1] or ("",)
+            if dt == "BIGINT":
+                con.execute(
+                    "CREATE OR REPLACE VIEW events AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     results = {}
