@@ -159,7 +159,10 @@ object Corpus {
     * run, and the assignment is a pure function of the data (bit-stable
     * across engines: exact integer window arithmetic). One window pass;
     * `groupCols` (e.g. source) is the partition key, so packing
-    * parallelizes across groups at any scale.
+    * parallelizes across groups at any scale. `orderCol` must be UNIQUE
+    * within each group (doc_id in the driver queries): a running ROWS sum
+    * over a tied ordering key assigns tie-order-dependent offsets — the
+    * q65 sessionize lesson.
     */
   def packShards(df: DataFrame, weightCol: String, budget: Long,
       orderCol: String, groupCols: Seq[String] = Seq.empty): DataFrame = {
@@ -319,7 +322,8 @@ object Corpus {
     * across engines — the q75 driver row hash-checks every slice. One
     * window pass partitioned by `groupCols` plus a narrow explode whose
     * fan-out is ceil(weight/seqLen) per row: linear in total token count,
-    * parallel across groups at any corpus size.
+    * parallel across groups at any corpus size. `orderCol` must be UNIQUE
+    * within each group (see [[packShards]]).
     */
   def packSequences(df: DataFrame, weightCol: String, seqLen: Long,
       orderCol: String, groupCols: Seq[String] = Seq.empty): DataFrame = {
