@@ -153,6 +153,40 @@ object Similarity {
       s"$dir/lists", mode = "append")
   }
 
+  /** Batch-vs-persisted-index embedding near-dup matches — the vector
+    * analog of [[graft.operators.Dedup.matchesAgainstLshIndex]]: each
+    * batch vector's ANN nearest neighbor over the saved inverted lists
+    * (static cell pruning via [[probeIvf]]; the batch rides probeIvf's
+    * bounded collect-and-broadcast contract, which is exactly the
+    * daily-ingest shape). A batch id colliding with an indexed id is
+    * treated as the same vector and never matches itself. Output:
+    * (batch_id, dup_of, cosine) — top-1 per batch vector; threshold
+    * downstream ([[dedupBatchAgainstIvfIndex]]).
+    */
+  def matchesAgainstIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    probeIvf(loadIvfIndex(spark, dir), batch, k = 1, nProbe, idCol, vecCol)
+      .select(col("q_id").as("batch_id"), col("vec_id").as("dup_of"),
+        col("cosine"))
+
+  /** The batch rows surviving incremental embedding dedup against a
+    * persisted IVF index: anti-join of the batch against its
+    * &gt;= `cosineThreshold` nearest-neighbor matches — SemDeDup's drop
+    * rule served from the ANN index instead of a corpus self-join.
+    * Typical ingest loop: survivors -> [[appendToIvfIndex]] -> vector
+    * corpus sink ([[graft.streaming.StreamingOps.ingestVectorsBatch]]).
+    */
+  def dedupBatchAgainstIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, cosineThreshold: Double = 0.99,
+      nProbe: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val dups = matchesAgainstIvfIndex(spark, dir, batch, nProbe, idCol, vecCol)
+      .where(col("cosine") >= cosineThreshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    batch.join(dups, Seq(idCol), "left_anti")
+  }
+
   private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
       cents: Seq[Seq[Double]], path: String): Unit = {
     import spark.implicits._

@@ -136,6 +136,31 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Incremental embedding dedup against a PERSISTED ANN index — the q82
+    // LSH-index recipe on the vector surface (Similarity
+    // .dedupBatchAgainstIvfIndex, the ingestVectors serve path): index the
+    // lower half, probe the upper half PLUS planted exact copies of eight
+    // indexed vectors, keep the survivors. nProbe = nCells (probe-all)
+    // makes the ANN top-1 the global max cosine, so the drop rule is
+    // SQL-expressible exactly: a batch vector survives iff its max cosine
+    // against the indexed half stays under the threshold. The planted
+    // copies guarantee real drops at every SF; a lost index row, wrong
+    // cell assignment, or broken threshold compare breaks the hash.
+    "q90_vector_incremental" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      val idxSide = e.where(col("vec_id") <= half)
+      val tmp = java.nio.file.Files.createTempDirectory("q90_idx").toString
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(idxSide, nCells = 8, dim = DIM), tmp)
+      val batch = e.where(col("vec_id") > half).unionByName(
+        idxSide.where(col("vec_id") < 8)
+          .withColumn("vec_id", col("vec_id") + lit(20000000L)))
+      Similarity.dedupBatchAgainstIvfIndex(s, tmp, batch,
+          cosineThreshold = 0.99, nProbe = 8)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -293,6 +318,20 @@ object VectorQueries {
           SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
             ${sqlFp("cosine", 6)} AS cos_micro
           FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+
+    // survivors = batch vectors whose max cosine against the indexed half
+    // is under the threshold (probe-all top-1 == global max; identical
+    // sequential-fold cosine chain, so the compare agrees bit-for-bit)
+    "q90_vector_incremental" ->
+      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+          h AS (SELECT quantile_cont(vec_id, 0.5) AS m FROM e),
+          idx AS (SELECT vec_id, v FROM e, h WHERE vec_id <= m),
+          batch AS (SELECT vec_id, v FROM e, h WHERE vec_id > m
+                    UNION ALL
+                    SELECT vec_id + 20000000, v FROM idx WHERE vec_id < 8),
+          mx AS (SELECT b.vec_id, max(${VecSql.cosine("b.v", "i.v")}) AS mc
+                 FROM batch b, idx i GROUP BY 1)
+          SELECT vec_id FROM mx WHERE mc < 0.99 ORDER BY vec_id""",
 
     "q56f_ann_append_exact" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),

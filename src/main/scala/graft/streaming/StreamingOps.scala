@@ -424,6 +424,51 @@ object StreamingOps {
     }
   }
 
+  /** Streaming EMBEDDING ingest into a persisted IVF ANN index — the
+    * vector twin of [[ingestWithDedup]]: each micro-batch of
+    * (vec_id, embedding) is self-deduped (SemDeDup drop rule within the
+    * batch), probed against the saved inverted lists for near-dups of
+    * already-accepted vectors, and the survivors are appended to the
+    * index (assigned by the FROZEN saved centroids) and to the vector
+    * corpus sink — so tomorrow's batch sees them. Caller configures
+    * trigger/checkpoint and calls `start()`.
+    */
+  def ingestVectors(stream: DataFrame, indexDir: String, corpusDir: String,
+      cosineThreshold: Double = 0.99, selfDedupK: Int = 8, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        ingestVectorsBatch(batch.toDF(), indexDir, corpusDir,
+          cosineThreshold, selfDedupK, nProbe, idCol, vecCol)
+    }
+
+  /** One vector-ingest step — the foreachBatch body, exposed so a batch
+    * backfill loop and the stream run literally the same code (the
+    * [[ingestBatch]] equivalence recipe).
+    */
+  def ingestVectorsBatch(batch: DataFrame, indexDir: String,
+      corpusDir: String, cosineThreshold: Double = 0.99,
+      selfDedupK: Int = 8, nProbe: Int = 3, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import graft.operators.Similarity
+    val spark = batch.sparkSession
+    // in-batch SemDeDup first (two near-dups arriving together would both
+    // survive an index-only probe), then the index probe; survivors feed
+    // two writes, so persist
+    val keptIds = Similarity.semanticDedup(batch, k = selfDedupK,
+        threshold = cosineThreshold, idCol = idCol, vecCol = vecCol)
+      .select(col("id").as(idCol))
+    val survivors = Similarity.dedupBatchAgainstIvfIndex(spark, indexDir,
+        batch.join(keptIds, Seq(idCol), "left_semi"),
+        cosineThreshold, nProbe, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Similarity.appendToIvfIndex(spark, indexDir, survivors, idCol, vecCol)
+      survivors.write.mode("append").parquet(corpusDir)
+    } finally survivors.unpersist()
+  }
+
   /** Run a streaming query over a parquet directory to a memory sink and
     * block until all available input is processed (local smoke harness).
     */

@@ -441,3 +441,88 @@ class IvfPqSpec extends AnyFunSuite {
       s"(probed ${probedCells.size} cells, ${nonEmpty.size} non-empty)")
   }
 }
+
+/** Streaming embedding ingest into a persisted IVF index: the vector twin
+  * of StreamingIngestSpec — the foreachBatch loop equals the sequential
+  * batch loop, and the planted drops land exactly.
+  */
+class VectorIngestSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.streaming.StreamingOps
+
+  private val dim = 16
+  /** One-hot basis vector: distinct ids are mutually orthogonal (cosine
+    * 0), so every drop below is a closed-form decision at threshold 0.99.
+    */
+  private def oneHot(i: Int): Seq[Float] =
+    (0 until dim).map(j => if (j == i) 1.0f else 0.0f)
+  /** cosine vs oneHot(i) = 1/sqrt(1.01) ~ 0.995 >= 0.99 — a NON-exact
+    * near-dup that must still drop. */
+  private def nearOf(i: Int, other: Int): Seq[Float] = {
+    val n = math.sqrt(1.01).toFloat
+    (0 until dim).map(j =>
+      if (j == i) 1.0f / n else if (j == other) 0.1f / n else 0.0f)
+  }
+
+  test("streamed vector ingest == sequential batch loop; planted drops land") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vingest-").toString
+    def writeBatch(name: String, rows: Seq[(Long, Seq[Float])]): Unit =
+      rows.toDF("vec_id", "embedding").coalesce(1)
+        .write.parquet(s"$root/in/$name")
+    val batches = Seq(
+      // b1: exact copy of indexed e_5 (dropped vs index) + two uniques
+      Seq((100L, oneHot(5)), (101L, oneHot(10)), (102L, oneHot(11))),
+      // b2: 0.995-near-dup of b1's survivor 101 (dropped ONLY if b1's
+      // append became visible — cross-batch visibility) + a unique
+      Seq((110L, nearOf(10, 12)), (111L, oneHot(12))),
+      // b3: within-batch exact pair (self-dedup keeps min id 120) +
+      // exact copy of indexed e_7 + a unique
+      Seq((120L, oneHot(13)), (121L, oneHot(13)), (122L, oneHot(7)),
+        (123L, oneHot(14))))
+    batches.zipWithIndex.foreach { case (b, i) => writeBatch(s"b${i + 1}", b) }
+    val seed = (0 until 10).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    val nCells = 4
+    def freshIndex(tag: String): String = {
+      val d = s"$root/$tag/index"
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(seed, nCells, dim), d)
+      d
+    }
+
+    // sequential truth: the same ingestVectorsBatch body, explicit loop
+    val loopIdx = freshIndex("loop")
+    val loopCorpus = s"$root/loop/corpus"
+    batches.foreach { b =>
+      StreamingOps.ingestVectorsBatch(b.toDF("vec_id", "embedding"),
+        loopIdx, loopCorpus, cosineThreshold = 0.99, nProbe = nCells)
+    }
+    val expect = spark.read.parquet(loopCorpus)
+      .select("vec_id").as[Long].collect().toSet
+
+    // the stream: one file per trigger, in write order
+    val streamIdx = freshIndex("stream")
+    val streamCorpus = s"$root/stream/corpus"
+    val schema = spark.read.parquet(s"$root/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in/{b1,b2,b3}")
+    val q = StreamingOps.ingestVectors(stream, streamIdx, streamCorpus,
+        cosineThreshold = 0.99, nProbe = nCells)
+      .option("checkpointLocation", s"$root/stream/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(streamCorpus)
+      .select("vec_id").as[Long].collect().toSet
+
+    assert(got == expect, "stream diverged from the sequential batch loop")
+    assert(got == Set(101L, 102L, 111L, 120L, 123L),
+      s"planted drop set violated: $got")
+    // the grown index carries seed + survivors under the frozen
+    // centroids: re-probing a survivor's exact copy now drops it
+    val reprobe = Similarity.dedupBatchAgainstIvfIndex(spark, streamIdx,
+      Seq((999L, oneHot(14))).toDF("vec_id", "embedding"),
+      cosineThreshold = 0.99, nProbe = nCells)
+    assert(reprobe.count() == 0L,
+      "a survivor's exact copy must be dropped by the grown index")
+  }
+}
