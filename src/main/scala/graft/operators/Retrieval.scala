@@ -194,6 +194,62 @@ object Retrieval {
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Append new documents to a persisted inverted index — the
+    * daily-ingest maintenance path, text analog of
+    * `Similarity.appendToIvfIndex`. New postings land as new files inside
+    * the existing term-bucket partitions (FROZEN `nBuckets` from the
+    * saved stats — rows bucketed under a different modulus would be
+    * unreachable by the pruned probe); doclens append; the tiny `stats/`
+    * table is the one artifact that must MERGE, because BM25's idf/avgdl
+    * are corpus-global: per-term df adds (documents are disjoint, so a
+    * term's df is the sum of per-batch dfs), n_docs/sum_dl add. The
+    * merged stats are written next to the old table and swapped in with
+    * an atomic-enough directory rename (never read-and-overwrite the same
+    * path in one job). Everything is additive, so a grown index serves
+    * BIT-IDENTICAL results to an index built once on the union — the
+    * RetrievalSpec identity and the q91 driver gate.
+    */
+  def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    graft.plans.NativeHash48.register(spark)
+    val statsOld = spark.read.parquet(s"$dir/stats")
+    val nBuckets = statsOld.select(col("n_buckets")).head().getInt(0)
+    val docsTok = newDocs.select(col(idCol).as("doc_id"),
+      nonEmptyTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    val postings = docsTok
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
+    postings.repartition(col("bucket")).write.mode("append")
+      .partitionBy("bucket").parquet(s"$dir/postings")
+    docsTok.select(col("doc_id"), col("dl")).write.mode("append")
+      .parquet(s"$dir/doclens")
+    // additive stats merge: old per-term rows + the batch's, df summed,
+    // n_docs/sum_dl totals recomputed once and stamped on every row
+    val dfNew = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val batchTotals = docsTok.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+    val nDocs = statsOld.select(col("n_docs")).head().getLong(0) +
+      batchTotals.getLong(0)
+    val sumDl = statsOld.select(col("sum_dl")).head().getLong(0) +
+      batchTotals.getLong(1)
+    val merged = statsOld.select(col("term"), col("df"))
+      .unionByName(dfNew)
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("sum_dl", lit(sumDl))
+      .withColumn("n_buckets", lit(nBuckets))
+    merged.write.mode("overwrite").parquet(s"$dir/stats.next")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    fs.delete(stats, true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats.next"), stats)
+    ()
+  }
+
   /** BM25 over a persisted index: the query batch's terms resolve to
     * their hash buckets, a static `bucket IN (...)` filter prunes the
     * postings scan to those partitions (the IVF static-pruning

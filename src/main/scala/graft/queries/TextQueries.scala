@@ -330,6 +330,28 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Incremental index maintenance under the driver hash (the q56f
+    // recipe on the retrieval surface): build the inverted index on the
+    // lower half, APPEND the upper half (new postings files in the frozen
+    // term buckets, additively merged df/n_docs/sum_dl stats), then serve
+    // the same query batch. The grown index's stats equal a one-shot
+    // build's, so the SAME BM25 SQL is an exact oracle for the whole
+    // build->append->merge->serve cycle — a lost posting, double-counted
+    // df, or stale total breaks the hash.
+    "q91_bm25_index_append" -> ((s, dir) => {
+      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
+        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      val docs = table(s, dir, "documents")
+      val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+      val tmp = java.nio.file.Files.createTempDirectory("q91_idx").toString
+      graft.operators.Retrieval.buildIndex(
+        docs.where(col("doc_id") <= half), tmp)
+      graft.operators.Retrieval.appendToIndex(s, tmp,
+        docs.where(col("doc_id") > half))
+      graft.operators.Retrieval.searchIndex(s, tmp, bm25Queries, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // Token-level sequence packing (operators/Corpus.packSequences): the
     // per-source token streams cut into 128-token training sequences,
     // documents spanning boundaries — one row per (doc, sequence) slice,
@@ -706,6 +728,11 @@ object TextQueries {
 
     // identity: index-served BM25 == the in-memory pass, one shared oracle
     "q77_bm25_index" -> bm25OracleSql,
+
+    // the grown index's postings and stats equal a one-shot build's
+    // (additive merge over disjoint halves), so the in-memory BM25 mirror
+    // is exact for the append cycle too
+    "q91_bm25_index_append" -> bm25OracleSql,
 
     "q75_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -711,6 +711,43 @@ class RetrievalSpec extends AnyFunSuite {
     assert(queryBuckets < allBuckets,
       "the identity must exercise a genuinely pruned scan")
   }
+
+  test("appended index serves bit-identical results to a one-shot build") {
+    val docs = graft.queries.Common.table(spark,
+      "/root/testdata/sf0.001", "documents")
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    val qs = Seq("qa" -> Seq("spark", "join"), "qb" -> Seq("window", "scan"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val grown = java.nio.file.Files.createTempDirectory("retr_grow").toString
+    Retrieval.buildIndex(docs.where(col("doc_id") <= half), grown, nBuckets = 16)
+    Retrieval.appendToIndex(spark, grown, docs.where(col("doc_id") > half))
+    val oneShot = java.nio.file.Files.createTempDirectory("retr_full").toString
+    Retrieval.buildIndex(docs, oneShot, nBuckets = 16)
+    assert(key(Retrieval.searchIndex(spark, grown, qs, k = 10)) ==
+      key(Retrieval.searchIndex(spark, oneShot, qs, k = 10)),
+      "grown index diverged from the one-shot build")
+    // the merged stats are additive: df summed across batches for terms
+    // present in BOTH halves, totals equal the one-shot build's
+    val sG = spark.read.parquet(s"$grown/stats")
+    val sO = spark.read.parquet(s"$oneShot/stats")
+    val dfG = sG.select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfO = sO.select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfG == dfO, "per-term df must merge additively")
+    assert(sG.select("n_docs", "sum_dl").head() ==
+      sO.select("n_docs", "sum_dl").head())
+    // a term present in both halves proves the merge path (not just union)
+    val bothHalves = docs
+      .select(col("doc_id") <= half as "lo",
+        explode(graft.functions.Text.tokens(col("text"))) as "t")
+      .groupBy("t").agg(countDistinct(when(col("lo"), 1)).as("a"),
+        countDistinct(when(!col("lo"), 1)).as("b"))
+      .where(col("a") > 0 && col("b") > 0).count()
+    assert(bothHalves > 0, "fixture must exercise the df-merge path")
+  }
 }
 
 class PackSequencesSpec extends AnyFunSuite {
