@@ -164,6 +164,21 @@ object CorpusBench {
         .map(t => graft.functions.Vec.hash48(t) % nBuckets).distinct.size
       val totalBuckets = new java.io.File(s"$idxDir/postings").listFiles()
         .count(_.getName.startsWith("bucket="))
+      // incremental maintenance leg (r12): append a 10% daily batch of NEW
+      // docs into the frozen buckets + additive stats merge, then re-serve.
+      // The grown index's n_docs is a closed-form invariant.
+      val batch = synth(spark, nDocs / 10).select(
+        (col("doc_id") + lit(10L * nDocs)).as("doc_id"), col("text"))
+      val t4 = System.nanoTime()
+      Retrieval.appendToIndex(spark, idxDir, batch)
+      val appendSecs = (System.nanoTime() - t4) / 1e9
+      val t5 = System.nanoTime()
+      val grownHits = Retrieval.searchIndex(spark, idxDir, qs, k = 10).count()
+      val reserveSecs = (System.nanoTime() - t5) / 1e9
+      val grownN = spark.read.parquet(s"$idxDir/stats")
+        .select(col("n_docs")).head().getLong(0)
+      require(grownN == nDocs + nDocs / 10,
+        s"grown index n_docs $grownN != ${nDocs + nDocs / 10}")
       docs.unpersist(blocking = true)
       println(s"""{"metric":"corpus_retrieval","n_docs":$nDocs,"bm25_hits":$hits,""" +
         s""""bm25_sec":${math.round(bm25Secs * 10) / 10.0},""" +
@@ -172,6 +187,9 @@ object CorpusBench {
         s""""idx_build_sec":${math.round(buildSecs * 10) / 10.0},""" +
         s""""idx_serve_sec":${math.round(serveSecs * 10) / 10.0},""" +
         s""""serve_buckets":$serveBuckets,"total_buckets":$totalBuckets,""" +
+        s""""idx_append_sec":${math.round(appendSecs * 10) / 10.0},""" +
+        s""""idx_reserve_sec":${math.round(reserveSecs * 10) / 10.0},""" +
+        s""""grown_hits":$grownHits,""" +
         s""""peak_heap_mb":$peakHeapMb}""")
       spark.stop(); return
     }

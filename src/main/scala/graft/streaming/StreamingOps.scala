@@ -469,6 +469,29 @@ object StreamingOps {
     } finally survivors.unpersist()
   }
 
+  /** Streaming DOCUMENT INDEXING into a persisted BM25 inverted index:
+    * each micro-batch appends its postings into the frozen term buckets
+    * and additively merges the corpus stats
+    * ([[graft.operators.Retrieval.appendToIndex]]) — so the serve path
+    * ([[graft.operators.Retrieval.searchIndex]]) always ranks against the
+    * full ingested corpus. Because the append is provably equivalent to a
+    * one-shot build on the union (the q91 identity), the stream's final
+    * index is bit-identical to batch-building over everything it ingested
+    * — regardless of micro-batch boundaries. The index must be seeded by
+    * [[graft.operators.Retrieval.buildIndex]] on a NONEMPTY initial
+    * corpus first (the stats table, which carries the frozen bucket
+    * count, has one row per term). Caller configures trigger/checkpoint
+    * and calls `start()`.
+    */
+  def indexDocuments(stream: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Retrieval.appendToIndex(batch.sparkSession,
+          indexDir, batch.toDF(), idCol, textCol)
+    }
+
   /** Run a streaming query over a parquet directory to a memory sink and
     * block until all available input is processed (local smoke harness).
     */

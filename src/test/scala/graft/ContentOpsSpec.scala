@@ -748,6 +748,39 @@ class RetrievalSpec extends AnyFunSuite {
       .where(col("a") > 0 && col("b") > 0).count()
     assert(bothHalves > 0, "fixture must exercise the df-merge path")
   }
+
+  test("streamed indexing converges to the one-shot build (indexDocuments)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sidx-").toString
+    val seed = Seq((0L, "alpha beta gamma"), (1L, "beta delta"))
+      .toDF("doc_id", "text")
+    val batches = Seq(
+      Seq((10L, "alpha alpha epsilon"), (11L, "gamma zeta")),
+      Seq((20L, "beta beta beta")),
+      Seq((30L, "delta epsilon alpha"), (31L, "zeta zeta")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$root/in/b${i + 1}") }
+    val streamIdx = s"$root/stream/index"
+    Retrieval.buildIndex(seed, streamIdx, nBuckets = 8)
+    val schema = spark.read.parquet(s"$root/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in/{b1,b2,b3}")
+    val q = graft.streaming.StreamingOps.indexDocuments(stream, streamIdx)
+      .option("checkpointLocation", s"$root/stream/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val oneShot = s"$root/full/index"
+    Retrieval.buildIndex(
+      seed.unionByName(batches.flatten.toDF("doc_id", "text")),
+      oneShot, nBuckets = 8)
+    val qs = Seq("qa" -> Seq("alpha", "beta"), "qb" -> Seq("zeta", "delta"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val got = key(Retrieval.searchIndex(spark, streamIdx, qs, k = 10))
+    assert(got == key(Retrieval.searchIndex(spark, oneShot, qs, k = 10)),
+      "streamed index diverged from the one-shot build")
+    assert(got.nonEmpty)
+  }
 }
 
 class PackSequencesSpec extends AnyFunSuite {
