@@ -45,6 +45,61 @@ object SemDedupBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.NativeHash48.register(spark)
 
+    // incremental mode: the ingestVectors serve loop at scale — index 90%,
+    // probe a 10% daily batch + planted exact copies of indexed vectors
+    // against the persisted IVF index, append the survivors. A planted
+    // copy's top-probe cell IS its original's assigned cell (identical
+    // argmax over the frozen centroids), so every planted row must drop;
+    // any survivor crashes the bench.
+    if (args.contains("incremental")) {
+      val nIdx = n * 9 / 10
+      val clean = AnnBench.synth(spark, n, dim, nClusters = 200)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val idxSide = clean.where(col("vec_id") < nIdx)
+      val batch = clean.where(col("vec_id") >= nIdx).unionByName(
+          idxSide.where(col("vec_id") % 100 === 0)
+            .select((col("vec_id") + 2L * n).as("vec_id"), col("embedding")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nBatch = batch.count()
+      val nPlanted = nBatch - (n - nIdx)
+      val nCells = math.max(16, math.sqrt(nIdx.toDouble).toInt)
+      val dir = java.nio.file.Files.createTempDirectory("vecidx").toString
+      val t0 = System.nanoTime()
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(idxSide, nCells, dim), dir)
+      val buildSecs = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      // nProbe = 2: an exact/0.999-near copy argmaxes to its original's
+      // cell (same frozen centroids), so low-probe is the right recall/
+      // cost point for the COPY-dedup question — unlike top-k search,
+      // where nProbe buys ranking recall. Probe work scales linearly in
+      // nProbe (each probe joins the query against one more cell's list).
+      val survivors = Similarity.dedupBatchAgainstIvfIndex(spark, dir,
+          batch, cosineThreshold = 0.999, nProbe = 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nSurv = survivors.count()
+      val probeSecs = (System.nanoTime() - t1) / 1e9
+      val plantedSurvived = survivors.where(col("vec_id") >= 2L * n).count()
+      val t2 = System.nanoTime()
+      Similarity.appendToIvfIndex(spark, dir, survivors)
+      val appendSecs = (System.nanoTime() - t2) / 1e9
+      survivors.unpersist(); batch.unpersist(); clean.unpersist(blocking = true)
+      if (plantedSurvived > 0) {
+        System.err.println(
+          s"PLANTED COPIES SURVIVED THE INDEX PROBE: $plantedSurvived of $nPlanted")
+        spark.stop(); sys.exit(1)
+      }
+      println(s"""{"metric":"vecindex_incremental","n_vecs":$n,"dim":$dim,""" +
+        s""""n_indexed":$nIdx,"n_batch":$nBatch,"n_survivors":$nSurv,""" +
+        s""""planted":$nPlanted,"planted_dropped":$nPlanted,""" +
+        s""""build_sec":${math.round(buildSecs * 10) / 10.0},""" +
+        s""""probe_sec":${math.round(probeSecs * 10) / 10.0},""" +
+        s""""probe_vecs_per_s":${math.round(nBatch / probeSecs)},""" +
+        s""""append_sec":${math.round(appendSecs * 10) / 10.0},""" +
+        s""""peak_heap_mb":$peakHeapMb}""")
+      spark.stop(); return
+    }
+
     val clean = AnnBench.synth(spark, n, dim, nClusters = 200)
     val planted = clean.where(col("vec_id") % 100 === 0)
       .select((col("vec_id") + n).as("vec_id"), col("embedding"))

@@ -181,9 +181,18 @@ object Similarity {
       dir: String, batch: DataFrame, cosineThreshold: Double = 0.99,
       nProbe: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val dups = matchesAgainstIvfIndex(spark, dir, batch, nProbe, idCol, vecCol)
-      .where(col("cosine") >= cosineThreshold)
-      .select(col("batch_id").as(idCol)).distinct()
+    // EXISTENCE probe, not top-1: a batch vector drops iff ANY probed
+    // candidate reaches the threshold, which is exactly "ANN top-1 >=
+    // threshold" over the same candidate set — but as a filter + distinct
+    // instead of a full rank window, so no per-candidate row ever
+    // shuffles for sorting (the window form paid a sort over |batch| x
+    // |probed lists| rows; on the 100k-vector bench this is the
+    // difference between 21.8 s and ~2 s for a 10.9k-vector batch).
+    val dups = probeCandidates(loadIvfIndex(spark, dir), batch, nProbe,
+        idCol, vecCol)
+      .where(graft.plans.NativeDot.cosineCol(spark,
+        col("q_vec"), col("c_vec")) >= cosineThreshold)
+      .select(col("q_id").as(idCol)).distinct()
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
@@ -264,10 +273,17 @@ object Similarity {
       .withColumn("cell", explode(probed))
   }
 
-  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** The (cell, vec_id, c_vec, q_id, q_vec) candidate rows a probe
+    * scores: the query batch exploded to its nProbe cells (collected once
+    * — the bounded broadcast contract), statically pruned lists, the cell
+    * equi-join, self-matches excluded. Shared by [[probeIvf]] (rank on
+    * top) and [[dedupBatchAgainstIvfIndex]] (threshold filter on top —
+    * IDENTICAL candidate set, so "any candidate >= threshold" there is
+    * provably "top-1 >= threshold" here).
+    */
+  private def probeCandidates(index: IvfIndex, queries: DataFrame,
+      nProbe: Int, idCol: String, vecCol: String): DataFrame = {
     val spark = queries.sparkSession
-    val cents = index.centroids
     val qExploded = probeCells(index, queries, nProbe, idCol, vecCol)
     val qRows = qExploded.collect()
     val q = broadcast(spark.createDataFrame(
@@ -276,11 +292,15 @@ object Similarity {
     // skip the IN filter on a probe-all batch (e.g. the q56c identity),
     // where it prunes nothing and only costs plan/codegen surface
     val lists =
-      if (probedCells.length < cents.size)
+      if (probedCells.length < index.centroids.size)
         index.lists.where(col("cell").isin(probedCells.map(Int.box).toSeq: _*))
       else index.lists
-    val scored = lists.join(q, "cell")
-      .where(col("vec_id") =!= col("q_id"))
+    lists.join(q, "cell").where(col("vec_id") =!= col("q_id"))
+  }
+
+  def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val scored = probeCandidates(index, queries, nProbe, idCol, vecCol)
       .withColumn("cosine", graft.plans.NativeDot.cosineCol(
         queries.sparkSession, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
