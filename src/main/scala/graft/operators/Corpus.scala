@@ -215,6 +215,46 @@ object Corpus {
       .drop("__copies")
   }
 
+  /** Temperature-scaled mixing weights — the multilingual/multi-source
+    * sampling rule (GPT-3 appendix / XLM-R: target share_s ∝ n_s^alpha;
+    * alpha &lt; 1 flattens the distribution toward small strata, alpha = 1
+    * is the natural distribution, alpha = 0 equalizes). Driver-side BY
+    * DESIGN — the pow/normalize chain is transcendental, so it runs once
+    * over the ≤ |strata| collected totals (the BM25-idf / DSIR-lambda
+    * discipline) and enters every plan as exact literal weights; all
+    * per-row work stays integer/hash arithmetic inside [[upsample]].
+    *
+    * Returns stratum -&gt; expected-copies weight
+    * w_s = share_s * T / n_s, where n_s sums `weightCol` (docs when None,
+    * tokens when e.g. Some("n_tokens")) and T = `targetTotal` (default:
+    * the current total, i.e. same corpus size redistributed).
+    */
+  def temperatureWeights(docs: DataFrame, strataCol: String, alpha: Double,
+      weightCol: Option[String] = None,
+      targetTotal: Option[Double] = None): Map[String, Double] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0, 1]")
+    val w = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
+    val ns = docs.groupBy(col(strataCol)).agg(w.cast("double").as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    require(ns.values.forall(_ > 0.0), "every stratum total must be positive")
+    val t = targetTotal.getOrElse(ns.values.sum)
+    val z = ns.values.map(math.pow(_, alpha)).sum
+    ns.map { case (s, n) => s -> (math.pow(n, alpha) / z * t / n) }
+  }
+
+  /** Temperature-scaled corpus mix: [[temperatureWeights]] over the
+    * observed strata, realized by [[upsample]]'s exact integer
+    * whole-copies + hash-Bernoulli fraction. Strata unseen at weighing
+    * time drop (defaultWeight 0) — the weights are a closed set by
+    * construction.
+    */
+  def temperatureMix(docs: DataFrame, strataCol: String, alpha: Double,
+      weightCol: Option[String] = None, targetTotal: Option[Double] = None,
+      keyCol: String = "doc_id", salt: String = ""): DataFrame =
+    upsample(docs, strataCol,
+      temperatureWeights(docs, strataCol, alpha, weightCol, targetTotal),
+      defaultWeight = 0.0, keyCol = keyCol, salt = salt)
+
   /** End-to-end deterministic training-mix construction — the composition
     * a corpus pipeline actually ships: quality gate (language recognized,
     * integerized quality/repetition thresholds — the q47 boundary

@@ -227,6 +227,23 @@ object TextQueries {
     // sampling), zh 1.0x, everything else dropped. The full (doc, copy)
     // multiset hash-checks: copies = floor(w) + (hm < frac) in exact
     // integer micro-units on both engines.
+    // Temperature-scaled source mixing (operators/Corpus.temperatureMix,
+    // the GPT-3/XLM-R share ∝ n^alpha rule at alpha = 0.5): per-lang
+    // doc counts collected once, pow/normalize driver-side (the DSIR
+    // lambda discipline — no transcendental crosses engines), realized by
+    // upsample's exact whole-copies + hash-Bernoulli arithmetic. The
+    // micro weights are stashed for the oracle's VALUES CTE; the full
+    // (doc, lang, copy) assignment hash-checks.
+    "q92_temperature_mix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      tempMixStash.set(graft.operators.Corpus
+        .temperatureWeights(docs, "lang", 0.5)
+        .map { case (k, v) => k -> math.round(v * 1000000.0) })
+      graft.operators.Corpus.temperatureMix(docs, "lang", 0.5, salt = "temp")
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     "q84_upsample" -> ((s, dir) => {
       graft.operators.Corpus.upsample(table(s, dir, "documents"),
           "lang", Map("en" -> 2.5, "de" -> 0.4, "zh" -> 1.0),
@@ -562,6 +579,12 @@ object TextQueries {
   private val dsirLamStash =
     new java.util.concurrent.atomic.AtomicReference[Map[Long, Long]](null)
 
+  /** Same pattern for q92: the driver-computed temperature-mix
+    * (lang -> weight_micro) literals.
+    */
+  private val tempMixStash =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](null)
+
   /** BM25 oracle: the idf-literal mirror when the stash is live (the
     * Verify flow), else a self-contained ln-based approximation so
     * evaluating [[oracle]] standalone (specs, tooling) never throws.
@@ -693,6 +716,39 @@ object TextQueries {
                 "'sh1' || '|' || CAST(doc_id AS VARCHAR) || '|' || CAST(copy AS VARCHAR)")},
                 doc_id, copy) - 1 AS shuffle_pos
           FROM mix ORDER BY doc_id, copy""",
+
+    // weights CTE from the stash when live (the Verify flow); a pow-based
+    // recompute otherwise so standalone evaluation never throws (the
+    // bm25OracleSql fallback pattern — unreachable in Verify, which
+    // restricts the oracle dump to queries that ran)
+    "q92_temperature_mix" -> {
+      val wCte = Option(tempMixStash.get()).filter(_.nonEmpty) match {
+        case Some(m) =>
+          val rows = m.toSeq.sorted
+            .map { case (l, v) => s"('$l', CAST($v AS BIGINT))" }
+            .mkString(", ")
+          s"w(lang, wm) AS (VALUES $rows)"
+        case None =>
+          """lc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n
+                    FROM documents GROUP BY 1),
+             tz AS (SELECT sum(pow(n, 0.5)) AS z, sum(n) AS t FROM lc),
+             w AS (SELECT lang,
+                     CAST(round(1000000.0 * pow(n, 0.5) / z * t / n) AS BIGINT)
+                       AS wm
+                   FROM lc, tz)"""
+      }
+      s"""WITH $wCte,
+          c AS (SELECT doc_id, lang,
+                  (wm // 1000000)
+                    + CASE WHEN hm < wm % 1000000 THEN 1 ELSE 0 END AS copies
+                FROM (SELECT doc_id, lang,
+                    ${TextSql.hash48("'temp' || CAST(doc_id AS VARCHAR)")} % 1000000
+                      AS hm
+                  FROM documents) d
+                JOIN w USING (lang))
+          SELECT doc_id, lang, unnest(range(0, copies)) AS copy
+          FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
+    },
 
     "q84_upsample" ->
       s"""WITH c AS (SELECT doc_id, lang,

@@ -453,6 +453,35 @@ class MixConstructionSpec extends AnyFunSuite {
       "the chosen k must be stable across runs")
   }
 
+  test("temperatureWeights matches the closed form; alpha endpoints") {
+    import spark.implicits._
+    // strata a: 4 docs, b: 1 doc. alpha = 0.5: shares ∝ (2, 1) -> a 2/3,
+    // b 1/3; T = 5 -> w_a = (2/3*5)/4 = 5/6, w_b = (1/3*5)/1 = 5/3.
+    val df = (Seq.fill(4)("a") :+ "b").zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "lang")
+    val w = Corpus.temperatureWeights(df, "lang", 0.5)
+    assert(math.abs(w("a") - 5.0 / 6.0) < 1e-12 &&
+      math.abs(w("b") - 5.0 / 3.0) < 1e-12, s"got $w")
+    // alpha = 1: the natural distribution — every weight exactly 1
+    val w1 = Corpus.temperatureWeights(df, "lang", 1.0)
+    assert(w1.values.forall(v => math.abs(v - 1.0) < 1e-12), s"got $w1")
+    // alpha = 0: equal shares — w_s = (T/|strata|)/n_s = (2.5/4, 2.5/1)
+    val w0 = Corpus.temperatureWeights(df, "lang", 0.0)
+    assert(math.abs(w0("a") - 0.625) < 1e-12 &&
+      math.abs(w0("b") - 2.5) < 1e-12, s"got $w0")
+    // token-weighted totals and an explicit target
+    val tok = Seq((1L, "a", 30L), (2L, "b", 10L)).toDF("doc_id", "lang", "n")
+    val wt = Corpus.temperatureWeights(tok, "lang", 1.0,
+      weightCol = Some("n"), targetTotal = Some(80.0))
+    assert(math.abs(wt("a") - 2.0) < 1e-12 &&
+      math.abs(wt("b") - 2.0) < 1e-12, s"got $wt")
+    // temperatureMix output conserves the upsample contract: every copy
+    // index dense from 0, strata never seen -> impossible by construction
+    val mixed = Corpus.temperatureMix(df, "lang", 0.5, salt = "tm")
+    assert(mixed.groupBy("doc_id").agg(max("copy").as("m"), count(lit(1)).as("c"))
+      .where(col("m") =!= col("c") - 1).count() == 0)
+  }
+
   test("upsample replicates by weight with exact copy counts") {
     val weights = Map("en" -> 2.5, "de" -> 0.4, "zh" -> 1.0)
     val up = Corpus.upsample(docs, "lang", weights, defaultWeight = 0.0,
