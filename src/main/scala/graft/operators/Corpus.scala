@@ -246,13 +246,18 @@ object Corpus {
     * observed strata, realized by [[upsample]]'s exact integer
     * whole-copies + hash-Bernoulli fraction. Strata unseen at weighing
     * time drop (defaultWeight 0) — the weights are a closed set by
-    * construction.
+    * construction. Pass `weights` to reuse a table you already computed
+    * (e.g. for an oracle stash): computing it twice runs the aggregation
+    * job twice AND risks a last-ulp difference between two collect-order-
+    * dependent float sums flipping a micro-rounding boundary.
     */
   def temperatureMix(docs: DataFrame, strataCol: String, alpha: Double,
       weightCol: Option[String] = None, targetTotal: Option[Double] = None,
-      keyCol: String = "doc_id", salt: String = ""): DataFrame =
+      keyCol: String = "doc_id", salt: String = "",
+      weights: Option[Map[String, Double]] = None): DataFrame =
     upsample(docs, strataCol,
-      temperatureWeights(docs, strataCol, alpha, weightCol, targetTotal),
+      weights.getOrElse(
+        temperatureWeights(docs, strataCol, alpha, weightCol, targetTotal)),
       defaultWeight = 0.0, keyCol = keyCol, salt = salt)
 
   /** End-to-end deterministic training-mix construction — the composition

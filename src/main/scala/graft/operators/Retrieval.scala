@@ -213,40 +213,59 @@ object Retrieval {
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     graft.plans.NativeHash48.register(spark)
     val statsOld = spark.read.parquet(s"$dir/stats")
-    val nBuckets = statsOld.select(col("n_buckets")).head().getInt(0)
+    // one metadata row read ONCE: three separate head() jobs would rescan
+    val meta = statsOld.select(col("n_buckets"), col("n_docs"), col("sum_dl"))
+      .head()
+    val nBuckets = meta.getInt(0)
+    // persist the tokenized batch: it feeds FOUR jobs (postings write,
+    // doclens write, df aggregation, totals), and an unpinned
+    // nondeterministic source (sample(), an uncached shuffle) would
+    // otherwise desync the written postings from the merged stats — the
+    // writeLshRows discipline
     val docsTok = newDocs.select(col(idCol).as("doc_id"),
-      nonEmptyTokens(col(textCol)).as("__toks"))
+        nonEmptyTokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), col("__toks"),
         size(col("__toks")).cast("long").as("dl"))
-    val postings = docsTok
-      .select(col("doc_id"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
-    postings.repartition(col("bucket")).write.mode("append")
-      .partitionBy("bucket").parquet(s"$dir/postings")
-    docsTok.select(col("doc_id"), col("dl")).write.mode("append")
-      .parquet(s"$dir/doclens")
-    // additive stats merge: old per-term rows + the batch's, df summed,
-    // n_docs/sum_dl totals recomputed once and stamped on every row
-    val dfNew = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val batchTotals = docsTok.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
-    val nDocs = statsOld.select(col("n_docs")).head().getLong(0) +
-      batchTotals.getLong(0)
-    val sumDl = statsOld.select(col("sum_dl")).head().getLong(0) +
-      batchTotals.getLong(1)
-    val merged = statsOld.select(col("term"), col("df"))
-      .unionByName(dfNew)
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .withColumn("n_docs", lit(nDocs))
-      .withColumn("sum_dl", lit(sumDl))
-      .withColumn("n_buckets", lit(nBuckets))
-    merged.write.mode("overwrite").parquet(s"$dir/stats.next")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val postings = docsTok
+        .select(col("doc_id"), explode(col("__toks")).as("term"))
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        postings.repartition(col("bucket")).write.mode("append")
+          .partitionBy("bucket").parquet(s"$dir/postings")
+        docsTok.select(col("doc_id"), col("dl")).write.mode("append")
+          .parquet(s"$dir/doclens")
+        // additive stats merge: old per-term rows + the batch's, df
+        // summed, n_docs/sum_dl totals recomputed once and stamped on
+        // every row
+        val dfNew = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val batchTotals = docsTok.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+        val nDocs = meta.getLong(1) + batchTotals.getLong(0)
+        val sumDl = meta.getLong(2) + batchTotals.getLong(1)
+        val merged = statsOld.select(col("term"), col("df"))
+          .unionByName(dfNew)
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .withColumn("n_docs", lit(nDocs))
+          .withColumn("sum_dl", lit(sumDl))
+          .withColumn("n_buckets", lit(nBuckets))
+        merged.write.mode("overwrite").parquet(s"$dir/stats.next")
+      } finally postings.unpersist()
+    } finally docsTok.unpersist()
+    // swap AFTER stats.next is fully written; both filesystem ops checked
+    // — a silently failed rename would brick every later searchIndex
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
     val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    fs.delete(stats, true)
-    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats.next"), stats)
+    require(fs.delete(stats, true),
+      s"appendToIndex: could not delete $stats for the swap")
+    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats.next"), stats),
+      s"appendToIndex: rename $dir/stats.next -> $stats failed; " +
+        "the index has NO stats directory — restore stats.next manually")
     ()
   }
 

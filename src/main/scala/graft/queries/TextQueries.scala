@@ -236,10 +236,13 @@ object TextQueries {
     // (doc, lang, copy) assignment hash-checks.
     "q92_temperature_mix" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      tempMixStash.set(graft.operators.Corpus
-        .temperatureWeights(docs, "lang", 0.5)
-        .map { case (k, v) => k -> math.round(v * 1000000.0) })
-      graft.operators.Corpus.temperatureMix(docs, "lang", 0.5, salt = "temp")
+      // weights computed ONCE and threaded into the mix: a recompute
+      // would run the aggregation twice and could differ in the last ulp
+      // from the stashed literals at a micro-rounding boundary
+      val w = graft.operators.Corpus.temperatureWeights(docs, "lang", 0.5)
+      tempMixStash.set(w.map { case (k, v) => k -> math.round(v * 1000000.0) })
+      graft.operators.Corpus.temperatureMix(docs, "lang", 0.5, salt = "temp",
+          weights = Some(w))
         .select(col("doc_id"), col("lang"), col("copy"))
         .orderBy("doc_id", "copy")
     }),

@@ -430,7 +430,12 @@ object StreamingOps {
     * batch), probed against the saved inverted lists for near-dups of
     * already-accepted vectors, and the survivors are appended to the
     * index (assigned by the FROZEN saved centroids) and to the vector
-    * corpus sink — so tomorrow's batch sees them. Caller configures
+    * corpus sink — so tomorrow's batch sees them. At-least-once like
+    * [[ingestWithDedup]]: a replayed micro-batch re-appends its survivors
+    * under their ORIGINAL ids (the probe's self-match exclusion means a
+    * row never drops against its own earlier append), so the lists and
+    * corpus carry duplicate rows for that batch until compacted.
+    * Exactly-once needs a caller-side batchId ledger. Caller configures
     * trigger/checkpoint and calls `start()`.
     */
   def ingestVectors(stream: DataFrame, indexDir: String, corpusDir: String,
@@ -477,7 +482,12 @@ object StreamingOps {
     * full ingested corpus. Because the append is provably equivalent to a
     * one-shot build on the union (the q91 identity), the stream's final
     * index is bit-identical to batch-building over everything it ingested
-    * — regardless of micro-batch boundaries. The index must be seeded by
+    * — micro-batch BOUNDARIES don't matter. Micro-batch REPLAY does: the
+    * append is not idempotent (the [[ingestWithDedup]] at-least-once
+    * caveat), so a crash between the append and the checkpoint commit
+    * re-delivers a batch and double-counts its postings and stats on
+    * restart. Exactly-once needs a batchId ledger the caller checks in
+    * its own foreachBatch wrapper. The index must be seeded by
     * [[graft.operators.Retrieval.buildIndex]] on a NONEMPTY initial
     * corpus first (the stats table, which carries the frozen bucket
     * count, has one row per term). Caller configures trigger/checkpoint

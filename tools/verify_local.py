@@ -60,15 +60,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             results[name] = f"ORACLE-SQL-ERROR {e}"
             continue
         g, e = canon(got), canon(exp)
+        if list(g.columns) != list(e.columns):
+            results[name] = f"SCHEMA-MISMATCH got={list(g.columns)} exp={list(e.columns)}"
+            continue
         # Type-strict: the driver's hash is representation-sensitive, so a
         # DuckDB HUGEINT (pandas float64/object) vs Spark int64 must FAIL
         # here too, even when every value is numerically equal (the exact
         # q74/q77 round-10/11 failure mode that check_dtype=False masked).
+        # Computed only AFTER the schema check (identical column sets) and
+        # on empty frames too — parquet/DuckDB columns carry dtypes at 0
+        # rows.
         dt_bad = [c for c in g.columns
-                  if len(g) and str(g[c].dtype) != str(e[c].dtype)]
-        if list(g.columns) != list(e.columns):
-            results[name] = f"SCHEMA-MISMATCH got={list(g.columns)} exp={list(e.columns)}"
-        elif len(g) != len(e):
+                  if str(g[c].dtype) != str(e[c].dtype)]
+        if len(g) != len(e):
             results[name] = f"ROWCOUNT-MISMATCH got={len(g)} exp={len(e)}"
         elif dt_bad:
             results[name] = "DTYPE-MISMATCH " + "; ".join(
