@@ -595,6 +595,18 @@ object Dedup {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
+  /** Compact the saved band and shingle tables (see
+    * [[graft.operators.Similarity.compactIvfIndex]] — same maintenance
+    * rationale: every [[appendToLshIndex]] adds a file per touched band).
+    * Row-identical by default; `dedupeRows = true` repairs at-least-once
+    * replays (byte-identical re-appended rows).
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dedupeRows: Boolean = false): Unit = {
+    IndexFiles.compact(spark, dir, "bands", Some("band"), dedupeRows)
+    IndexFiles.compact(spark, dir, "shingles", None, dedupeRows)
+  }
+
   /** Probe a persisted index with a new batch: every (batch doc, indexed
     * doc) candidate pair from band-bucket collisions, verified with exact
     * shingle-set Jaccard. Output: (batch_id, dup_of, jaccard) — ALL

@@ -269,6 +269,32 @@ object Retrieval {
     ()
   }
 
+  /** Compact the postings and doclens tables (see
+    * [[graft.operators.Similarity.compactIvfIndex]] — every
+    * [[appendToIndex]] adds a file per touched bucket). Row-identical by
+    * default. `dedupeRows = true` repairs an at-least-once replay: the
+    * byte-identical re-appended rows drop AND the stats table — which the
+    * replay double-counted — is rebuilt from the compacted postings and
+    * doclens, restoring exactly a clean build's df/n_docs/sum_dl.
+    */
+  def compactIndex(spark: SparkSession, dir: String,
+      dedupeRows: Boolean = false): Unit = {
+    IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows)
+    IndexFiles.compact(spark, dir, "doclens", None, dedupeRows)
+    if (dedupeRows) {
+      val nBuckets = spark.read.parquet(s"$dir/stats")
+        .select(col("n_buckets")).head().getInt(0)
+      val dfreq = spark.read.parquet(s"$dir/postings")
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val totals = spark.read.parquet(s"$dir/doclens")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
+        .write.mode("overwrite").parquet(s"$dir/stats.next")
+      IndexFiles.swapDir(spark, s"$dir/stats.next", s"$dir/stats")
+    }
+  }
+
   /** BM25 over a persisted index: the query batch's terms resolve to
     * their hash buckets, a static `bucket IN (...)` filter prunes the
     * postings scan to those partitions (the IVF static-pruning

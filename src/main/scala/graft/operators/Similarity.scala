@@ -153,6 +153,18 @@ object Similarity {
       s"$dir/lists", mode = "append")
   }
 
+  /** Compact the saved inverted lists back to one file per cell — the
+    * maintenance pass a daily-append index needs (each [[appendToIvfIndex]]
+    * adds a file per touched cell; after hundreds of appends the
+    * partition-pruned probe pays file-listing/open overhead instead of
+    * winning by it). Row-identical by default; `dedupeRows = true`
+    * additionally drops byte-identical duplicate rows — the repair for
+    * an at-least-once streaming replay that re-appended a micro-batch.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dedupeRows: Boolean = false): Unit =
+    IndexFiles.compact(spark, dir, "lists", Some("cell"), dedupeRows)
+
   /** Batch-vs-persisted-index embedding near-dup matches — the vector
     * analog of [[graft.operators.Dedup.matchesAgainstLshIndex]]: each
     * batch vector's ANN nearest neighbor over the saved inverted lists

@@ -354,6 +354,32 @@ class LshIndexSpec extends AnyFunSuite {
     assert(got == Set((200L, 2L)), s"got $got")
   }
 
+  test("compactLshIndex: fewer files, identical probes; replay repair") {
+    val docs = corpus(42)
+    val idxSide = docs.where(col("doc_id") % 3 =!= 0)
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val dir = tmpDir("lshcpt")
+    Dedup.saveLshIndex(idxSide.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", dir)
+    val appended = idxSide.where(col("doc_id") % 2 === 1)
+    Dedup.appendToLshIndex(spark, dir, appended)
+    def probe() = Dedup.matchesAgainstLshIndex(spark, dir, batch,
+        maxBucket = None)
+      .select(col("batch_id"), col("dup_of"),
+        round(col("jaccard") * 1000).cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    val before = probe()
+    val filesBefore = graft.operators.IndexFiles.dataFileCount(s"$dir/bands")
+    Dedup.compactLshIndex(spark, dir)
+    assert(graft.operators.IndexFiles.dataFileCount(s"$dir/bands") < filesBefore,
+      "compaction must shrink the bands file count")
+    assert(probe() == before, "layout compaction changed probe results")
+    // replay the appended half, repair with dedupeRows — probes identical
+    Dedup.appendToLshIndex(spark, dir, appended)
+    Dedup.compactLshIndex(spark, dir, dedupeRows = true)
+    assert(probe() == before, "replay repair diverged")
+  }
+
   test("dedupBatchAgainstLshIndex keeps exactly the unmatched batch docs") {
     val docs = corpus(99)
     val idxSide = docs.where(col("doc_id") % 3 =!= 0)

@@ -778,6 +778,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(bothHalves > 0, "fixture must exercise the df-merge path")
   }
 
+  test("compactIndex: one file per bucket, identical serve; replay repair") {
+    val docs = graft.queries.Common.table(spark,
+      "/root/testdata/sf0.001", "documents")
+    val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    val qs = Seq("qa" -> Seq("spark", "join"), "qb" -> Seq("window", "scan"))
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    import graft.operators.IndexFiles
+    val dir = java.nio.file.Files.createTempDirectory("retr_cpt").toString
+    Retrieval.buildIndex(docs.where(col("doc_id") <= half), dir, nBuckets = 16)
+    val batch = docs.where(col("doc_id") > half)
+    Retrieval.appendToIndex(spark, dir, batch)
+    val before = key(Retrieval.searchIndex(spark, dir, qs, k = 10))
+    val filesBefore = IndexFiles.dataFileCount(s"$dir/postings")
+    Retrieval.compactIndex(spark, dir)
+    assert(IndexFiles.dataFileCount(s"$dir/postings") < filesBefore,
+      "compaction must shrink the postings file count")
+    assert(key(Retrieval.searchIndex(spark, dir, qs, k = 10)) == before,
+      "layout compaction changed serve results")
+    // at-least-once replay: the SAME batch appended again double-counts
+    // postings and stats; compactIndex(dedupeRows = true) must restore
+    // exactly the pre-replay index (results AND stats)
+    Retrieval.appendToIndex(spark, dir, batch)
+    Retrieval.compactIndex(spark, dir, dedupeRows = true)
+    assert(key(Retrieval.searchIndex(spark, dir, qs, k = 10)) == before,
+      "replay repair diverged from the pre-replay serve results")
+    val clean = java.nio.file.Files.createTempDirectory("retr_cln").toString
+    Retrieval.buildIndex(docs, clean, nBuckets = 16)
+    val sG = spark.read.parquet(s"$dir/stats")
+      .select("term", "df", "n_docs", "sum_dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val sC = spark.read.parquet(s"$clean/stats")
+      .select("term", "df", "n_docs", "sum_dl").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(sG == sC, "repaired stats differ from a clean build's")
+  }
+
   test("streamed indexing converges to the one-shot build (indexDocuments)") {
     val root = java.nio.file.Files.createTempDirectory("graft-sidx-").toString
     val seed = Seq((0L, "alpha beta gamma"), (1L, "beta delta"))

@@ -252,6 +252,35 @@ class IvfSpec extends AnyFunSuite {
     assert(grown.centroids == idx.centroids, "append must not move centroids")
   }
 
+  test("compactIvfIndex: fewer files, identical probes; replay repair") {
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.where(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cpt").toString
+    Similarity.saveIvfIndex(
+      Similarity.buildIvfIndex(e.where(col("vec_id") < 50), 8, 64), dir)
+    val appended = e.where(col("vec_id") >= 50)
+    Similarity.appendToIvfIndex(spark, dir, appended)
+    def rows() = Similarity.probeIvf(Similarity.loadIvfIndex(spark, dir),
+        q, 5, nProbe = 8)
+      .select(col("q_id"), col("vec_id"), col("rank"),
+        round(col("cosine") * 1e6).cast("long").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val before = rows()
+    val filesBefore = graft.operators.IndexFiles.dataFileCount(s"$dir/lists")
+    Similarity.compactIvfIndex(spark, dir)
+    assert(graft.operators.IndexFiles.dataFileCount(s"$dir/lists") < filesBefore,
+      "compaction must shrink the lists file count")
+    assert(rows() == before, "layout compaction changed probe results")
+    // at-least-once replay of the appended half, then the dedupe repair:
+    // row multiset restored exactly (count AND probe results)
+    Similarity.appendToIvfIndex(spark, dir, appended)
+    Similarity.compactIvfIndex(spark, dir, dedupeRows = true)
+    assert(Similarity.loadIvfIndex(spark, dir).lists.count() == e.count(),
+      "dedupe repair must restore one row per corpus vector")
+    assert(rows() == before, "replay repair diverged")
+  }
+
   test("loadIvfIndex rejects a centroid table with a missing cell") {
     import spark.implicits._
     val bad = java.nio.file.Files.createTempDirectory("ivf_bad").toString
