@@ -615,6 +615,14 @@ object Similarity {
     writeCodebooks(spark, index.cb, s"$dir/codebooks")
   }
 
+  /** Compact the composite index's code lists (see [[compactIvfIndex]] —
+    * same maintenance rationale; centroids/codebooks are single tiny
+    * files). `dedupeRows = true` repairs an at-least-once replay.
+    */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dedupeRows: Boolean = false): Unit =
+    IndexFiles.compact(spark, dir, "lists", Some("cell"), dedupeRows)
+
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqIndex =
     IvfPqIndex(readCentroids(spark, s"$dir/centroids"),

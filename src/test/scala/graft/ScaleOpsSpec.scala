@@ -425,6 +425,30 @@ class IvfPqSpec extends AnyFunSuite {
     }
   }
 
+  test("compactIvfPqIndex: fewer files, identical probes; replay repair") {
+    val q = e.where(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_cpt").toString
+    Similarity.saveIvfPqIndex(Similarity.buildIvfPq(
+      e.where(col("vec_id") < 50), nCells = 8, dim = 64, m = 8,
+      ksub = 16, iters = 1), dir)
+    val appended = e.where(col("vec_id") >= 50)
+    Similarity.appendToIvfPqIndex(spark, dir, appended)
+    def probe() = rows(Similarity.probeIvfPq(
+      Similarity.loadIvfPqIndex(spark, dir), q, e, 5, nProbe = 8,
+      shortlist = Int.MaxValue))
+    val before = probe()
+    val filesBefore = graft.operators.IndexFiles.dataFileCount(s"$dir/lists")
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(graft.operators.IndexFiles.dataFileCount(s"$dir/lists") < filesBefore,
+      "compaction must shrink the code-list file count")
+    assert(probe() == before, "layout compaction changed probe results")
+    Similarity.appendToIvfPqIndex(spark, dir, appended) // replay
+    Similarity.compactIvfPqIndex(spark, dir, dedupeRows = true)
+    assert(Similarity.loadIvfPqIndex(spark, dir).lists.count() == e.count(),
+      "dedupe repair must restore one code row per corpus vector")
+    assert(probe() == before, "replay repair diverged")
+  }
+
   test("saved/loaded IVF-PQ index probes identically and prunes partitions") {
     val q = e.where(col("vec_id") < 4)
     val idx = Similarity.buildIvfPq(e, nCells = 8, dim = 64, m = 8, ksub = 16)
