@@ -33,10 +33,7 @@ private[graft] object IndexFiles {
     val df0 = spark.read.parquet(live)
     val df = if (dedupeRows) df0.distinct() else df0
     val writer = partitionBy match {
-      case Some(p) =>
-        // cast the partition column back from its directory-string form
-        // is unnecessary: partitionBy rewrites the same directory keys
-        df.repartition(col(p)).write.partitionBy(p)
+      case Some(p) => df.repartition(col(p)).write.partitionBy(p)
       case None => df.coalesce(flatFiles).write
     }
     writer.mode("overwrite").parquet(next)

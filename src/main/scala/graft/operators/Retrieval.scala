@@ -169,18 +169,34 @@ object Retrieval {
     * their partition key exactly as `cell` is the IVF lists'. Building is
     * one tokenize + one explode-groupBy pass over the corpus.
     */
+  /** (doc_id, __toks, dl) for the index writers — one tokenize pass. */
+  private def tokenizedDocs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        nonEmptyTokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+
+  /** (term, doc_id, tf, bucket) posting rows under the given modulus. */
+  private def postingsOf(docsTok: DataFrame, nBuckets: Int): DataFrame =
+    docsTok
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
+
+  /** The stats table shape: one row per term (df) stamped with the corpus
+    * totals and the frozen bucket modulus.
+    */
+  private def statsOf(dfreq: DataFrame, totals: DataFrame,
+      nBuckets: Int): DataFrame =
+    dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
+
   def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
     graft.plans.NativeHash48.register(docs.sparkSession)
-    val docsTok = docs.select(col(idCol).as("doc_id"),
-      nonEmptyTokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("__toks"),
-        size(col("__toks")).cast("long").as("dl"))
-    val postings = docsTok
-      .select(col("doc_id"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
+    val docsTok = tokenizedDocs(docs, idCol, textCol)
+    val postings = postingsOf(docsTok, nBuckets)
     // repartition on the partition column: each bucket lands in one task,
     // one file per bucket directory (the writeLists discipline)
     postings.repartition(col("bucket")).write.mode("overwrite")
@@ -188,9 +204,9 @@ object Retrieval {
     docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
       .parquet(s"$dir/doclens")
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docsTok.agg(count(lit(1)).as("n_docs"),
+    val totals = docsTok.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
-    dfreq.crossJoin(stats).withColumn("n_buckets", lit(nBuckets))
+    statsOf(dfreq, totals, nBuckets)
       .write.mode("overwrite").parquet(s"$dir/stats")
   }
 
@@ -222,17 +238,10 @@ object Retrieval {
     // nondeterministic source (sample(), an uncached shuffle) would
     // otherwise desync the written postings from the merged stats — the
     // writeLshRows discipline
-    val docsTok = newDocs.select(col(idCol).as("doc_id"),
-        nonEmptyTokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("__toks"),
-        size(col("__toks")).cast("long").as("dl"))
+    val docsTok = tokenizedDocs(newDocs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val postings = docsTok
-        .select(col("doc_id"), explode(col("__toks")).as("term"))
-        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-        .withColumn("bucket",
-          pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
+      val postings = postingsOf(docsTok, nBuckets)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         postings.repartition(col("bucket")).write.mode("append")
@@ -256,17 +265,8 @@ object Retrieval {
         merged.write.mode("overwrite").parquet(s"$dir/stats.next")
       } finally postings.unpersist()
     } finally docsTok.unpersist()
-    // swap AFTER stats.next is fully written; both filesystem ops checked
-    // — a silently failed rename would brick every later searchIndex
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val stats = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    require(fs.delete(stats, true),
-      s"appendToIndex: could not delete $stats for the swap")
-    require(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/stats.next"), stats),
-      s"appendToIndex: rename $dir/stats.next -> $stats failed; " +
-        "the index has NO stats directory — restore stats.next manually")
-    ()
+    // swap AFTER stats.next is fully written (checked delete+rename)
+    IndexFiles.swapDir(spark, s"$dir/stats.next", s"$dir/stats")
   }
 
   /** Compact the postings and doclens tables (see
@@ -289,7 +289,7 @@ object Retrieval {
       val totals = spark.read.parquet(s"$dir/doclens")
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
+      statsOf(dfreq, totals, nBuckets)
         .write.mode("overwrite").parquet(s"$dir/stats.next")
       IndexFiles.swapDir(spark, s"$dir/stats.next", s"$dir/stats")
     }
