@@ -41,7 +41,7 @@ object Dedup {
     */
   final class CacheScope {
     private val frames = new scala.collection.mutable.ArrayBuffer[DataFrame]()
-    private[Dedup] def track(df: DataFrame): DataFrame = {
+    private[graft] def track(df: DataFrame): DataFrame = {
       val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       frames.synchronized { frames += p }
       p

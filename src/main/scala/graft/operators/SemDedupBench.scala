@@ -74,8 +74,9 @@ object SemDedupBench {
       // cost point for the COPY-dedup question — unlike top-k search,
       // where nProbe buys ranking recall. Probe work scales linearly in
       // nProbe (each probe joins the query against one more cell's list).
+      val probeScope = new Dedup.CacheScope
       val survivors = Similarity.dedupBatchAgainstIvfIndex(spark, dir,
-          batch, cosineThreshold = 0.999, nProbe = 2)
+          batch, cosineThreshold = 0.999, nProbe = 2, scope = probeScope)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nSurv = survivors.count()
       val probeSecs = (System.nanoTime() - t1) / 1e9
@@ -83,6 +84,7 @@ object SemDedupBench {
       val t2 = System.nanoTime()
       Similarity.appendToIvfIndex(spark, dir, survivors)
       val appendSecs = (System.nanoTime() - t2) / 1e9
+      probeScope.release()
       survivors.unpersist(); batch.unpersist(); clean.unpersist(blocking = true)
       if (plantedSurvived > 0) {
         System.err.println(

@@ -168,17 +168,19 @@ object Similarity {
   /** Batch-vs-persisted-index embedding near-dup matches — the vector
     * analog of [[graft.operators.Dedup.matchesAgainstLshIndex]]: each
     * batch vector's ANN nearest neighbor over the saved inverted lists
-    * (static cell pruning via [[probeIvf]]; the batch rides probeIvf's
-    * bounded collect-and-broadcast contract, which is exactly the
-    * daily-ingest shape). A batch id colliding with an indexed id is
-    * treated as the same vector and never matches itself. Output:
-    * (batch_id, dup_of, cosine) — top-1 per batch vector; threshold
-    * downstream ([[dedupBatchAgainstIvfIndex]]).
+    * (static cell pruning via [[probeIvf]]; the batch stays a distributed
+    * frame, so an arbitrarily large daily-ingest batch never transits the
+    * driver). A batch id colliding with an indexed id is treated as the
+    * same vector and never matches itself. Output: (batch_id, dup_of,
+    * cosine) — top-1 per batch vector; threshold downstream
+    * ([[dedupBatchAgainstIvfIndex]]).
     */
   def matchesAgainstIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, nProbe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    probeIvf(loadIvfIndex(spark, dir), batch, k = 1, nProbe, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: Dedup.CacheScope = Dedup.sessionScope): DataFrame =
+    probeIvf(loadIvfIndex(spark, dir), batch, k = 1, nProbe, idCol, vecCol,
+        scope)
       .select(col("q_id").as("batch_id"), col("vec_id").as("dup_of"),
         col("cosine"))
 
@@ -192,7 +194,8 @@ object Similarity {
   def dedupBatchAgainstIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, batch: DataFrame, cosineThreshold: Double = 0.99,
       nProbe: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      scope: Dedup.CacheScope = Dedup.sessionScope): DataFrame = {
     // EXISTENCE probe, not top-1: a batch vector drops iff ANY probed
     // candidate reaches the threshold, which is exactly "ANN top-1 >=
     // threshold" over the same candidate set — but as a filter + distinct
@@ -201,7 +204,7 @@ object Similarity {
     // |probed lists| rows; on the 100k-vector bench this is the
     // difference between 21.8 s and ~2 s for a 10.9k-vector batch).
     val dups = probeCandidates(loadIvfIndex(spark, dir), batch, nProbe,
-        idCol, vecCol)
+        idCol, vecCol, scope)
       .where(graft.plans.NativeDot.cosineCol(spark,
         col("q_vec"), col("c_vec")) >= cosineThreshold)
       .select(col("q_id").as(idCol)).distinct()
@@ -248,21 +251,24 @@ object Similarity {
   /** Probe a built/loaded index: each query searches its nProbe closest
     * cells (multi-probe), exact cosine within them.
     *
-    * The probed cell set is computed up front with one tiny job (bounded
-    * by the broadcast contract on the query side: <= nQueries x nProbe
-    * ints) and pushed as a STATIC `cell IN (...)` partition filter on the
-    * inverted lists — a loaded index's probe lists and reads only those
-    * cells' files at scan planning time, with no reliance on the dynamic-
-    * partition-pruning planner heuristics (AQE drops DPP when it judges
-    * the broadcast non-reusable, which would silently regress the probe
-    * to a full index scan).
+    * The probed cell set is computed up front with one tiny job (the
+    * collect is the DISTINCT cell ids only — bounded by nCells, never by
+    * the batch size) and pushed as a STATIC `cell IN (...)` partition
+    * filter on the inverted lists — a loaded index's probe lists and
+    * reads only those cells' files at scan planning time, with no
+    * reliance on the dynamic-partition-pruning planner heuristics (AQE
+    * drops DPP when it judges the broadcast non-reusable, which would
+    * silently regress the probe to a full index scan).
     *
-    * EAGER in the query batch: the exploded (q_id, q_vec, cell) frame is
-    * collected ONCE and both the partition filter and the broadcast join
-    * side derive from those same rows — evaluating `queries` twice would
-    * let a non-deterministic source (sample/rand/an uncached shuffle)
-    * produce a collected cell set that disagrees with the join's cells
-    * and silently drop probe cells. The candidate-side plan stays lazy.
+    * The query batch itself stays DISTRIBUTED: the exploded (q_id, q_vec,
+    * cell) frame is persisted (materialized ONCE by the cell-id collect,
+    * so a non-deterministic source — sample/rand/an uncached shuffle —
+    * cannot produce a cell filter that disagrees with the join's cells)
+    * and joined as a DataFrame, with AQE choosing broadcast for the
+    * serve-sized batch and a shuffled join for a corpus-sized ingest
+    * batch — the same shape as [[graft.operators.Dedup.matchesAgainstLshIndex]],
+    * so a 100-TB pipeline's daily batch never rides through the driver.
+    * The candidate-side plan stays lazy.
     */
   /** The exploded (q_id, q_vec, cell) probe frame [[probeIvf]] joins —
     * exposed so tests can recompute the exact probed-cell set and hold
@@ -286,33 +292,39 @@ object Similarity {
   }
 
   /** The (cell, vec_id, c_vec, q_id, q_vec) candidate rows a probe
-    * scores: the query batch exploded to its nProbe cells (collected once
-    * — the bounded broadcast contract), statically pruned lists, the cell
-    * equi-join, self-matches excluded. Shared by [[probeIvf]] (rank on
-    * top) and [[dedupBatchAgainstIvfIndex]] (threshold filter on top —
-    * IDENTICAL candidate set, so "any candidate >= threshold" there is
-    * provably "top-1 >= threshold" here).
+    * scores: the query batch exploded to its nProbe cells (persisted —
+    * one materialization feeds both the cell-id collect and the join),
+    * statically pruned lists, the cell equi-join, self-matches excluded.
+    * Shared by [[probeIvf]] (rank on top) and
+    * [[dedupBatchAgainstIvfIndex]] (threshold filter on top — IDENTICAL
+    * candidate set, so "any candidate >= threshold" there is provably
+    * "top-1 >= threshold" here). The persisted batch frame is tracked in
+    * `scope`; the caller releases it after its sink materializes.
     */
   private def probeCandidates(index: IvfIndex, queries: DataFrame,
-      nProbe: Int, idCol: String, vecCol: String): DataFrame = {
-    val spark = queries.sparkSession
-    val qExploded = probeCells(index, queries, nProbe, idCol, vecCol)
-    val qRows = qExploded.collect()
-    val q = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(qRows: _*), qExploded.schema))
-    val probedCells = qRows.map(_.getInt(2)).distinct
+      nProbe: Int, idCol: String, vecCol: String,
+      scope: Dedup.CacheScope): DataFrame = {
+    val qExploded = scope.track(
+      probeCells(index, queries, nProbe, idCol, vecCol))
+    // the ONLY collect: distinct probed cell ids, bounded by nCells —
+    // this action also materializes the persisted batch frame, freezing a
+    // non-deterministic source before the join reads it
+    val probedCells = qExploded.select("cell").distinct()
+      .collect().map(_.getInt(0))
     // skip the IN filter on a probe-all batch (e.g. the q56c identity),
     // where it prunes nothing and only costs plan/codegen surface
     val lists =
       if (probedCells.length < index.centroids.size)
         index.lists.where(col("cell").isin(probedCells.map(Int.box).toSeq: _*))
       else index.lists
-    lists.join(q, "cell").where(col("vec_id") =!= col("q_id"))
+    lists.join(qExploded, "cell").where(col("vec_id") =!= col("q_id"))
   }
 
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val scored = probeCandidates(index, queries, nProbe, idCol, vecCol)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: Dedup.CacheScope = Dedup.sessionScope): DataFrame = {
+    val scored = probeCandidates(index, queries, nProbe, idCol, vecCol,
+        scope)
       .withColumn("cosine", graft.plans.NativeDot.cosineCol(
         queries.sparkSession, col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("q_id"))
@@ -657,28 +669,28 @@ object Similarity {
   }
 
   /** Probe the composite index: nProbe closest cells per query (static
-    * `cell IN (...)` partition filter, same eager one-materialization
-    * contract as [[probeIvf]]), ADC-score the probed cells' codes, keep
-    * the top `shortlist` per query, exact-rerank those against the float
-    * vectors. With nProbe = nCells and an unbounded shortlist every
-    * candidate reaches the exact stage, so the result is identical to
-    * [[bruteForceTopK]] — the q56e oracle identity.
+    * `cell IN (...)` partition filter, same one-materialization contract
+    * as [[probeIvf]] — the batch stays a distributed persisted frame and
+    * only the distinct cell ids transit the driver), ADC-score the probed
+    * cells' codes, keep the top `shortlist` per query, exact-rerank those
+    * against the float vectors. With nProbe = nCells and an unbounded
+    * shortlist every candidate reaches the exact stage, so the result is
+    * identical to [[bruteForceTopK]] — the q56e oracle identity.
     *
     * `candidates` supplies float vectors for the rerank only; the scan
     * over it is a shortlist-sized semi-join, not a corpus pass.
     */
   def probeIvfPq(index: IvfPqIndex, queries: DataFrame,
       candidates: DataFrame, k: Int, nProbe: Int = 3, shortlist: Int = 50,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = queries.sparkSession
-    val qExploded = probeCellsOf(index.centroids, queries, nProbe, idCol,
-      vecCol)
-    val qRows = qExploded.collect()
-    val q = broadcast(spark.createDataFrame(
-        java.util.Arrays.asList(qRows: _*), qExploded.schema)
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      scope: Dedup.CacheScope = Dedup.sessionScope): DataFrame = {
+    val qExploded = scope.track(probeCellsOf(index.centroids, queries,
+      nProbe, idCol, vecCol))
+    val q = qExploded
       .select(col("q_id"), col("cell"),
-        adcTable(index.cb, col("q_vec")).as("tbl")))
-    val probedCells = qRows.map(_.getInt(2)).distinct
+        adcTable(index.cb, col("q_vec")).as("tbl"))
+    val probedCells = qExploded.select("cell").distinct()
+      .collect().map(_.getInt(0))
     val lists =
       if (probedCells.length < index.centroids.size)
         index.lists.where(col("cell").isin(probedCells.map(Int.box).toSeq: _*))

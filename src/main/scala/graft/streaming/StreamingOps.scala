@@ -456,8 +456,9 @@ object StreamingOps {
       corpusDir: String, cosineThreshold: Double = 0.99,
       selfDedupK: Int = 8, nProbe: Int = 3, idCol: String = "vec_id",
       vecCol: String = "embedding"): Unit = {
-    import graft.operators.Similarity
+    import graft.operators.{Dedup, Similarity}
     val spark = batch.sparkSession
+    val scope = new Dedup.CacheScope
     // in-batch SemDeDup first (two near-dups arriving together would both
     // survive an index-only probe), then the index probe; survivors feed
     // two writes, so persist
@@ -466,12 +467,15 @@ object StreamingOps {
       .select(col("id").as(idCol))
     val survivors = Similarity.dedupBatchAgainstIvfIndex(spark, indexDir,
         batch.join(keptIds, Seq(idCol), "left_semi"),
-        cosineThreshold, nProbe, idCol, vecCol)
+        cosineThreshold, nProbe, idCol, vecCol, scope)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Similarity.appendToIvfIndex(spark, indexDir, survivors, idCol, vecCol)
       survivors.write.mode("append").parquet(corpusDir)
-    } finally survivors.unpersist()
+    } finally {
+      survivors.unpersist()
+      scope.release()
+    }
   }
 
   /** Streaming DOCUMENT INDEXING into a persisted BM25 inverted index:

@@ -310,6 +310,28 @@ class IvfSpec extends AnyFunSuite {
       s"query ${r.get(0)} ranked ${r.getLong(1)} neighbors, expected 3"))
   }
 
+  test("probe batch side stays distributed (no driver round-trip)") {
+    // the 100-TB ingest contract: probeCandidates must not collect the
+    // query batch — the pre-round-13 shape re-entered the collected rows
+    // as a LocalTableScan (driver-held); the fixed shape joins the
+    // persisted exploded frame (an InMemoryTableScan in the executed
+    // plan) and collects only the distinct probed cell ids
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val idx = Similarity.buildIvfIndex(e, 8, 64)
+    val scope = new graft.operators.Dedup.CacheScope
+    try {
+      val probe = Similarity.probeIvf(idx, e.where(col("vec_id") < 6), 3,
+        nProbe = 2, scope = scope)
+      assert(probe.collect().nonEmpty)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"),
+        "query batch must not transit the driver:\n" + plan)
+      assert(plan.contains("InMemoryTableScan"),
+        "batch side should read the persisted exploded frame:\n" + plan)
+    } finally scope.release()
+  }
+
   test("saved/loaded IVF index probes identically and prunes partitions") {
     val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.where(col("vec_id") < 4)
@@ -395,6 +417,24 @@ class IvfPqSpec extends AnyFunSuite {
     assert(pruned.nonEmpty, "pruned probe returned nothing")
     val recall = (brute intersect pruned).size.toDouble / brute.size
     assert(recall > 0.2, s"IVF-PQ recall $recall too low")
+  }
+
+  test("IVF-PQ probe batch side stays distributed") {
+    // same contract as IvfSpec's driver-round-trip test: the shortlist
+    // join reads the persisted exploded batch, not driver-collected rows
+    val q = e.where(col("vec_id") < 6)
+    val idx = Similarity.buildIvfPq(e, nCells = 8, dim = 64, m = 8, ksub = 16)
+    val scope = new graft.operators.Dedup.CacheScope
+    try {
+      val probe = Similarity.probeIvfPq(idx, q, e, 3, nProbe = 2,
+        shortlist = 50, scope = scope)
+      assert(probe.collect().nonEmpty)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(!plan.contains("LocalTableScan"),
+        "query batch must not transit the driver:\n" + plan)
+      assert(plan.contains("InMemoryTableScan"),
+        "batch side should read the persisted exploded frame:\n" + plan)
+    } finally scope.release()
   }
 
   test("appending to a saved IVF-PQ index encodes with the frozen codebooks") {
