@@ -577,15 +577,18 @@ object Dedup {
 
   private def writeLshRows(docs: DataFrame, idCol: String, textCol: String,
       dir: String, k: Int, nBands: Int, shingleN: Int, mode: String): Unit = {
+    val spark = docs.sparkSession
     val sigs = signatures(docs, idCol, textCol, k, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       bands(sigs, idCol, k, nBands)
         .select(col("band"), col("bsig"), col(idCol).as("doc_id"))
         .repartition(col("band"), col("bsig"))
-        .write.mode(mode).partitionBy("band").parquet(s"$dir/bands")
+        .write.mode(mode).partitionBy("band")
+        .parquet(IndexFiles.tablePath(spark, dir, "bands"))
       sigs.select(col(idCol).as("doc_id"), col("shingles"))
-        .write.mode(mode).parquet(s"$dir/shingles")
+        .write.mode(mode)
+        .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
     } finally sigs.unpersist()
   }
 
@@ -636,7 +639,7 @@ object Dedup {
         .select(col("band"), col("bsig"), col(idCol).as("batch_id")),
       maxBucket)
     val iBands = pruneBuckets(
-      spark.read.parquet(s"$dir/bands")
+      spark.read.parquet(IndexFiles.tablePath(spark, dir, "bands"))
         .select(col("band").cast("int").as("band"), col("bsig"),
           col("doc_id").as("dup_of")),
       maxBucket)
@@ -645,7 +648,7 @@ object Dedup {
       .select("batch_id", "dup_of").distinct()
     val sa = bSigs.select(col(idCol).as("batch_id"),
       array_distinct(col("shingles")).as("__sa"))
-    val sb = spark.read.parquet(s"$dir/shingles")
+    val sb = spark.read.parquet(IndexFiles.tablePath(spark, dir, "shingles"))
       .select(col("doc_id").as("dup_of"),
         array_distinct(col("shingles")).as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))

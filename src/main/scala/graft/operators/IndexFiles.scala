@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Shared file-layout maintenance for the persisted index families (IVF
   * lists, LSH bands/shingles, BM25 postings/doclens). Every append path
@@ -9,49 +10,168 @@ import org.apache.spark.sql.functions._
   * ingest turns each `cell=`/`band=`/`bucket=` directory into hundreds of
   * small files — the listing/open overhead then dominates the
   * partition-pruned probes these layouts exist for. Compaction rewrites a
-  * table to one file per partition (row-identical by default) and swaps
-  * it in with the checked delete+rename of
-  * [[Retrieval.appendToIndex]]'s stats swap.
+  * table to one file per partition (row-identical by default) and cuts
+  * readers over with a ZERO-DOWNTIME versioned swap:
+  *
+  *  - a table `sub` lives at `<dir>/<sub>` when freshly saved (version 0,
+  *    the legacy layout) and at `<dir>/<sub>.v<N>` after N rewrites;
+  *  - `<dir>/<sub>.manifest` holds the live version number; read and
+  *    append paths resolve it via [[tablePath]];
+  *  - a rewrite writes the FULL next version first, then atomically
+  *    republishes the manifest ([[publishVersion]]), then deletes
+  *    versions older than the immediately-prior live one — so a reader
+  *    that resolved just before the cutover keeps a fully-intact table
+  *    for the whole compaction cycle, and EVERY crash window leaves a
+  *    readable, fully-written live table (the delete+rename swap this
+  *    replaces had both a reader outage window and a crash window that
+  *    lost the live table outright).
+  *
+  * Single-writer contract (unchanged from the append paths' existing
+  * semantics): appends and rewrites of one table must not run
+  * concurrently with each other; readers are lock-free.
   */
 private[graft] object IndexFiles {
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+
+  private def versionPath(dir: String, sub: String, v: Int): String =
+    if (v == 0) s"$dir/$sub" else s"$dir/$sub.v$v"
+
+  private def versionsOnDisk(fs: FileSystem, dir: String,
+      sub: String): Seq[Int] = {
+    val d = new Path(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(s"$sub.v"))
+      .flatMap(n => n.drop(sub.length + 2).toIntOption)
+  }
+
+  /** Live version of `sub` under `dir`: the manifest's value when present;
+    * else the highest `<sub>.v<N>` on disk (the publish crash window —
+    * the next version is always fully written before the manifest moves,
+    * so the highest on-disk version is safe to serve); else 0 (legacy
+    * unversioned layout).
+    */
+  private def liveVersion(fs: FileSystem, dir: String, sub: String): Int = {
+    val manifest = new Path(s"$dir/$sub.manifest")
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      try new String(in.readAllBytes,
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+      finally in.close()
+    } else versionsOnDisk(fs, dir, sub).maxOption.getOrElse(0)
+  }
+
+  /** The live directory of table `sub` under index `dir` — EVERY read and
+    * append path resolves through this (a freshly saved index resolves to
+    * the legacy `<dir>/<sub>`, so the layout is invisible until the first
+    * rewrite).
+    */
+  def tablePath(spark: SparkSession, dir: String, sub: String): String = {
+    val fs = fsFor(spark, dir)
+    versionPath(dir, sub, liveVersion(fs, dir, sub))
+  }
+
+  /** Write a replacement for table `sub` as its next version (the `write`
+    * callback receives the target directory) and publish it. The
+    * zero-downtime successor of the old delete+rename swap.
+    */
+  def writeNextVersion(spark: SparkSession, dir: String, sub: String)
+      (write: String => Unit): Unit = {
+    val fs = fsFor(spark, dir)
+    val next = liveVersion(fs, dir, sub) + 1
+    write(versionPath(dir, sub, next))
+    publishVersion(spark, dir, sub, next)
+  }
+
+  /** Cut readers over to version `v` (already fully written) and prune
+    * versions older than the immediately-prior live one. Crash windows:
+    * before the manifest tmp rename there is either the old manifest
+    * (old version stays live) or — between the delete and the rename —
+    * no manifest at all, in which case [[liveVersion]] falls back to the
+    * highest on-disk version, which is `v`, already complete. Either way
+    * a reader resolves a fully-written table.
+    */
+  private def publishVersion(spark: SparkSession, dir: String, sub: String,
+      v: Int): Unit = {
+    val fs = fsFor(spark, dir)
+    val prev = liveVersion(fs, dir, sub)
+    require(fs.exists(new Path(versionPath(dir, sub, v))),
+      s"publishVersion: $dir/$sub.v$v does not exist")
+    val manifest = new Path(s"$dir/$sub.manifest")
+    val tmp = new Path(s"$dir/$sub.manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(manifest)) fs.delete(manifest, false)
+    require(fs.rename(tmp, manifest),
+      s"publishVersion: rename $tmp -> $manifest failed")
+    // keep TWO prior versions: an in-flight reader that resolved just
+    // before this cutover survives not only this publish but a whole
+    // further compaction cycle (a reader slower than one rewrite would
+    // otherwise race the prune). Steady-state disk cost: 3 copies of the
+    // table, transient between rewrites.
+    (versionsOnDisk(fs, dir, sub) :+ 0)
+      .filter(o => o < prev - 1 && o != v).distinct
+      .foreach(o => fs.delete(new Path(versionPath(dir, sub, o)), true))
+  }
 
   /** Rewrite `sub` (a parquet table under `dir`) compacted: partitioned
     * tables repartition on `partitionBy` (one task -> one file per
     * partition, the writeLists discipline), unpartitioned ones coalesce
     * to `flatFiles`. `dedupeRows` drops full-row duplicates first — the
     * at-least-once replay repair (a replayed micro-batch re-appends
-    * byte-identical rows).
-    *
-    * The rewrite goes to `<sub>.next` and swaps in atomically-enough;
-    * readers racing the swap window fail loudly rather than read a mix.
+    * byte-identical rows). The rewrite lands as the next table version
+    * and cuts over with zero reader downtime (see the object doc).
     */
   def compact(spark: SparkSession, dir: String, sub: String,
       partitionBy: Option[String], dedupeRows: Boolean,
       flatFiles: Int = 4): Unit = {
-    val live = s"$dir/$sub"
-    val next = s"$dir/$sub.next"
+    val live = tablePath(spark, dir, sub)
     val df0 = spark.read.parquet(live)
     val df = if (dedupeRows) df0.distinct() else df0
-    val writer = partitionBy match {
-      case Some(p) => df.repartition(col(p)).write.partitionBy(p)
-      case None => df.coalesce(flatFiles).write
+    writeNextVersion(spark, dir, sub) { next =>
+      val writer = partitionBy match {
+        case Some(p) => df.repartition(col(p)).write.partitionBy(p)
+        case None => df.coalesce(flatFiles).write
+      }
+      writer.mode("overwrite").parquet(next)
     }
-    writer.mode("overwrite").parquet(next)
-    swapDir(spark, next, live)
   }
 
-  /** Checked delete+rename swap (see [[Retrieval.appendToIndex]]): the
-    * result booleans are require'd — a silently failed rename leaves the
-    * index without the table.
+  /** Batch-application ledger — the idempotent-replay guard for
+    * streaming index ingest. Structured Streaming's foreachBatch
+    * re-delivers a micro-batch when a crash lands between the sink write
+    * and the checkpoint commit; an ingest step brackets its appends with
+    * [[wasBatchApplied]] (skip if true) and [[recordBatchApplied]] (after
+    * every append of the step completes), so a re-delivered batchId is a
+    * no-op instead of a double append. One empty marker file per applied
+    * batch under `<dir>/_ledger/` — an O(1) existence probe per batch,
+    * set semantics (no reliance on batchId monotonicity).
+    *
+    * Honest contract: this closes the REPLAY path (batch fully applied,
+    * checkpoint stale — the common failure). A crash inside the window
+    * between the last append finishing and the marker write still
+    * re-appends once on restart; that residue is exactly what
+    * `compact(dedupeRows = true)` repairs, and is irreducible without a
+    * transactional table format underneath the parquet layout.
     */
-  def swapDir(spark: SparkSession, from: String, to: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(to), spark.sparkContext.hadoopConfiguration)
-    val toPath = new org.apache.hadoop.fs.Path(to)
-    require(fs.delete(toPath, true), s"swapDir: could not delete $to")
-    require(fs.rename(new org.apache.hadoop.fs.Path(from), toPath),
-      s"swapDir: rename $from -> $to failed; restore $from manually")
-    ()
+  def wasBatchApplied(spark: SparkSession, dir: String,
+      batchId: Long): Boolean =
+    fsFor(spark, dir).exists(new Path(s"$dir/_ledger/applied-$batchId"))
+
+  def recordBatchApplied(spark: SparkSession, dir: String,
+      batchId: Long): Unit = {
+    val fs = fsFor(spark, dir)
+    val p = new Path(s"$dir/_ledger/applied-$batchId")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(batchId.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Files (ignoring _SUCCESS/metadata) under a table directory,
@@ -64,4 +184,10 @@ private[graft] object IndexFiles {
       else 0
     walk(new java.io.File(dir))
   }
+
+  /** [[dataFileCount]] of the LIVE version of `sub` — what the compaction
+    * specs assert once a table has been rewritten at least once.
+    */
+  def dataFileCount(spark: SparkSession, dir: String, sub: String): Int =
+    dataFileCount(tablePath(spark, dir, sub))
 }

@@ -199,15 +199,18 @@ object Retrieval {
     val postings = postingsOf(docsTok, nBuckets)
     // repartition on the partition column: each bucket lands in one task,
     // one file per bucket directory (the writeLists discipline)
+    val spark = docs.sparkSession
     postings.repartition(col("bucket")).write.mode("overwrite")
-      .partitionBy("bucket").parquet(s"$dir/postings")
+      .partitionBy("bucket")
+      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
     docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
-      .parquet(s"$dir/doclens")
+      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val totals = docsTok.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     statsOf(dfreq, totals, nBuckets)
-      .write.mode("overwrite").parquet(s"$dir/stats")
+      .write.mode("overwrite")
+      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
   }
 
   /** Append new documents to a persisted inverted index — the
@@ -219,8 +222,9 @@ object Retrieval {
     * table is the one artifact that must MERGE, because BM25's idf/avgdl
     * are corpus-global: per-term df adds (documents are disjoint, so a
     * term's df is the sum of per-batch dfs), n_docs/sum_dl add. The
-    * merged stats are written next to the old table and swapped in with
-    * an atomic-enough directory rename (never read-and-overwrite the same
+    * merged stats are written as the NEXT version of the stats table and
+    * published with the zero-downtime manifest cutover
+    * ([[IndexFiles.writeNextVersion]] — never read-and-overwrite the same
     * path in one job). Everything is additive, so a grown index serves
     * BIT-IDENTICAL results to an index built once on the union — the
     * RetrievalSpec identity and the q91 driver gate.
@@ -228,7 +232,7 @@ object Retrieval {
   def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     graft.plans.NativeHash48.register(spark)
-    val statsOld = spark.read.parquet(s"$dir/stats")
+    val statsOld = spark.read.parquet(IndexFiles.tablePath(spark, dir, "stats"))
     // one metadata row read ONCE: three separate head() jobs would rescan
     val meta = statsOld.select(col("n_buckets"), col("n_docs"), col("sum_dl"))
       .head()
@@ -245,9 +249,10 @@ object Retrieval {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         postings.repartition(col("bucket")).write.mode("append")
-          .partitionBy("bucket").parquet(s"$dir/postings")
+          .partitionBy("bucket")
+          .parquet(IndexFiles.tablePath(spark, dir, "postings"))
         docsTok.select(col("doc_id"), col("dl")).write.mode("append")
-          .parquet(s"$dir/doclens")
+          .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
         // additive stats merge: old per-term rows + the batch's, df
         // summed, n_docs/sum_dl totals recomputed once and stamped on
         // every row
@@ -262,11 +267,13 @@ object Retrieval {
           .withColumn("n_docs", lit(nDocs))
           .withColumn("sum_dl", lit(sumDl))
           .withColumn("n_buckets", lit(nBuckets))
-        merged.write.mode("overwrite").parquet(s"$dir/stats.next")
+        // published only after the next version is fully written — a
+        // reader racing the cutover resolves either the old or the new
+        // stats, never a partial table
+        IndexFiles.writeNextVersion(spark, dir, "stats")(next =>
+          merged.write.mode("overwrite").parquet(next))
       } finally postings.unpersist()
     } finally docsTok.unpersist()
-    // swap AFTER stats.next is fully written (checked delete+rename)
-    IndexFiles.swapDir(spark, s"$dir/stats.next", s"$dir/stats")
   }
 
   /** Compact the postings and doclens tables (see
@@ -282,16 +289,19 @@ object Retrieval {
     IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows)
     IndexFiles.compact(spark, dir, "doclens", None, dedupeRows)
     if (dedupeRows) {
-      val nBuckets = spark.read.parquet(s"$dir/stats")
+      val nBuckets = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "stats"))
         .select(col("n_buckets")).head().getInt(0)
-      val dfreq = spark.read.parquet(s"$dir/postings")
+      val dfreq = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "postings"))
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val totals = spark.read.parquet(s"$dir/doclens")
+      val totals = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      statsOf(dfreq, totals, nBuckets)
-        .write.mode("overwrite").parquet(s"$dir/stats.next")
-      IndexFiles.swapDir(spark, s"$dir/stats.next", s"$dir/stats")
+      IndexFiles.writeNextVersion(spark, dir, "stats")(next =>
+        statsOf(dfreq, totals, nBuckets)
+          .write.mode("overwrite").parquet(next))
     }
   }
 
@@ -309,14 +319,17 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val vocab = queries.flatMap(_._2).distinct
     require(vocab.nonEmpty, "searchIndex: empty query vocabulary")
-    val statsAll = spark.read.parquet(s"$dir/stats")
+    val statsAll = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
     val nBuckets = statsAll.select(col("n_buckets")).head().getInt(0)
     val buckets = vocab
       .map(t => graft.functions.Vec.hash48(t) % nBuckets).distinct
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
       .where(col("bucket").isin(buckets.map(Long.box): _*))
       .where(col("term").isin(vocab: _*))
-    val doclens = spark.read.parquet(s"$dir/doclens")
+    val doclens = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
     // idf from the INDEX's persisted df (not the corpus): a wrong or stale
     // df in stats/ diverges from the in-memory pass and breaks the q77
     // identity. The collect is <= |vocab| + 1 rows of index metadata.

@@ -116,9 +116,11 @@ object Similarity {
     * (probe-time partition pruning), centroids as a tiny parquet table.
     */
   def saveIvfIndex(index: IvfIndex, dir: String): Unit = {
-    writeLists(index.lists, s"$dir/lists")
-    writeCentroids(index.lists.sparkSession, index.centroids,
-      s"$dir/centroids")
+    val spark = index.lists.sparkSession
+    // resolve even on save: re-saving into a dir a compaction has
+    // versioned must overwrite the LIVE table, not a shadowed legacy path
+    writeLists(index.lists, IndexFiles.tablePath(spark, dir, "lists"))
+    writeCentroids(spark, index.centroids, s"$dir/centroids")
   }
 
   /** Write inverted lists partitioned by cell. Repartition on the
@@ -150,7 +152,7 @@ object Similarity {
     val c0 = newVecs.select(col(idCol), Vec.asDouble(col(vecCol)).as("v"))
     writeLists(c0.withColumn("cell", nearestCell(spark, col("v"), cents))
       .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec")),
-      s"$dir/lists", mode = "append")
+      IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
   }
 
   /** Compact the saved inverted lists back to one file per cell — the
@@ -239,11 +241,13 @@ object Similarity {
   }
 
   /** Load a saved index. The probe over a loaded index reads only the
-    * probed cells' files (parquet partition pruning on `cell`).
+    * probed cells' files (parquet partition pruning on `cell`). The lists
+    * path resolves through the version manifest, so a load racing a
+    * compaction cutover reads a fully-intact table (old or new).
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfIndex = {
-    val lists = spark.read.parquet(s"$dir/lists")
+    val lists = spark.read.parquet(IndexFiles.tablePath(spark, dir, "lists"))
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("c_vec"))
     IvfIndex(readCentroids(spark, s"$dir/centroids"), lists)
   }
@@ -502,7 +506,8 @@ object Similarity {
     * parquet bit-exactly, so a loaded index reranks identically.
     */
   def savePqIndex(cb: PqCodebooks, codes: DataFrame, dir: String): Unit = {
-    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    codes.write.mode("overwrite")
+      .parquet(IndexFiles.tablePath(codes.sparkSession, dir, "codes"))
     writeCodebooks(codes.sparkSession, cb, s"$dir/codebooks")
   }
 
@@ -534,7 +539,7 @@ object Similarity {
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): (PqCodebooks, DataFrame) =
     (readCodebooks(spark, s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/codes"))
+      spark.read.parquet(IndexFiles.tablePath(spark, dir, "codes")))
 
   /** PQ shortlist + exact rerank: ADC narrows the corpus to `shortlist`
     * candidates per query, then the exact cosine runs only on those —
@@ -622,7 +627,7 @@ object Similarity {
     */
   def saveIvfPqIndex(index: IvfPqIndex, dir: String): Unit = {
     val spark = index.lists.sparkSession
-    writeLists(index.lists, s"$dir/lists")
+    writeLists(index.lists, IndexFiles.tablePath(spark, dir, "lists"))
     writeCentroids(spark, index.centroids, s"$dir/centroids")
     writeCodebooks(spark, index.cb, s"$dir/codebooks")
   }
@@ -639,7 +644,7 @@ object Similarity {
       dir: String): IvfPqIndex =
     IvfPqIndex(readCentroids(spark, s"$dir/centroids"),
       readCodebooks(spark, s"$dir/codebooks"),
-      spark.read.parquet(s"$dir/lists")
+      spark.read.parquet(IndexFiles.tablePath(spark, dir, "lists"))
         .select(col("cell").cast("int").as("cell"), col("vec_id"),
           col("code")))
 
@@ -665,7 +670,7 @@ object Similarity {
       array((0 until cb.m).map(s =>
         nearestSubCell(spark, col("__v"), s * cb.dsub,
           cb.centroids(s))): _*).as("code")),
-      s"$dir/lists", mode = "append")
+      IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
   }
 
   /** Probe the composite index: nProbe closest cells per query (static

@@ -376,12 +376,16 @@ object StreamingOps {
     * state, persisted, bounded, and shared with the batch surface — one
     * dedup code path serves batch backfills and the live stream.
     *
-    * Semantics: at-least-once on epoch retry (a replayed epoch would
-    * re-append its survivors); production gates the body on `epochId`
-    * against a commit log. The spec pins the no-failure path: stream
-    * output ≡ the sequential batch loop over the same micro-batches.
-    * Caller configures trigger/checkpoint on the returned writer and
-    * calls `start()`.
+    * Semantics: idempotent on epoch replay via the index's batch ledger
+    * ([[graft.operators.IndexFiles.wasBatchApplied]]) — a re-delivered
+    * epochId (crash between the appends and the checkpoint commit) is
+    * SKIPPED, not re-appended. The residual window (crash between the
+    * last append and the ledger marker) re-appends once and is repaired
+    * by `compactLshIndex(dedupeRows = true)` — see the ledger scaladoc.
+    * The spec pins both the no-failure path (stream output ≡ the
+    * sequential batch loop) and the replay path (re-delivering an applied
+    * batch changes nothing, without compaction). Caller configures
+    * trigger/checkpoint on the returned writer and calls `start()`.
     */
   def ingestWithDedup(stream: DataFrame, indexDir: String,
       corpusDir: String, jaccardThreshold: Double = 0.8,
@@ -389,9 +393,9 @@ object StreamingOps {
       maxBucket: Option[Int] = graft.operators.Dedup.defaultMaxBucket)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch(batch.toDF(), indexDir, corpusDir, jaccardThreshold,
-          idCol, textCol, maxBucket)
+          idCol, textCol, maxBucket, batchId = Some(batchId))
     }
 
   /** One ingest step — the foreachBatch body, exposed so a batch backfill
@@ -401,10 +405,12 @@ object StreamingOps {
   def ingestBatch(batch: DataFrame, indexDir: String, corpusDir: String,
       jaccardThreshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text",
-      maxBucket: Option[Int] = graft.operators.Dedup.defaultMaxBucket)
-      : Unit = {
-    import graft.operators.Dedup
+      maxBucket: Option[Int] = graft.operators.Dedup.defaultMaxBucket,
+      batchId: Option[Long] = None): Unit = {
+    import graft.operators.{Dedup, IndexFiles}
     val spark = batch.sparkSession
+    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, _)))
+      return // replayed micro-batch: already fully applied, skip
     val scope = new Dedup.CacheScope
     // survivors feed two writes (index append + corpus sink): persist so
     // the probe computes once
@@ -418,6 +424,10 @@ object StreamingOps {
     try {
       Dedup.appendToLshIndex(spark, indexDir, survivors, idCol, textCol)
       survivors.write.mode("append").parquet(corpusDir)
+      // marker LAST: a crash before this line replays the batch once
+      // (repairable); a marker written early would DROP the batch
+      batchId.foreach(graft.operators.IndexFiles
+        .recordBatchApplied(spark, indexDir, _))
     } finally {
       survivors.unpersist()
       scope.release()
@@ -430,22 +440,22 @@ object StreamingOps {
     * batch), probed against the saved inverted lists for near-dups of
     * already-accepted vectors, and the survivors are appended to the
     * index (assigned by the FROZEN saved centroids) and to the vector
-    * corpus sink — so tomorrow's batch sees them. At-least-once like
-    * [[ingestWithDedup]]: a replayed micro-batch re-appends its survivors
-    * under their ORIGINAL ids (the probe's self-match exclusion means a
-    * row never drops against its own earlier append), so the lists and
-    * corpus carry duplicate rows for that batch until compacted.
-    * Exactly-once needs a caller-side batchId ledger. Caller configures
-    * trigger/checkpoint and calls `start()`.
+    * corpus sink — so tomorrow's batch sees them. Idempotent on replay
+    * via the index's batch ledger (the [[ingestWithDedup]] contract): a
+    * re-delivered micro-batch is skipped, not re-appended; only the
+    * residual crash window between the appends and the ledger marker
+    * re-appends once, repaired by `compactIvfIndex(dedupeRows = true)`.
+    * Caller configures trigger/checkpoint and calls `start()`.
     */
   def ingestVectors(stream: DataFrame, indexDir: String, corpusDir: String,
       cosineThreshold: Double = 0.99, selfDedupK: Int = 8, nProbe: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestVectorsBatch(batch.toDF(), indexDir, corpusDir,
-          cosineThreshold, selfDedupK, nProbe, idCol, vecCol)
+          cosineThreshold, selfDedupK, nProbe, idCol, vecCol,
+          batchId = Some(batchId))
     }
 
   /** One vector-ingest step — the foreachBatch body, exposed so a batch
@@ -455,9 +465,11 @@ object StreamingOps {
   def ingestVectorsBatch(batch: DataFrame, indexDir: String,
       corpusDir: String, cosineThreshold: Double = 0.99,
       selfDedupK: Int = 8, nProbe: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
-    import graft.operators.{Dedup, Similarity}
+      vecCol: String = "embedding", batchId: Option[Long] = None): Unit = {
+    import graft.operators.{Dedup, IndexFiles, Similarity}
     val spark = batch.sparkSession
+    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, _)))
+      return // replayed micro-batch: already fully applied, skip
     val scope = new Dedup.CacheScope
     // in-batch SemDeDup first (two near-dups arriving together would both
     // survive an index-only probe), then the index probe; survivors feed
@@ -472,6 +484,9 @@ object StreamingOps {
     try {
       Similarity.appendToIvfIndex(spark, indexDir, survivors, idCol, vecCol)
       survivors.write.mode("append").parquet(corpusDir)
+      // marker LAST (see ingestBatch): early = dropped batch, late = one
+      // repairable re-append
+      batchId.foreach(IndexFiles.recordBatchApplied(spark, indexDir, _))
     } finally {
       survivors.unpersist()
       scope.release()
@@ -486,12 +501,12 @@ object StreamingOps {
     * full ingested corpus. Because the append is provably equivalent to a
     * one-shot build on the union (the q91 identity), the stream's final
     * index is bit-identical to batch-building over everything it ingested
-    * — micro-batch BOUNDARIES don't matter. Micro-batch REPLAY does: the
-    * append is not idempotent (the [[ingestWithDedup]] at-least-once
-    * caveat), so a crash between the append and the checkpoint commit
-    * re-delivers a batch and double-counts its postings and stats on
-    * restart. Exactly-once needs a batchId ledger the caller checks in
-    * its own foreachBatch wrapper. The index must be seeded by
+    * — micro-batch BOUNDARIES don't matter. Micro-batch REPLAY is
+    * guarded by the index's batch ledger (the [[ingestWithDedup]]
+    * contract): a re-delivered batchId is skipped instead of
+    * double-counting postings and stats; the residual crash window
+    * between the append and the ledger marker re-appends once, repaired
+    * by `compactIndex(dedupeRows = true)`. The index must be seeded by
     * [[graft.operators.Retrieval.buildIndex]] on a NONEMPTY initial
     * corpus first (the stats table, which carries the frozen bucket
     * count, has one row per term). Caller configures trigger/checkpoint
@@ -501,10 +516,26 @@ object StreamingOps {
       idCol: String = "doc_id", textCol: String = "text")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Retrieval.appendToIndex(batch.sparkSession,
-          indexDir, batch.toDF(), idCol, textCol)
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        indexDocumentsBatch(batch.toDF(), indexDir, idCol, textCol,
+          batchId = Some(batchId))
     }
+
+  /** One document-indexing step — the foreachBatch body, exposed so a
+    * batch backfill loop and the stream run literally the same code (the
+    * [[ingestBatch]] equivalence recipe).
+    */
+  def indexDocumentsBatch(batch: DataFrame, indexDir: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      batchId: Option[Long] = None): Unit = {
+    import graft.operators.IndexFiles
+    val spark = batch.sparkSession
+    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, _)))
+      return // replayed micro-batch: already fully applied, skip
+    graft.operators.Retrieval.appendToIndex(spark, indexDir, batch,
+      idCol, textCol)
+    batchId.foreach(IndexFiles.recordBatchApplied(spark, indexDir, _))
+  }
 
   /** Run a streaming query over a parquet directory to a memory sink and
     * block until all available input is processed (local smoke harness).

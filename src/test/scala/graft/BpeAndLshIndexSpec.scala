@@ -369,9 +369,9 @@ class LshIndexSpec extends AnyFunSuite {
         round(col("jaccard") * 1000).cast("long"))
       .as[(Long, Long, Long)].collect().toSet
     val before = probe()
-    val filesBefore = graft.operators.IndexFiles.dataFileCount(s"$dir/bands")
+    val filesBefore = graft.operators.IndexFiles.dataFileCount(spark, dir, "bands")
     Dedup.compactLshIndex(spark, dir)
-    assert(graft.operators.IndexFiles.dataFileCount(s"$dir/bands") < filesBefore,
+    assert(graft.operators.IndexFiles.dataFileCount(spark, dir, "bands") < filesBefore,
       "compaction must shrink the bands file count")
     assert(probe() == before, "layout compaction changed probe results")
     // replay the appended half, repair with dedupeRows — probes identical

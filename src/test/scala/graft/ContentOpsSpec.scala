@@ -759,8 +759,8 @@ class RetrievalSpec extends AnyFunSuite {
       "grown index diverged from the one-shot build")
     // the merged stats are additive: df summed across batches for terms
     // present in BOTH halves, totals equal the one-shot build's
-    val sG = spark.read.parquet(s"$grown/stats")
-    val sO = spark.read.parquet(s"$oneShot/stats")
+    val sG = spark.read.parquet(graft.operators.IndexFiles.tablePath(spark, grown, "stats"))
+    val sO = spark.read.parquet(graft.operators.IndexFiles.tablePath(spark, oneShot, "stats"))
     val dfG = sG.select("term", "df").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val dfO = sO.select("term", "df").collect()
@@ -792,9 +792,9 @@ class RetrievalSpec extends AnyFunSuite {
     val batch = docs.where(col("doc_id") > half)
     Retrieval.appendToIndex(spark, dir, batch)
     val before = key(Retrieval.searchIndex(spark, dir, qs, k = 10))
-    val filesBefore = IndexFiles.dataFileCount(s"$dir/postings")
+    val filesBefore = IndexFiles.dataFileCount(spark, dir, "postings")
     Retrieval.compactIndex(spark, dir)
-    assert(IndexFiles.dataFileCount(s"$dir/postings") < filesBefore,
+    assert(IndexFiles.dataFileCount(spark, dir, "postings") < filesBefore,
       "compaction must shrink the postings file count")
     assert(key(Retrieval.searchIndex(spark, dir, qs, k = 10)) == before,
       "layout compaction changed serve results")
@@ -807,11 +807,11 @@ class RetrievalSpec extends AnyFunSuite {
       "replay repair diverged from the pre-replay serve results")
     val clean = java.nio.file.Files.createTempDirectory("retr_cln").toString
     Retrieval.buildIndex(docs, clean, nBuckets = 16)
-    val sG = spark.read.parquet(s"$dir/stats")
+    val sG = spark.read.parquet(IndexFiles.tablePath(spark, dir, "stats"))
       .select("term", "df", "n_docs", "sum_dl").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
-    val sC = spark.read.parquet(s"$clean/stats")
+    val sC = spark.read.parquet(IndexFiles.tablePath(spark, clean, "stats"))
       .select("term", "df", "n_docs", "sum_dl").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet

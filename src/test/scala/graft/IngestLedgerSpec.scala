@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, IndexFiles, Retrieval, Similarity}
+import graft.streaming.StreamingOps
+
+/** Exactly-once ingest via the per-index batch ledger
+  * ([[graft.operators.IndexFiles.wasBatchApplied]]): a RE-DELIVERED
+  * micro-batch (same batchId — the foreachBatch crash-replay path) must
+  * change NOTHING, without any compaction repair; a genuinely new
+  * batchId must still apply. The r12 specs proved replay REPAIR
+  * (compact(dedupeRows = true) restores a clean state); these prove
+  * replay PREVENTION.
+  */
+class IngestLedgerSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("LSH ingest skips a re-delivered batchId without compaction") {
+    val root = java.nio.file.Files.createTempDirectory("ledger-lsh").toString
+    val idx = s"$root/index"; val corpus = s"$root/corpus"
+    Dedup.saveLshIndex(
+      Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batch = Seq((10L, "iota kappa lambda mu"), (11L, "nu xi omicron pi"))
+      .toDF("doc_id", "text")
+    StreamingOps.ingestBatch(batch, idx, corpus, batchId = Some(1L))
+    def state() = (
+      spark.read.parquet(corpus).count(),
+      spark.read.parquet(IndexFiles.tablePath(spark, idx, "bands")).count(),
+      spark.read.parquet(IndexFiles.tablePath(spark, idx, "shingles")).count(),
+      IndexFiles.dataFileCount(spark, idx, "bands"))
+    val applied = state()
+    StreamingOps.ingestBatch(batch, idx, corpus, batchId = Some(1L))
+    assert(state() == applied,
+      "a re-delivered batchId must be a no-op (rows AND files)")
+    StreamingOps.ingestBatch(
+      Seq((20L, "rho sigma tau upsilon")).toDF("doc_id", "text"),
+      idx, corpus, batchId = Some(2L))
+    assert(state()._1 == applied._1 + 1, "a new batchId must still apply")
+  }
+
+  test("vector ingest skips a re-delivered batchId without compaction") {
+    val dim = 8
+    def oneHot(i: Int): Seq[Float] =
+      (0 until dim).map(j => if (j == i) 1.0f else 0.0f)
+    val root = java.nio.file.Files.createTempDirectory("ledger-vec").toString
+    val idx = s"$root/index"; val corpus = s"$root/corpus"
+    val seed = (0 until 4).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(seed, 2, dim), idx)
+    val batch = Seq((10L, oneHot(5)), (11L, oneHot(6)))
+      .toDF("vec_id", "embedding")
+    StreamingOps.ingestVectorsBatch(batch, idx, corpus, nProbe = 2,
+      batchId = Some(1L))
+    def state() = (
+      spark.read.parquet(corpus).count(),
+      spark.read.parquet(IndexFiles.tablePath(spark, idx, "lists")).count(),
+      IndexFiles.dataFileCount(spark, idx, "lists"))
+    val applied = state()
+    StreamingOps.ingestVectorsBatch(batch, idx, corpus, nProbe = 2,
+      batchId = Some(1L))
+    assert(state() == applied,
+      "a re-delivered batchId must be a no-op (rows AND files)")
+    StreamingOps.ingestVectorsBatch(
+      Seq((20L, oneHot(7))).toDF("vec_id", "embedding"),
+      idx, corpus, nProbe = 2, batchId = Some(2L))
+    assert(state()._1 == applied._1 + 1, "a new batchId must still apply")
+  }
+
+  test("document indexing skips a re-delivered batchId without compaction") {
+    val root = java.nio.file.Files.createTempDirectory("ledger-bm25").toString
+    val idx = s"$root/index"
+    Retrieval.buildIndex(
+      Seq((1L, "alpha beta gamma"), (2L, "beta delta epsilon"))
+        .toDF("doc_id", "text"), idx, nBuckets = 8)
+    val batch = Seq((10L, "alpha zeta"), (11L, "eta theta"))
+      .toDF("doc_id", "text")
+    val qs = Seq("q" -> Seq("alpha", "beta"))
+    StreamingOps.indexDocumentsBatch(batch, idx, batchId = Some(1L))
+    def state() = (
+      Retrieval.searchIndex(spark, idx, qs, k = 10).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet,
+      spark.read.parquet(IndexFiles.tablePath(spark, idx, "stats"))
+        .select("n_docs").head().getLong(0),
+      IndexFiles.dataFileCount(spark, idx, "postings"))
+    val applied = state()
+    StreamingOps.indexDocumentsBatch(batch, idx, batchId = Some(1L))
+    assert(state() == applied,
+      "a re-delivered batchId must be a no-op (serve, stats, files)")
+    StreamingOps.indexDocumentsBatch(
+      Seq((20L, "iota kappa")).toDF("doc_id", "text"), idx,
+      batchId = Some(2L))
+    assert(state()._2 == applied._2 + 1, "a new batchId must still apply")
+  }
+}

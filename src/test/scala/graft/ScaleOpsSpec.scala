@@ -267,9 +267,9 @@ class IvfSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
       .toSet
     val before = rows()
-    val filesBefore = graft.operators.IndexFiles.dataFileCount(s"$dir/lists")
+    val filesBefore = graft.operators.IndexFiles.dataFileCount(spark, dir, "lists")
     Similarity.compactIvfIndex(spark, dir)
-    assert(graft.operators.IndexFiles.dataFileCount(s"$dir/lists") < filesBefore,
+    assert(graft.operators.IndexFiles.dataFileCount(spark, dir, "lists") < filesBefore,
       "compaction must shrink the lists file count")
     assert(rows() == before, "layout compaction changed probe results")
     // at-least-once replay of the appended half, then the dedupe repair:
@@ -477,9 +477,9 @@ class IvfPqSpec extends AnyFunSuite {
       Similarity.loadIvfPqIndex(spark, dir), q, e, 5, nProbe = 8,
       shortlist = Int.MaxValue))
     val before = probe()
-    val filesBefore = graft.operators.IndexFiles.dataFileCount(s"$dir/lists")
+    val filesBefore = graft.operators.IndexFiles.dataFileCount(spark, dir, "lists")
     Similarity.compactIvfPqIndex(spark, dir)
-    assert(graft.operators.IndexFiles.dataFileCount(s"$dir/lists") < filesBefore,
+    assert(graft.operators.IndexFiles.dataFileCount(spark, dir, "lists") < filesBefore,
       "compaction must shrink the code-list file count")
     assert(probe() == before, "layout compaction changed probe results")
     Similarity.appendToIvfPqIndex(spark, dir, appended) // replay
