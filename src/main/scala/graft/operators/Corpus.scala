@@ -233,9 +233,24 @@ object Corpus {
       weightCol: Option[String] = None,
       targetTotal: Option[Double] = None): Map[String, Double] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha $alpha outside [0, 1]")
+    // the returned map keys on the STRING stratum and upsample matches it
+    // with an === chain: a non-string column would re-key through
+    // getString's ClassCastException (or worse, silently via toString
+    // drift vs SQL casting), and a null stratum becomes a map key ===
+    // can never match — both fail loudly here instead
+    require(docs.schema(strataCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"temperatureWeights: strata column '$strataCol' must be StringType, " +
+      s"got ${docs.schema(strataCol).dataType.simpleString}")
     val w = weightCol.map(c => sum(col(c))).getOrElse(count(lit(1)))
     val ns = docs.groupBy(col(strataCol)).agg(w.cast("double").as("n"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      .collect().map { r =>
+        require(!r.isNullAt(0),
+          s"temperatureWeights: null stratum in '$strataCol' — its rows " +
+          "could never match a weight key and would silently drop; filter " +
+          "or impute nulls upstream")
+        r.getString(0) -> r.getDouble(1)
+      }.toMap
     require(ns.values.forall(_ > 0.0), "every stratum total must be positive")
     val t = targetTotal.getOrElse(ns.values.sum)
     val z = ns.values.map(math.pow(_, alpha)).sum

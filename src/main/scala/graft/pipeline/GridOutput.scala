@@ -474,11 +474,21 @@ object GridOutput {
       .groupBy((grp :+ "bin").map(col): _*)
       .agg(count(lit(1)).as("n"))
     // nan-mean over ALL regime rows (avg/count skip nulls), not just the
-    // in-histogram ones — np.nanmean parity (:1313-1314)
+    // in-histogram ones — np.nanmean parity (:1313-1314). `sum_d_nano`
+    // rides along as the ORDER-INDEPENDENT form of the same statistic:
+    // each row integerizes to nano-units first (one identical IEEE
+    // mul+add+floor chain per row), so the per-regime sum is an exact
+    // integer no summation order can perturb — the integerize-before-sum
+    // discipline the oracle-gated mean consumes (mean_d's double avg is
+    // kept for np.nanmean fidelity, but its last ulp depends on
+    // partial-aggregation order)
     val stats = g.groupBy(grp.map(col): _*)
-      .agg(avg(col("__d")).as("mean_d"), count(col("__d")).as("n_regime"))
+      .agg(avg(col("__d")).as("mean_d"), count(col("__d")).as("n_regime"),
+        sum(floor(col("__d") * lit(1e9) + lit(0.5)).cast("long"))
+          .as("sum_d_nano"))
     hist.join(broadcast(stats), grp)
-      .select((grp ++ Seq("bin", "n", "n_regime", "mean_d")).map(col): _*)
+      .select((grp ++ Seq("bin", "n", "n_regime", "mean_d", "sum_d_nano"))
+        .map(col): _*)
   }
 
   /** calc_bias verification core (:1985-1995): per-depth-row nan-variance of

@@ -187,9 +187,17 @@ object GridQueries {
     // ops mirrored op-for-op, so the full frame hash-checks.
     "q89_verify_enu" -> ((s, dir) => {
       import graft.pipeline.GridOutput
+      // mean_micro from the EXACT integer nano-sum (integerize-before-sum,
+      // the q04 exactMeanMilli discipline): sum_d_nano is an order-
+      // independent BIGINT, so the whole chain to the emitted integer is
+      // one fixed IEEE divide sequence both engines execute identically —
+      // no reliance on avg()'s summation order staying clear of a
+      // rounding boundary
       GridOutput.verifyEnu(q89Pings(s, dir), missionCols = Seq("user_id"))
         .select(col("user_id"), col("regime"), col("bin"), col("n"),
-          col("n_regime"), fp(col("mean_d"), 6).as("mean_micro"))
+          col("n_regime"),
+          floor(col("sum_d_nano").cast("double") / lit(1000.0) /
+            col("n_regime") + lit(0.5)).cast("long").as("mean_micro"))
         .orderBy("user_id", "regime", "bin")
     }),
 
@@ -345,12 +353,15 @@ object GridQueries {
           hist AS (SELECT user_id, regime, bin, count(*) AS n
                    FROM (SELECT user_id, regime, $cut AS bin FROM rr)
                    WHERE bin IS NOT NULL GROUP BY 1, 2, 3),
-          stats AS (SELECT user_id, regime, avg(d) AS mean_d,
+          stats AS (SELECT user_id, regime,
+                      CAST(sum(CAST(floor(d * 1000000000.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_d_nano,
                       count(d) AS n_regime
                     FROM rr GROUP BY 1, 2)
           SELECT h.user_id, h.regime, h.bin, h.n,
             CAST(s.n_regime AS BIGINT) AS n_regime,
-            ${sqlFp("s.mean_d", 6)} AS mean_micro
+            CAST(floor(CAST(s.sum_d_nano AS DOUBLE) / 1000.0 / s.n_regime
+              + 0.5) AS BIGINT) AS mean_micro
           FROM hist h JOIN stats s USING (user_id, regime)
           ORDER BY user_id, regime, bin"""
     },

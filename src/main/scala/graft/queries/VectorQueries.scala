@@ -148,14 +148,21 @@ object VectorQueries {
     // cell assignment, or broken threshold compare breaks the hash.
     "q90_vector_incremental" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      // planted ids offset by max(vec_id)+1: provably outside the real key
+      // space at ANY scale (a fixed constant collided once the corpus —
+      // e.g. a ScaleUp replica set — reached ids that large, and a
+      // colliding planted id would hit the probe's self-match exclusion
+      // while the oracle keeps the pair). One tiny scalar job, mirrored
+      // verbatim in the oracle's SQL.
+      val agg = e.agg(expr("percentile(vec_id, 0.5)"), max("vec_id")).head()
+      val (half, offset) = (agg.getDouble(0), agg.getLong(1) + 1L)
       val idxSide = e.where(col("vec_id") <= half)
       val tmp = java.nio.file.Files.createTempDirectory("q90_idx").toString
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(idxSide, nCells = 8, dim = DIM), tmp)
       val batch = e.where(col("vec_id") > half).unionByName(
         idxSide.where(col("vec_id") < 8)
-          .withColumn("vec_id", col("vec_id") + lit(20000000L)))
+          .withColumn("vec_id", col("vec_id") + lit(offset)))
       Similarity.dedupBatchAgainstIvfIndex(s, tmp, batch,
           cosineThreshold = 0.99, nProbe = 8)
         .select(col("vec_id")).orderBy("vec_id")
@@ -328,7 +335,8 @@ object VectorQueries {
           idx AS (SELECT vec_id, v FROM e, h WHERE vec_id <= m),
           batch AS (SELECT vec_id, v FROM e, h WHERE vec_id > m
                     UNION ALL
-                    SELECT vec_id + 20000000, v FROM idx WHERE vec_id < 8),
+                    SELECT vec_id + (SELECT max(vec_id) + 1 FROM e), v
+                    FROM idx WHERE vec_id < 8),
           mx AS (SELECT b.vec_id, max(${VecSql.cosine("b.v", "i.v")}) AS mc
                  FROM batch b, idx i GROUP BY 1)
           SELECT vec_id FROM mx WHERE mc < 0.99 ORDER BY vec_id""",

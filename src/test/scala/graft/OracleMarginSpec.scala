@@ -39,23 +39,10 @@ class OracleMarginSpec extends AnyFunSuite {
   private val sfs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
     "/root/testdata/sf0.1")
 
-  test("q89 per-regime mean_d micro chain stays clear of rounding boundaries") {
-    // q89's mean_micro = fp(avg(__d), 6) integerizes AFTER an
-    // order-dependent double sum (Spark partial-agg order vs DuckDB scan
-    // order can differ in the last ulp). The chain is kept for np.nanmean
-    // fidelity; this guard asserts every per-regime mean sits far enough
-    // from a floor(x*1e6 + 0.5) boundary that a last-ulp cross-engine
-    // difference (~1e-10 at micro scale) cannot flip the integer.
-    for (sf <- sfs) {
-      val m = graft.pipeline.GridOutput
-        .verifyEnu(graft.queries.GridQueries.q89Pings(spark, sf),
-          missionCols = Seq("user_id"))
-        .select(col("mean_d") * lit(1e6) as "__x")
-        .agg(min(boundaryDist(col("__x"))).as("m")).head().getDouble(0)
-      info(s"q89 mean_d min boundary distance at $sf: $m")
-      assert(m > Band, s"q89 mean margin $m at $sf inside the $Band band")
-    }
-  }
+  // q89's mean chain no longer needs a margin guard: since round 13
+  // mean_micro derives from verifyEnu's exact integer nano-sum
+  // (integerize-before-sum, order-independent by construction), not from
+  // fp(avg(__d), 6) over an order-dependent double sum.
 
   test("q80 LM per-occurrence micro scores stay clear of rounding boundaries") {
     for (sf <- sfs) {
