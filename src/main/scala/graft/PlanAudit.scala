@@ -36,6 +36,28 @@ object PlanAudit {
     ("q48_dedup_corpus", "documents") // returns the surviving full docs
   )
 
+  /** Top-k serve queries whose final rank window partitions by q_id. At
+    * scale, one degenerate query (a stopword term matching half the
+    * corpus; an ANN probe into a mega-cell) funnels ALL its candidate
+    * rows through the single task that owns its q_id partition — UNLESS
+    * the planner inserts a map-side WindowGroupLimit (Partial mode) that
+    * pre-ranks each input partition down to k rows before the shuffle.
+    * Spark's InsertWindowGroupLimit does this for `row_number() <= k`
+    * filters; this audit pins the plan shape so a refactor that breaks
+    * the rewrite's preconditions (e.g. a non-rank-based filter, an extra
+    * projection between filter and window) fails CI instead of silently
+    * regressing the serve path to a single-task sort at scale.
+    *
+    * The probe-all/unbounded-shortlist identity queries (q56c/e/f) are
+    * deliberately NOT here: their `row_number() <= Int.MaxValue` filter
+    * exceeds spark.sql.window.group.limit.threshold, so no pre-rank is
+    * possible (or useful) by construction — they are correctness
+    * identities, not serve paths. The bounded-shortlist IVF-PQ serve
+    * shape is pinned by PlanHealthSpec instead.
+    */
+  private val topKWindowAudited: Set[String] = Set(
+    "q74_bm25", "q77_bm25_index", "q55_ann_bruteforce", "q56b_ann_ivf")
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[8]")
@@ -73,6 +95,13 @@ object PlanAudit {
         violations ++= unprunedScans(full, tables)
           .filterNot { case (t, _) => fullReadAllowed((name, t)) }
           .map { case (t, n) => s"$name: unpruned scan of $t ($n/${tables(t)} cols)" }
+        if (topKWindowAudited(name)) {
+          val plan = df.queryExecution.executedPlan.toString
+          if (!(plan.contains("WindowGroupLimit") && plan.contains("Partial")))
+            violations += s"$name: top-k rank window without a map-side " +
+              "WindowGroupLimit (Partial) pre-rank — a high-df/degenerate " +
+              "query would funnel its full candidate set through one task"
+        }
       } catch { case e: Throwable =>
         violations += s"$name: audit failed to plan (${e.getMessage})"
       }

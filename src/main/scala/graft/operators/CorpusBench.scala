@@ -175,10 +175,25 @@ object CorpusBench {
       val t5 = System.nanoTime()
       val grownHits = Retrieval.searchIndex(spark, idxDir, qs, k = 10).count()
       val reserveSecs = (System.nanoTime() - t5) / 1e9
-      val grownN = spark.read.parquet(s"$idxDir/stats")
-        .select(col("n_docs")).head().getLong(0)
+      // resolve the LIVE stats version — the append publishes a new one
+      val statsLive = spark.read.parquet(
+        IndexFiles.tablePath(spark, idxDir, "stats"))
+      val grownN = statsLive.select(col("n_docs")).head().getLong(0)
       require(grownN == nDocs + nDocs / 10,
         s"grown index n_docs $grownN != ${nDocs + nDocs / 10}")
+      // stopword leg (r13): serve ONE query on the corpus's highest-df
+      // term — the degenerate case where a single q_id's candidate set is
+      // a large corpus fraction. The map-side WindowGroupLimit pre-rank
+      // (pinned by PlanAudit) keeps this a per-partition top-k, not a
+      // single-task sort; this leg measures that it holds at bench scale.
+      val worst = statsLive.orderBy(col("df").desc)
+        .select("term", "df").head()
+      val (stopTerm, stopDf) = (worst.getString(0), worst.getLong(1))
+      val t6 = System.nanoTime()
+      val stopHits = Retrieval.searchIndex(spark, idxDir,
+        Seq("stop" -> Seq(stopTerm)), k = 10).count()
+      val stopSecs = (System.nanoTime() - t6) / 1e9
+      require(stopHits == 10L, s"stopword query returned $stopHits hits")
       docs.unpersist(blocking = true)
       println(s"""{"metric":"corpus_retrieval","n_docs":$nDocs,"bm25_hits":$hits,""" +
         s""""bm25_sec":${math.round(bm25Secs * 10) / 10.0},""" +
@@ -190,6 +205,8 @@ object CorpusBench {
         s""""idx_append_sec":${math.round(appendSecs * 10) / 10.0},""" +
         s""""idx_reserve_sec":${math.round(reserveSecs * 10) / 10.0},""" +
         s""""grown_hits":$grownHits,""" +
+        s""""stopword_term":"$stopTerm","stopword_df":$stopDf,""" +
+        s""""stopword_serve_sec":${math.round(stopSecs * 100) / 100.0},""" +
         s""""peak_heap_mb":$peakHeapMb}""")
       spark.stop(); return
     }

@@ -110,6 +110,25 @@ class PlanHealthSpec extends AnyFunSuite {
       s"expected the full documents read to be detected, got $found")
   }
 
+  test("bounded-shortlist IVF-PQ serve carries a map-side pre-rank") {
+    // the serve-path twin of PlanAudit's topKWindowAudited check: with a
+    // BOUNDED shortlist (the production shape — the q56e/f identities use
+    // Int.MaxValue, which disables the rewrite by design) the shortlist
+    // window's `row_number() <= k` filter must plan a Partial
+    // WindowGroupLimit, so a degenerate probe (one query hitting a
+    // mega-cell) is pre-ranked map-side before the q_id shuffle instead
+    // of funneling every candidate row through one task
+    import org.apache.spark.sql.functions.col
+    val e = graft.queries.Common.table(spark, dir, "embeddings")
+    val idx = graft.operators.Similarity.buildIvfPq(e, nCells = 8,
+      dim = 64, m = 8, ksub = 16)
+    val probe = graft.operators.Similarity.probeIvfPq(idx,
+      e.where(col("vec_id") < 4), e, 5, nProbe = 2, shortlist = 50)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      "bounded-shortlist probeIvfPq lost its map-side pre-rank:\n" + plan)
+  }
+
   test("grid xbin lookup is a broadcast dim-join, not a plan literal") {
     // q62 drives GridOutput.withXbin: the profile->xbin map must enter the
     // plan as a broadcast join against the dim frame — an O(profiles)
