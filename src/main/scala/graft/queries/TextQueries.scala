@@ -372,6 +372,29 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Full index MAINTENANCE cycle under the oracle — q91 plus the
+    // compaction step a year of daily appends requires: build the lower
+    // half, append the upper half, COMPACT (postings/doclens rewritten to
+    // one file per bucket and cut over through the r13 zero-downtime
+    // versioned swap), then serve. The oracle is the same corpus-level
+    // BM25 mirror as q74/q77/q91: the entire maintenance lifecycle must
+    // be invisible to ranked results, while the serve scan reads the
+    // compacted layout through the version manifest.
+    "q93_bm25_compacted_serve" -> ((s, dir) => {
+      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
+        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      val docs = table(s, dir, "documents")
+      val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+      val tmp = java.nio.file.Files.createTempDirectory("q93_idx").toString
+      graft.operators.Retrieval.buildIndex(
+        docs.where(col("doc_id") <= half), tmp)
+      graft.operators.Retrieval.appendToIndex(s, tmp,
+        docs.where(col("doc_id") > half))
+      graft.operators.Retrieval.compactIndex(s, tmp)
+      graft.operators.Retrieval.searchIndex(s, tmp, bm25Queries, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // Token-level sequence packing (operators/Corpus.packSequences): the
     // per-source token streams cut into 128-token training sequences,
     // documents spanning boundaries — one row per (doc, sequence) slice,
@@ -792,6 +815,9 @@ object TextQueries {
     // (additive merge over disjoint halves), so the in-memory BM25 mirror
     // is exact for the append cycle too
     "q91_bm25_index_append" -> bm25OracleSql,
+
+    // same mirror as q91: compaction must be invisible to ranked results
+    "q93_bm25_compacted_serve" -> bm25OracleSql,
 
     "q75_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -168,6 +168,36 @@ object VectorQueries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // Full vector-index MAINTENANCE cycle under the oracle — the q93
+    // recipe on the vector surface: build on the lower QUARTER, append
+    // the second quarter (frozen saved centroids), COMPACT the inverted
+    // lists (r13 zero-downtime versioned swap), then run the q90
+    // incremental dedup against the grown+compacted index. The oracle is
+    // the IDENTICAL q90 SQL — the indexed set is everything <= median
+    // however it got there, so build/append split and compaction must
+    // both be invisible to the survivor set.
+    "q94_ivf_compacted_dedup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val agg = e.agg(expr("percentile(vec_id, 0.25)"),
+        expr("percentile(vec_id, 0.5)"), max("vec_id")).head()
+      val (q25, half, offset) =
+        (agg.getDouble(0), agg.getDouble(1), agg.getLong(2) + 1L)
+      val idxSide = e.where(col("vec_id") <= half)
+      val tmp = java.nio.file.Files.createTempDirectory("q94_idx").toString
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(e.where(col("vec_id") <= q25),
+          nCells = 8, dim = DIM), tmp)
+      Similarity.appendToIvfIndex(s, tmp,
+        idxSide.where(col("vec_id") > q25))
+      Similarity.compactIvfIndex(s, tmp)
+      val batch = e.where(col("vec_id") > half).unionByName(
+        idxSide.where(col("vec_id") < 8)
+          .withColumn("vec_id", col("vec_id") + lit(offset)))
+      Similarity.dedupBatchAgainstIvfIndex(s, tmp, batch,
+          cosineThreshold = 0.99, nProbe = 8)
+        .select(col("vec_id")).orderBy("vec_id")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -253,6 +283,25 @@ object VectorQueries {
 
   private val vSql = VecSql.asDouble("embedding")
 
+  /** Shared q90/q94 mirror: batch survivors = rows whose max cosine
+    * against the indexed half stays under the threshold (probe-all makes
+    * the engine's ANN top-1 the global max, so the rule is exactly
+    * SQL-expressible). The indexed set is defined by the MEDIAN split
+    * alone — build/append split and compaction are engine-side detail the
+    * identity requires to be invisible.
+    */
+  private lazy val incrementalDedupSql =
+    s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
+        h AS (SELECT quantile_cont(vec_id, 0.5) AS m FROM e),
+        idx AS (SELECT vec_id, v FROM e, h WHERE vec_id <= m),
+        batch AS (SELECT vec_id, v FROM e, h WHERE vec_id > m
+                  UNION ALL
+                  SELECT vec_id + (SELECT max(vec_id) + 1 FROM e), v
+                  FROM idx WHERE vec_id < 8),
+        mx AS (SELECT b.vec_id, max(${VecSql.cosine("b.v", "i.v")}) AS mc
+               FROM batch b, idx i GROUP BY 1)
+        SELECT vec_id FROM mx WHERE mc < 0.99 ORDER BY vec_id"""
+
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
@@ -329,17 +378,11 @@ object VectorQueries {
     // survivors = batch vectors whose max cosine against the indexed half
     // is under the threshold (probe-all top-1 == global max; identical
     // sequential-fold cosine chain, so the compare agrees bit-for-bit)
-    "q90_vector_incremental" ->
-      s"""WITH e AS (SELECT vec_id, $vSql AS v FROM embeddings),
-          h AS (SELECT quantile_cont(vec_id, 0.5) AS m FROM e),
-          idx AS (SELECT vec_id, v FROM e, h WHERE vec_id <= m),
-          batch AS (SELECT vec_id, v FROM e, h WHERE vec_id > m
-                    UNION ALL
-                    SELECT vec_id + (SELECT max(vec_id) + 1 FROM e), v
-                    FROM idx WHERE vec_id < 8),
-          mx AS (SELECT b.vec_id, max(${VecSql.cosine("b.v", "i.v")}) AS mc
-                 FROM batch b, idx i GROUP BY 1)
-          SELECT vec_id FROM mx WHERE mc < 0.99 ORDER BY vec_id""",
+    "q90_vector_incremental" -> incrementalDedupSql,
+
+    // identical mirror: the indexed set is everything <= median however
+    // it was built (one-shot vs build+append+compact)
+    "q94_ivf_compacted_dedup" -> incrementalDedupSql,
 
     "q56f_ann_append_exact" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
