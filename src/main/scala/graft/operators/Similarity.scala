@@ -708,7 +708,12 @@ object Similarity {
       .withColumn("srank", row_number().over(ws))
       .where(col("srank") <= shortlist)
       .select(col("q_id"), col("vec_id"))
-    rerankExact(short, queries, candidates, k, idCol, vecCol)
+    // rerank against the SAME materialization the shortlist derives from
+    // (not a re-evaluation of `queries`): a non-deterministic source
+    // cannot desync the reranked q_vec from the probed one
+    val qFromProbe = qExploded
+      .select(col("q_id").as(idCol), col("q_vec").as(vecCol)).distinct()
+    rerankExact(short, qFromProbe, candidates, k, idCol, vecCol)
   }
 
   /** Default per-block cap for [[nearDupPairs]] — the analog of
