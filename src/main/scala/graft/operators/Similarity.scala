@@ -148,11 +148,50 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newVecs: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cents = readCentroids(spark, s"$dir/centroids")
+    val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
     val c0 = newVecs.select(col(idCol), Vec.asDouble(col(vecCol)).as("v"))
     writeLists(c0.withColumn("cell", nearestCell(spark, col("v"), cents))
       .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec")),
       IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
+  }
+
+  /** Re-train the coarse quantizer from the index's CURRENT contents and
+    * re-partition the inverted lists — the REBALANCE a long-lived index
+    * needs once the data distribution drifts from the frozen build-time
+    * centroids: appends assign to the nearest OLD centroid, so a new
+    * content mode (a model-version change upstream, a new language)
+    * piles into whichever cell happens to be least-far away, and that
+    * mega-cell skews every probe task that touches it. Correctness never
+    * depends on the quantizer (probe-all ≡ brute force for ANY centroid
+    * set — the q56c identity, re-gated post-retrain by q95); what
+    * re-training buys is balanced cells = balanced probe partitions, and
+    * optionally a LARGER `nCells` as the corpus grows (cell count should
+    * track sqrt(N)).
+    *
+    * Atomicity: the new centroids are written INSIDE the new lists
+    * version (`_centroids` — Spark ignores underscore-prefixed paths, so
+    * the lists scan never sees it) and the pair cuts over under the ONE
+    * lists-manifest publish. A reader racing the retrain resolves either
+    * (old centroids, old assignment) or (new centroids, new assignment),
+    * never a mix — the invariant "every vector lives in the cell its
+    * live quantizer assigns" that static cell pruning relies on.
+    *
+    * IVF-PQ indexes are NOT retrainable this way: their lists hold PQ
+    * codes, not float vectors, so re-assignment would need the original
+    * corpus (and re-training the codebooks would invalidate every stored
+    * code) — rebuild from source instead.
+    */
+  def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nCells: Option[Int] = None): Unit = {
+    val idx = loadIvfIndex(spark, dir)
+    val n = nCells.getOrElse(idx.centroids.size)
+    val rebuilt = buildIvfIndex(
+      idx.lists.select(col("vec_id"), col("c_vec").as("embedding")),
+      n, idx.centroids.head.size)
+    IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
+      writeLists(rebuilt.lists, next)
+      writeCentroids(spark, rebuilt.centroids, s"$next/_centroids")
+    }
   }
 
   /** Compact the saved inverted lists back to one file per cell — the
@@ -164,8 +203,22 @@ object Similarity {
     * an at-least-once streaming replay that re-appended a micro-batch.
     */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, dedupeRows: Boolean = false): Unit =
-    IndexFiles.compact(spark, dir, "lists", Some("cell"), dedupeRows)
+      dir: String, dedupeRows: Boolean = false): Unit = {
+    // IVF-aware compact (not the generic IndexFiles.compact): the live
+    // quantizer is re-embedded in the compacted version, so a compaction
+    // AFTER a retrain cannot strand the retrained centroids in the old
+    // version and silently fall back to the stale initial-save table
+    val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
+    val df0 = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "lists"))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("c_vec"))
+    val df = if (dedupeRows) df0.distinct() else df0
+    IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
+      writeLists(df, next)
+      writeCentroids(spark, cents, s"$next/_centroids")
+    }
+  }
 
   /** Batch-vs-persisted-index embedding near-dup matches — the vector
     * analog of [[graft.operators.Dedup.matchesAgainstLshIndex]]: each
@@ -226,6 +279,24 @@ object Similarity {
     * spelled out rather than a bare NoSuchElementException from the dense
     * re-index.
     */
+  /** The live centroid table of an IVF index dir: centroids embedded in
+    * the current lists version (`<lists live>/_centroids` — written by
+    * [[retrainIvfIndex]], invisible to the lists scan because Spark
+    * ignores underscore-prefixed paths) win over the initial-save
+    * `<dir>/centroids`. Embedding the quantizer IN the lists version
+    * makes the (centroids, assignment) pair cut over under ONE manifest
+    * publish — a reader can never pair a new quantizer with old lists or
+    * vice versa.
+    */
+  private def liveCentroidsPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val embedded = s"${IndexFiles.tablePath(spark, dir, "lists")}/_centroids"
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(embedded))) embedded
+    else s"$dir/centroids"
+  }
+
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Seq[Double]] = {
     val cents = spark.read.parquet(path)
@@ -249,7 +320,7 @@ object Similarity {
       dir: String): IvfIndex = {
     val lists = spark.read.parquet(IndexFiles.tablePath(spark, dir, "lists"))
       .select(col("cell").cast("int").as("cell"), col("vec_id"), col("c_vec"))
-    IvfIndex(readCentroids(spark, s"$dir/centroids"), lists)
+    IvfIndex(readCentroids(spark, liveCentroidsPath(spark, dir)), lists)
   }
 
   /** Probe a built/loaded index: each query searches its nProbe closest
@@ -642,7 +713,7 @@ object Similarity {
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqIndex =
-    IvfPqIndex(readCentroids(spark, s"$dir/centroids"),
+    IvfPqIndex(readCentroids(spark, liveCentroidsPath(spark, dir)),
       readCodebooks(spark, s"$dir/codebooks"),
       spark.read.parquet(IndexFiles.tablePath(spark, dir, "lists"))
         .select(col("cell").cast("int").as("cell"), col("vec_id"),
@@ -658,7 +729,7 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newVecs: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cents = readCentroids(spark, s"$dir/centroids")
+    val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
     val cb = readCodebooks(spark, s"$dir/codebooks")
     // two-step select keeps the double-cast vector a bound attribute
     // inside the argmax expressions (the dotOff contract, as in pqEncode)

@@ -198,6 +198,30 @@ object VectorQueries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // Quantizer RE-TRAIN lifecycle under the oracle: build the lower
+    // half (its centroids reflect only that half — the drift setup),
+    // append the upper half under the frozen stale quantizer, RETRAIN
+    // (centroids re-learned from the full contents and GROWN 8 -> 13
+    // cells, atomically cut over with the re-assigned lists), then
+    // probe-all. The mirror is the q56c brute-force identity — the
+    // whole drift/rebalance lifecycle must be invisible to results.
+    "q95_ivf_retrain_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      val tmp = java.nio.file.Files.createTempDirectory("q95_idx").toString
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(e.where(col("vec_id") <= half),
+          nCells = 8, dim = DIM), tmp)
+      Similarity.appendToIvfIndex(s, tmp, e.where(col("vec_id") > half))
+      Similarity.retrainIvfIndex(s, tmp, nCells = Some(13))
+      Similarity.probeIvf(Similarity.loadIvfIndex(s, tmp),
+          e.where(col("vec_id") < 8), 5, nProbe = 13)
+        .select(col("q_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -283,6 +307,22 @@ object VectorQueries {
 
   private val vSql = VecSql.asDouble("embedding")
 
+  /** Shared q56c/q95 mirror: probe-all over the whole corpus ≡ brute
+    * force, quantizer-independent (every vector lives in exactly one
+    * cell, all cells visited).
+    */
+  private lazy val probeAllSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
+        c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
+        scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                   FROM c, q WHERE vec_id <> q_id),
+        ranked AS (SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+          ${sqlFp("cosine", 6)} AS cos_micro
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   /** Shared q90/q94 mirror: batch survivors = rows whose max cosine
     * against the indexed half stays under the threshold (probe-all makes
     * the engine's ANN top-1 the global max, so the rule is exactly
@@ -334,17 +374,11 @@ object VectorQueries {
             ${sqlFp("cosine", 6)} AS cos_micro
           FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
-    "q56c_ann_ivf_exact" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
-          c AS (SELECT vec_id, $vSql AS cv FROM embeddings),
-          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
-                     FROM c, q WHERE vec_id <> q_id),
-          ranked AS (SELECT q_id, vec_id, cosine,
-                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-                     FROM scored)
-          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
-            ${sqlFp("cosine", 6)} AS cos_micro
-          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+    "q56c_ann_ivf_exact" -> probeAllSql,
+
+    // same mirror: probe-all ≡ brute force holds for ANY quantizer, so a
+    // build+append+retrain lifecycle must reproduce it bit-for-bit
+    "q95_ivf_retrain_exact" -> probeAllSql,
 
     "q56_ann_lsh_buckets" ->
       s"""SELECT ${VecSql.lshBucket("v", Vec.planes(PLANES, DIM))} AS bucket, count(*) AS n

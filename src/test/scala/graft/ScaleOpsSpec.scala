@@ -310,6 +310,55 @@ class IvfSpec extends AnyFunSuite {
       s"query ${r.get(0)} ranked ${r.getLong(1)} neighbors, expected 3"))
   }
 
+  test("retrain re-learns the quantizer from current contents, atomically") {
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
+    // drift setup: the quantizer is trained on the lower half only, the
+    // upper half arrives later under those frozen stale centroids
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+      e.where(col("vec_id") <= half), 8, 64), dir)
+    Similarity.appendToIvfIndex(spark, dir, e.where(col("vec_id") > half))
+    val stale = Similarity.loadIvfIndex(spark, dir).centroids
+    Similarity.retrainIvfIndex(spark, dir, nCells = Some(13))
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // the retrained quantizer IS a fresh build over the current contents
+    // (same seeds, same Lloyd pass, same corpus — equal up to the
+    // last-ulp order dependence of the distributed centroid avg, whose
+    // summation order differs between the lists-parquet and the
+    // embeddings-parquet inputs) and wins over the stale initial-save
+    // table (embedded _centroids resolution)
+    val rebuilt = Similarity.buildIvfIndex(e, 13, 64)
+    assert(loaded.centroids.size == 13)
+    loaded.centroids.zip(rebuilt.centroids).zipWithIndex.foreach {
+      case ((a, b), c) => a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9,
+          s"cell $c centroid diverged from a fresh build: $x vs $y")
+      }
+    }
+    assert(loaded.centroids != stale, "retrain premise: centroids changed")
+    // every vector present exactly once under the new assignment — the
+    // invariant static cell pruning needs (one cell per vector)
+    val ids = loaded.lists.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length && ids.length == e.count(),
+      "retrained lists must carry every vector exactly once")
+    // an exact copy of an indexed vector argmaxes to its original's cell
+    // under the NEW centroids, so a minimal nProbe=1 probe finds it —
+    // later appends and probes see the retrained quantizer
+    val dup = Similarity.dedupBatchAgainstIvfIndex(spark, dir,
+      e.where(col("vec_id") === 3)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L)),
+      cosineThreshold = 0.99, nProbe = 1)
+    assert(dup.count() == 0L, "copy of an indexed vector must drop")
+    // compaction preserves the retrained quantizer (the IVF-aware compact
+    // re-embeds it; the generic table compact would strand it in the old
+    // version and fall back to the stale initial-save table)
+    Similarity.compactIvfIndex(spark, dir)
+    assert(Similarity.loadIvfIndex(spark, dir).centroids == loaded.centroids,
+      "compaction lost the retrained centroids")
+  }
+
   test("probe batch side stays distributed (no driver round-trip)") {
     // the 100-TB ingest contract: probeCandidates must not collect the
     // query batch — the pre-round-13 shape re-entered the collected rows
