@@ -168,6 +168,15 @@ object Retrieval {
     * At 100 TB the posting lists are the only large artifact; `bucket` is
     * their partition key exactly as `cell` is the IVF lists'. Building is
     * one tokenize + one explode-groupBy pass over the corpus.
+    *
+    * Unlike the IVF quantizer ([[Similarity.retrainIvfIndex]]), the
+    * frozen `nBuckets` needs no drift maintenance: terms hash uniformly
+    * into buckets regardless of how the vocabulary grows, so bucket
+    * BALANCE cannot drift — only pruning granularity is fixed at build
+    * time (a query always reads 1/nBuckets of the postings per term).
+    * Growing nBuckets is a rebuild-from-corpus, by design: the modulus
+    * lives in `stats/` while the bucketing lives in `postings/`, and no
+    * single-table manifest publish could cut both over atomically.
     */
   /** (doc_id, __toks, dl) for the index writers — one tokenize pass. */
   private def tokenizedDocs(docs: DataFrame, idCol: String,
