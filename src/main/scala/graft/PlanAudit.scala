@@ -56,7 +56,8 @@ object PlanAudit {
     * shape is pinned by PlanHealthSpec instead.
     */
   private val topKWindowAudited: Set[String] = Set(
-    "q74_bm25", "q77_bm25_index", "q55_ann_bruteforce", "q56b_ann_ivf")
+    "q74_bm25", "q77_bm25_index", "q96_bm25_batch_serve",
+    "q55_ann_bruteforce", "q56b_ann_ivf")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

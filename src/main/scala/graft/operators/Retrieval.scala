@@ -369,6 +369,73 @@ object Retrieval {
         col("score_micro"))
   }
 
+  /** BM25 over a persisted index for a DISTRIBUTED query batch — the
+    * corpus-scale twin of [[searchIndex]], whose `Seq`-of-queries
+    * contract is driver-bounded by construction. `queries` is a DataFrame
+    * of (`qidCol`, `termsCol`: array&lt;string&gt;), so a retrieval pass
+    * with millions of queries (dedup-by-retrieval, per-document domain
+    * tagging, eval-set contamination sweeps) never routes query rows
+    * through the driver. The only driver round-trips are bounded index
+    * metadata: the stats head row and the DISTINCT probed bucket ids
+    * (&lt;= nBuckets) for the static partition filter — the
+    * IVF-probe discipline. Term membership is a join (AQE broadcasts the
+    * query side when it is small), and idf is computed once per DISTINCT
+    * query term from the index's persisted df with the same
+    * [[idfMicro]] `StrictMath.log` chain (a tiny deterministic UDF over
+    * metadata-sized rows, not the hot path), so results are
+    * bit-identical to [[searchIndex]] / [[bm25]] — the q96 identity.
+    *
+    * The exploded (q_id, term, bucket) frame is persisted in `scope`
+    * (one materialization feeds the bucket collect and the join — the
+    * probeCandidates internal-consistency contract).
+    */
+  def searchIndexBatch(spark: SparkSession, dir: String,
+      queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      qidCol: String = "q_id", termsCol: String = "terms",
+      scope: Dedup.CacheScope = Dedup.sessionScope): DataFrame = {
+    graft.plans.NativeHash48.register(spark)
+    val statsAll = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+    val meta = statsAll.select(col("n_buckets"), col("n_docs")).head()
+    val nBuckets = meta.getInt(0)
+    val nDocsIdx = meta.getLong(1)
+    val qterms = scope.track(queries
+      .select(col(qidCol).as("q_id"),
+        explode(array_distinct(col(termsCol))).as("term"))
+      .withColumn("bucket",
+        pmod(Text.hash48(col("term")), lit(nBuckets.toLong))))
+    // the ONLY query-side collect: distinct probed bucket ids, bounded by
+    // nBuckets — this action also materializes the persisted frame
+    val probed = qterms.select("bucket").distinct()
+      .collect().map(_.getLong(0))
+    val idfUdf = udf((df: Long) => idfMicro(nDocsIdx, df))
+    val termIdf = qterms.select("term").distinct()
+      .join(statsAll.select(col("term"), col("df")), Seq("term"), "left")
+      .withColumn("idf_micro", idfUdf(coalesce(col("df"), lit(0L))))
+      .select("term", "idf_micro")
+    val postings = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+      .where(col("bucket").isin(probed.map(Long.box).toSeq: _*))
+    val doclens = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+    val stats = broadcast(statsAll
+      .select(col("n_docs"), col("sum_dl")).limit(1))
+    val scored = postings
+      .join(qterms.select("q_id", "term"), "term")
+      .join(termIdf, "term")
+      .join(doclens, "doc_id")
+      .crossJoin(stats)
+    val perTerm = scored.withColumn("__s", scoreMicroExpr(k1, b))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    perTerm.groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__s")).as("score_micro"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank").cast("long").as("rank"),
+        col("score_micro"))
+  }
+
   /** DuckDB mirror of [[bm25]] for the driver oracle — identical arithmetic
     * in identical order. `idfTable` is the SAME driver-computed
     * (term -> idf_micro) map the Spark plan embeds, emitted here as a

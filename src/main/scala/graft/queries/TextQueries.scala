@@ -395,6 +395,24 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // DISTRIBUTED-batch index serve (Retrieval.searchIndexBatch): the
+    // query set arrives as a DataFrame of (q_id, terms), so a
+    // corpus-scale retrieval pass never routes query rows through the
+    // driver — the searchIndex Seq contract's 100-TB twin. idf is
+    // recomputed per distinct term from the index's persisted df with
+    // the same StrictMath chain, so serving is bit-identical to
+    // q74/q77 and shares their BM25 mirror.
+    "q96_bm25_batch_serve" -> ((s, dir) => {
+      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
+        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      val tmp = java.nio.file.Files.createTempDirectory("q96_idx").toString
+      graft.operators.Retrieval.buildIndex(table(s, dir, "documents"), tmp)
+      import s.implicits._
+      val qFrame = bm25Queries.toDF("q_id", "terms")
+      graft.operators.Retrieval.searchIndexBatch(s, tmp, qFrame, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // Token-level sequence packing (operators/Corpus.packSequences): the
     // per-source token streams cut into 128-token training sequences,
     // documents spanning boundaries — one row per (doc, sequence) slice,
@@ -818,6 +836,9 @@ object TextQueries {
 
     // same mirror as q91: compaction must be invisible to ranked results
     "q93_bm25_compacted_serve" -> bm25OracleSql,
+
+    // same mirror again: the distributed-batch serve is bit-identical
+    "q96_bm25_batch_serve" -> bm25OracleSql,
 
     "q75_pack_sequences" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -741,6 +741,26 @@ class RetrievalSpec extends AnyFunSuite {
       "the identity must exercise a genuinely pruned scan")
   }
 
+  test("distributed-batch index serve is bit-identical to the Seq serve") {
+    val docs = graft.queries.Common.table(spark,
+      "/root/testdata/sf0.001", "documents")
+    val qs = Seq("qa" -> Seq("spark", "join"), "qb" -> Seq("window", "scan"),
+      // a term absent from the corpus exercises the df=0 left-join path
+      "qc" -> Seq("zzznosuchterm", "spark"))
+    val tmp = java.nio.file.Files.createTempDirectory("retr_batch").toString
+    Retrieval.buildIndex(docs, tmp, nBuckets = 16)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val seqServe = key(Retrieval.searchIndex(spark, tmp, qs, k = 10))
+    import spark.implicits._
+    val batchServe = key(Retrieval.searchIndexBatch(spark, tmp,
+      qs.toDF("q_id", "terms"), k = 10))
+    assert(batchServe == seqServe,
+      "distributed-batch serve diverged from the Seq serve")
+    assert(seqServe.nonEmpty)
+  }
+
   test("appended index serves bit-identical results to a one-shot build") {
     val docs = graft.queries.Common.table(spark,
       "/root/testdata/sf0.001", "documents")
