@@ -194,6 +194,29 @@ object CorpusBench {
         Seq("stop" -> Seq(stopTerm)), k = 10).count()
       val stopSecs = (System.nanoTime() - t6) / 1e9
       require(stopHits == 10L, s"stopword query returned $stopHits hits")
+      // distributed-batch serve leg (r13): 10k hash-drawn 3-term queries
+      // as a DataFrame — the driver-unbounded searchIndexBatch contract
+      // measured at a real batch size (the Seq contract would hold 10k
+      // query tuples and their per-term idf map on the driver). Terms
+      // come from the SELECTIVE z-token tail of the synth corpus (df ~
+      // 2.3k of 1M) — the realistic retrieval-batch shape, where per-
+      // query work is bounded by term selectivity; every term of the
+      // main vocab is an ~80%-df stopword (the synth corpus is 60 draws
+      // from ~70 words), and 10k three-stopword queries would demand
+      // scoring ~10^10 (query, matching-doc) candidates, which is the
+      // workload's cost, not the operator's (the single-stopword leg
+      // above covers the degenerate-df case)
+      val nQ = 10000L
+      val qBatch = spark.range(nQ).select(
+        concat(lit("q"), col("id")).as("q_id"),
+        transform(sequence(lit(1), lit(3)), i => concat(lit("z"),
+          conv(pmod(xxhash64(col("id"), i + 1000), lit(999)), 10, 36)))
+          .as("terms"))
+      val t7 = System.nanoTime()
+      val batchHits = Retrieval.searchIndexBatch(spark, idxDir, qBatch,
+        k = 10).count()
+      val batchSecs = (System.nanoTime() - t7) / 1e9
+      require(batchHits > 0L, "batch serve returned nothing")
       docs.unpersist(blocking = true)
       println(s"""{"metric":"corpus_retrieval","n_docs":$nDocs,"bm25_hits":$hits,""" +
         s""""bm25_sec":${math.round(bm25Secs * 10) / 10.0},""" +
@@ -207,6 +230,9 @@ object CorpusBench {
         s""""grown_hits":$grownHits,""" +
         s""""stopword_term":"$stopTerm","stopword_df":$stopDf,""" +
         s""""stopword_serve_sec":${math.round(stopSecs * 100) / 100.0},""" +
+        s""""batch_queries":$nQ,"batch_hits":$batchHits,""" +
+        s""""batch_serve_sec":${math.round(batchSecs * 100) / 100.0},""" +
+        s""""batch_q_per_s":${math.round(nQ / batchSecs)},""" +
         s""""peak_heap_mb":$peakHeapMb}""")
       spark.stop(); return
     }
