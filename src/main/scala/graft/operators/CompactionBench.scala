@@ -91,9 +91,12 @@ object CompactionBench {
         .select((col("doc_id") + lit(5L * nBase)).as("doc_id"), col("text"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       probeBatch.count()
-      def probe() = Dedup.matchesAgainstLshIndex(spark, dir, probeBatch,
-          scope = new Dedup.CacheScope)
-        .where(col("jaccard") >= 0.8).count()
+      def probe() = {
+        val sc = new Dedup.CacheScope
+        try Dedup.matchesAgainstLshIndex(spark, dir, probeBatch, scope = sc)
+          .where(col("jaccard") >= 0.8).count()
+        finally sc.release()
+      }
       val filesBefore = IndexFiles.dataFileCount(spark, dir, "bands")
       val (tBefore, hBefore) = bestOf3(() => probe())
       val t0 = System.nanoTime()
