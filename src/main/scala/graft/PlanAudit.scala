@@ -98,7 +98,7 @@ object PlanAudit {
           .map { case (t, n) => s"$name: unpruned scan of $t ($n/${tables(t)} cols)" }
         if (topKWindowAudited(name)) {
           val plan = df.queryExecution.executedPlan.toString
-          if (!(plan.contains("WindowGroupLimit") && plan.contains("Partial")))
+          if (!hasPartialWindowGroupLimit(plan))
             violations += s"$name: top-k rank window without a map-side " +
               "WindowGroupLimit (Partial) pre-rank — a high-df/degenerate " +
               "query would funnel its full candidate set through one task"
@@ -118,6 +118,17 @@ object PlanAudit {
     }
     println(s"\nplan audit clean across ${SparkEntry.queries.size} queries")
   }
+
+  /** True iff the plan string contains a WindowGroupLimit node in Partial
+    * mode — checked on the NODE's own line (WindowGroupLimitExec prints
+    * its mode as the last argument), not as two independent substrings of
+    * the whole plan: a Final-mode-only WindowGroupLimit plus an unrelated
+    * "Partial" token elsewhere (e.g. a partial HashAggregate) must NOT
+    * pass as a map-side pre-rank.
+    */
+  private[graft] def hasPartialWindowGroupLimit(plan: String): Boolean =
+    plan.linesIterator.exists(l =>
+      l.contains("WindowGroupLimit") && l.contains("Partial"))
 
   /** Wide-table scans whose ReadSchema carries every column: (table,
     * columns-read) pairs, from pairing each scan's Location line with its

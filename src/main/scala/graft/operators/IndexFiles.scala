@@ -49,10 +49,16 @@ private[graft] object IndexFiles {
   }
 
   /** Live version of `sub` under `dir`: the manifest's value when present;
-    * else the highest `<sub>.v<N>` on disk (the publish crash window —
-    * the next version is always fully written before the manifest moves,
-    * so the highest on-disk version is safe to serve); else 0 (legacy
-    * unversioned layout).
+    * else the highest `<sub>.v<N>` on disk; else 0 (legacy unversioned
+    * layout). The no-manifest-but-versions-exist fallback is reachable in
+    * exactly ONE window — [[publishVersion]]'s delete→rename of the
+    * manifest file — where the highest on-disk version is always fully
+    * written: [[writeNextVersion]] BOOTSTRAPS a manifest pinning the
+    * current live version before the first versioned rewrite ever starts
+    * writing, so a half-written `<sub>.v1` can never be the fallback's
+    * answer (without the bootstrap, a reader racing the first rewrite of
+    * a legacy table — or any reader after a crash mid-first-rewrite —
+    * would resolve the incomplete v1 instead of the intact legacy v0).
     */
   private def liveVersion(fs: FileSystem, dir: String, sub: String): Int = {
     val manifest = new Path(s"$dir/$sub.manifest")
@@ -81,9 +87,35 @@ private[graft] object IndexFiles {
   def writeNextVersion(spark: SparkSession, dir: String, sub: String)
       (write: String => Unit): Unit = {
     val fs = fsFor(spark, dir)
-    val next = liveVersion(fs, dir, sub) + 1
+    val live = liveVersion(fs, dir, sub)
+    // bootstrap: the initial save paths write no manifest, so the FIRST
+    // rewrite must pin the current live version in a manifest BEFORE any
+    // v(next) file exists — otherwise liveVersion's highest-on-disk
+    // fallback would resolve the in-progress (or crash-abandoned) next
+    // version for every lock-free reader
+    if (!fs.exists(new Path(s"$dir/$sub.manifest")))
+      writeManifest(fs, dir, sub, live)
+    val next = live + 1
+    val target = new Path(versionPath(dir, sub, next))
+    // crash residue: a previous rewrite attempt may have died mid-write of
+    // this same (never-published) version — clear it so the callback
+    // writes a fresh table instead of landing on top of a partial one
+    if (fs.exists(target)) fs.delete(target, true)
     write(versionPath(dir, sub, next))
     publishVersion(spark, dir, sub, next)
+  }
+
+  private def writeManifest(fs: FileSystem, dir: String, sub: String,
+      v: Int): Unit = {
+    val manifest = new Path(s"$dir/$sub.manifest")
+    val tmp = new Path(s"$dir/$sub.manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(manifest)) fs.delete(manifest, false)
+    require(fs.rename(tmp, manifest),
+      s"writeManifest: rename $tmp -> $manifest failed")
   }
 
   /** Cut readers over to version `v` (already fully written) and prune
@@ -100,15 +132,7 @@ private[graft] object IndexFiles {
     val prev = liveVersion(fs, dir, sub)
     require(fs.exists(new Path(versionPath(dir, sub, v))),
       s"publishVersion: $dir/$sub.v$v does not exist")
-    val manifest = new Path(s"$dir/$sub.manifest")
-    val tmp = new Path(s"$dir/$sub.manifest.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (fs.exists(manifest)) fs.delete(manifest, false)
-    require(fs.rename(tmp, manifest),
-      s"publishVersion: rename $tmp -> $manifest failed")
+    writeManifest(fs, dir, sub, v)
     // keep TWO prior versions: an in-flight reader that resolved just
     // before this cutover survives not only this publish but a whole
     // further compaction cycle (a reader slower than one rewrite would
@@ -149,8 +173,19 @@ private[graft] object IndexFiles {
     * [[wasBatchApplied]] (skip if true) and [[recordBatchApplied]] (after
     * every append of the step completes), so a re-delivered batchId is a
     * no-op instead of a double append. One empty marker file per applied
-    * batch under `<dir>/_ledger/` — an O(1) existence probe per batch,
-    * set semantics (no reliance on batchId monotonicity).
+    * batch under `<dir>/_ledger/<writerId>/` — an O(1) existence probe
+    * per batch, set semantics (no reliance on batchId monotonicity).
+    *
+    * `writerId` scopes the markers to ONE writer identity (the Delta
+    * `txnAppId` pattern): Structured Streaming batchIds are scoped to a
+    * checkpoint location and restart from 0 under a fresh checkpoint, so
+    * an UNSCOPED ledger would make a restarted-with-new-checkpoint stream
+    * (or a second stream sharing the index dir) silently skip genuinely
+    * new batches — data loss, strictly worse than double-append. The
+    * streaming ingest paths default `writerId` to the stream's queryId,
+    * which is persisted in the checkpoint and therefore stable across
+    * restarts of the SAME checkpoint and fresh for a NEW one — exactly
+    * the batchId scope.
     *
     * Honest contract: this closes the REPLAY path (batch fully applied,
     * checkpoint stale — the common failure). A crash inside the window
@@ -159,19 +194,29 @@ private[graft] object IndexFiles {
     * `compact(dedupeRows = true)` repairs, and is irreducible without a
     * transactional table format underneath the parquet layout.
     */
-  def wasBatchApplied(spark: SparkSession, dir: String,
+  def wasBatchApplied(spark: SparkSession, dir: String, writerId: String,
       batchId: Long): Boolean =
-    fsFor(spark, dir).exists(new Path(s"$dir/_ledger/applied-$batchId"))
+    fsFor(spark, dir).exists(ledgerMarker(dir, writerId, batchId))
 
-  def recordBatchApplied(spark: SparkSession, dir: String,
+  def recordBatchApplied(spark: SparkSession, dir: String, writerId: String,
       batchId: Long): Unit = {
     val fs = fsFor(spark, dir)
-    val p = new Path(s"$dir/_ledger/applied-$batchId")
+    val p = ledgerMarker(dir, writerId, batchId)
     fs.mkdirs(p.getParent)
     val out = fs.create(p, true)
     try out.write(batchId.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  private def ledgerMarker(dir: String, writerId: String,
+      batchId: Long): Path = {
+    // caller-supplied app ids may carry path separators; queryIds (UUIDs)
+    // pass through unchanged
+    val safe = writerId.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
+    require(safe.nonEmpty, "ledger writerId must be nonempty")
+    new Path(s"$dir/_ledger/$safe/applied-$batchId")
   }
 
   /** Files (ignoring _SUCCESS/metadata) under a table directory,

@@ -377,25 +377,31 @@ object StreamingOps {
     * dedup code path serves batch backfills and the live stream.
     *
     * Semantics: idempotent on epoch replay via the index's batch ledger
-    * ([[graft.operators.IndexFiles.wasBatchApplied]]) — a re-delivered
+    * ([[graft.operators.IndexFiles.wasBatchApplied]], scoped to this
+    * stream's writer identity — see [[writerIdFor]]) — a re-delivered
     * epochId (crash between the appends and the checkpoint commit) is
     * SKIPPED, not re-appended. The residual window (crash between the
-    * last append and the ledger marker) re-appends once and is repaired
-    * by `compactLshIndex(dedupeRows = true)` — see the ledger scaladoc.
-    * The spec pins both the no-failure path (stream output ≡ the
-    * sequential batch loop) and the replay path (re-delivering an applied
-    * batch changes nothing, without compaction). Caller configures
-    * trigger/checkpoint on the returned writer and calls `start()`.
+    * last append and the ledger marker) re-appends the INDEX rows once,
+    * repaired by `compactLshIndex(dedupeRows = true)`; the CORPUS sink is
+    * idempotent even in that window — each batch's survivors land in a
+    * batch-scoped `ingest_batch=` partition via dynamic partition
+    * overwrite, so a replay rewrites its own partition instead of
+    * appending duplicates (see [[writeCorpus]]). The spec pins both the
+    * no-failure path (stream output ≡ the sequential batch loop) and the
+    * replay path (re-delivering an applied batch changes nothing, without
+    * compaction). Caller configures trigger/checkpoint on the returned
+    * writer and calls `start()`.
     */
   def ingestWithDedup(stream: DataFrame, indexDir: String,
       corpusDir: String, jaccardThreshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text",
-      maxBucket: Option[Int] = graft.operators.Dedup.defaultMaxBucket)
+      maxBucket: Option[Int] = graft.operators.Dedup.defaultMaxBucket,
+      appId: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestBatch(batch.toDF(), indexDir, corpusDir, jaccardThreshold,
-          idCol, textCol, maxBucket, batchId = Some(batchId))
+          idCol, textCol, maxBucket, batchId = Some(batchId), appId = appId)
     }
 
   /** One ingest step — the foreachBatch body, exposed so a batch backfill
@@ -406,10 +412,11 @@ object StreamingOps {
       jaccardThreshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text",
       maxBucket: Option[Int] = graft.operators.Dedup.defaultMaxBucket,
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, appId: Option[String] = None): Unit = {
     import graft.operators.{Dedup, IndexFiles}
     val spark = batch.sparkSession
-    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, _)))
+    val writer = writerIdFor(spark, appId)
+    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, writer, _)))
       return // replayed micro-batch: already fully applied, skip
     val scope = new Dedup.CacheScope
     // survivors feed two writes (index append + corpus sink): persist so
@@ -423,15 +430,60 @@ object StreamingOps {
     }
     try {
       Dedup.appendToLshIndex(spark, indexDir, survivors, idCol, textCol)
-      survivors.write.mode("append").parquet(corpusDir)
+      writeCorpus(survivors, corpusDir, writer, batchId)
       // marker LAST: a crash before this line replays the batch once
-      // (repairable); a marker written early would DROP the batch
+      // (index rows repairable, corpus idempotent); a marker written
+      // early would DROP the batch
       batchId.foreach(graft.operators.IndexFiles
-        .recordBatchApplied(spark, indexDir, _))
+        .recordBatchApplied(spark, indexDir, writer, _))
     } finally {
       survivors.unpersist()
       scope.release()
     }
+  }
+
+  /** Effective ledger writer identity for an ingest step: the explicit
+    * `appId` when the caller supplies one (the Delta txnAppId pattern —
+    * use it when one logical pipeline must survive a checkpoint
+    * migration), else the stream's queryId (Structured Streaming sets it
+    * as a local property on the foreachBatch thread; it is persisted in
+    * the checkpoint metadata, so it is stable across restarts of the SAME
+    * checkpoint and fresh for a NEW one — matching the batchId scope
+    * exactly, which is what makes the ledger safe: a restarted stream
+    * with a fresh checkpoint restarts batchIds from 0 and must NOT be
+    * skipped by markers an earlier stream left behind), else "local"
+    * (non-streaming backfill loops, which share one namespace by
+    * construction).
+    */
+  private def writerIdFor(spark: SparkSession,
+      appId: Option[String]): String =
+    appId.orElse(Option(spark.sparkContext
+      .getLocalProperty("sql.streaming.queryId")))
+      .getOrElse("local")
+
+  /** Corpus-sink write for one ingest step. With a known `batchId` the
+    * survivors land in a batch-scoped `ingest_batch=<writer>-<id>`
+    * partition under DYNAMIC partition overwrite — a replayed batch
+    * (the residual crash window between the index appends and the ledger
+    * marker) rewrites ITS OWN partition with the recomputed survivors
+    * instead of appending duplicates, so the corpus needs no repair pass
+    * in any crash window. (The recomputation is survivor-stable because
+    * both index probes exclude same-id matches; in bucket-cap/k-cap
+    * corner cases a replay may dedup MORE rows than the first attempt —
+    * a valid dedup outcome either way, never a duplicate.) Without a
+    * batchId (ad-hoc backfill) it is a plain append; don't mix the two
+    * modes in one corpus dir — the partitioned and flat layouts don't
+    * union under parquet partition discovery.
+    */
+  private def writeCorpus(survivors: DataFrame, corpusDir: String,
+      writerId: String, batchId: Option[Long]): Unit = batchId match {
+    case Some(id) =>
+      survivors.withColumn("ingest_batch", lit(s"$writerId-$id"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch").parquet(corpusDir)
+    case None =>
+      survivors.write.mode("append").parquet(corpusDir)
   }
 
   /** Streaming EMBEDDING ingest into a persisted IVF ANN index — the
@@ -441,21 +493,24 @@ object StreamingOps {
     * already-accepted vectors, and the survivors are appended to the
     * index (assigned by the FROZEN saved centroids) and to the vector
     * corpus sink — so tomorrow's batch sees them. Idempotent on replay
-    * via the index's batch ledger (the [[ingestWithDedup]] contract): a
-    * re-delivered micro-batch is skipped, not re-appended; only the
-    * residual crash window between the appends and the ledger marker
-    * re-appends once, repaired by `compactIvfIndex(dedupeRows = true)`.
+    * via the index's writer-scoped batch ledger (the [[ingestWithDedup]]
+    * contract): a re-delivered micro-batch is skipped, not re-appended;
+    * only the residual crash window between the appends and the ledger
+    * marker re-appends the INDEX rows once, repaired by
+    * `compactIvfIndex(dedupeRows = true)` — the corpus sink is idempotent
+    * even there ([[writeCorpus]]'s batch-scoped partition overwrite).
     * Caller configures trigger/checkpoint and calls `start()`.
     */
   def ingestVectors(stream: DataFrame, indexDir: String, corpusDir: String,
       cosineThreshold: Double = 0.99, selfDedupK: Int = 8, nProbe: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      appId: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         ingestVectorsBatch(batch.toDF(), indexDir, corpusDir,
           cosineThreshold, selfDedupK, nProbe, idCol, vecCol,
-          batchId = Some(batchId))
+          batchId = Some(batchId), appId = appId)
     }
 
   /** One vector-ingest step — the foreachBatch body, exposed so a batch
@@ -465,10 +520,12 @@ object StreamingOps {
   def ingestVectorsBatch(batch: DataFrame, indexDir: String,
       corpusDir: String, cosineThreshold: Double = 0.99,
       selfDedupK: Int = 8, nProbe: Int = 3, idCol: String = "vec_id",
-      vecCol: String = "embedding", batchId: Option[Long] = None): Unit = {
+      vecCol: String = "embedding", batchId: Option[Long] = None,
+      appId: Option[String] = None): Unit = {
     import graft.operators.{Dedup, IndexFiles, Similarity}
     val spark = batch.sparkSession
-    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, _)))
+    val writer = writerIdFor(spark, appId)
+    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, writer, _)))
       return // replayed micro-batch: already fully applied, skip
     val scope = new Dedup.CacheScope
     // in-batch SemDeDup first (two near-dups arriving together would both
@@ -483,10 +540,10 @@ object StreamingOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       Similarity.appendToIvfIndex(spark, indexDir, survivors, idCol, vecCol)
-      survivors.write.mode("append").parquet(corpusDir)
+      writeCorpus(survivors, corpusDir, writer, batchId)
       // marker LAST (see ingestBatch): early = dropped batch, late = one
-      // repairable re-append
-      batchId.foreach(IndexFiles.recordBatchApplied(spark, indexDir, _))
+      // repairable index re-append (corpus idempotent)
+      batchId.foreach(IndexFiles.recordBatchApplied(spark, indexDir, writer, _))
     } finally {
       survivors.unpersist()
       scope.release()
@@ -513,12 +570,13 @@ object StreamingOps {
     * and calls `start()`.
     */
   def indexDocuments(stream: DataFrame, indexDir: String,
-      idCol: String = "doc_id", textCol: String = "text")
+      idCol: String = "doc_id", textCol: String = "text",
+      appId: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexDocumentsBatch(batch.toDF(), indexDir, idCol, textCol,
-          batchId = Some(batchId))
+          batchId = Some(batchId), appId = appId)
     }
 
   /** One document-indexing step — the foreachBatch body, exposed so a
@@ -527,14 +585,15 @@ object StreamingOps {
     */
   def indexDocumentsBatch(batch: DataFrame, indexDir: String,
       idCol: String = "doc_id", textCol: String = "text",
-      batchId: Option[Long] = None): Unit = {
+      batchId: Option[Long] = None, appId: Option[String] = None): Unit = {
     import graft.operators.IndexFiles
     val spark = batch.sparkSession
-    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, _)))
+    val writer = writerIdFor(spark, appId)
+    if (batchId.exists(IndexFiles.wasBatchApplied(spark, indexDir, writer, _)))
       return // replayed micro-batch: already fully applied, skip
     graft.operators.Retrieval.appendToIndex(spark, indexDir, batch,
       idCol, textCol)
-    batchId.foreach(IndexFiles.recordBatchApplied(spark, indexDir, _))
+    batchId.foreach(IndexFiles.recordBatchApplied(spark, indexDir, writer, _))
   }
 
   /** Run a streaming query over a parquet directory to a memory sink and

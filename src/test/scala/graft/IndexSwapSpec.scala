@@ -105,4 +105,45 @@ class IndexSwapSpec extends AnyFunSuite {
     assert(probe() == baseline,
       "manifest-less fallback must serve the fully-written top version")
   }
+
+  test("FIRST rewrite of a legacy table bootstraps a manifest before v1 appears") {
+    // The initial save paths write no manifest. Without a bootstrap pin,
+    // a crash mid-write of lists.v1 (or a reader racing the write) would
+    // resolve the PARTIAL v1 via the highest-on-disk fallback instead of
+    // the intact legacy table.
+    val e = graft.queries.Common.table(spark, "/root/testdata/sf0.001",
+      "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("swap_boot").toString
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(e, 8, 64), dir)
+    def probe() = Similarity.probeIvf(Similarity.loadIvfIndex(spark, dir),
+        e.where(col("vec_id") < 4), 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val baseline = probe()
+    assert(!new java.io.File(s"$dir/lists.manifest").exists())
+
+    // crash mid-FIRST-rewrite: the write callback dies after leaving
+    // partial v1 files on disk
+    val boom = intercept[RuntimeException] {
+      IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(next))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(next, "part-00000.parquet"),
+          Array[Byte](1, 2, 3)) // garbage: unreadable if ever resolved
+        sys.error("simulated crash mid-first-rewrite")
+      }
+    }
+    assert(boom.getMessage.contains("simulated crash"))
+    // the bootstrap manifest pins the legacy table; the half-written v1
+    // (present on disk) must be invisible to every reader
+    assert(new java.io.File(s"$dir/lists.v1").exists())
+    assert(IndexFiles.tablePath(spark, dir, "lists").endsWith("lists"),
+      "reader must stay on the intact legacy table after a first-rewrite crash")
+    assert(probe() == baseline)
+
+    // recovery: the retried rewrite clears the residue and publishes a
+    // complete v1
+    Similarity.compactIvfIndex(spark, dir)
+    assert(IndexFiles.tablePath(spark, dir, "lists").endsWith("lists.v1"))
+    assert(probe() == baseline, "retried first rewrite must serve identically")
+  }
 }

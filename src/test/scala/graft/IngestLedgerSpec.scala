@@ -69,6 +69,70 @@ class IngestLedgerSpec extends AnyFunSuite {
     assert(state()._1 == applied._1 + 1, "a new batchId must still apply")
   }
 
+  test("ledger markers are writer-scoped: a second writer's batch 0 is not skipped") {
+    // Structured Streaming batchIds restart from 0 under a fresh
+    // checkpoint; an unscoped ledger would silently DROP the new stream's
+    // batches. Two appIds on one index dir must keep independent ledgers.
+    val root = java.nio.file.Files.createTempDirectory("ledger-scope").toString
+    val idx = s"$root/index"; val corpus = s"$root/corpus"
+    Dedup.saveLshIndex(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    StreamingOps.ingestBatch(
+      Seq((10L, "iota kappa lambda mu")).toDF("doc_id", "text"),
+      idx, corpus, batchId = Some(0L), appId = Some("pipeline-a"))
+    assert(IndexFiles.wasBatchApplied(spark, idx, "pipeline-a", 0L))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "pipeline-b", 0L),
+      "writer b must not see writer a's markers")
+    // writer b's batch 0 (a different stream sharing the index) applies
+    StreamingOps.ingestBatch(
+      Seq((20L, "nu xi omicron pi")).toDF("doc_id", "text"),
+      idx, corpus, batchId = Some(0L), appId = Some("pipeline-b"))
+    assert(spark.read.parquet(corpus).count() == 2,
+      "a second writer's batch 0 must apply, not be skipped")
+    // and writer a replaying ITS batch 0 is still a no-op
+    StreamingOps.ingestBatch(
+      Seq((10L, "iota kappa lambda mu")).toDF("doc_id", "text"),
+      idx, corpus, batchId = Some(0L), appId = Some("pipeline-a"))
+    assert(spark.read.parquet(corpus).count() == 2)
+  }
+
+  test("corpus sink is idempotent even in the residual crash window") {
+    // crash AFTER the appends but BEFORE the ledger marker: the replayed
+    // batch re-appends index rows (repaired by compact(dedupeRows)) but
+    // must NOT duplicate the corpus — each batch overwrites its own
+    // ingest_batch partition
+    val dim = 8
+    def oneHot(i: Int): Seq[Float] =
+      (0 until dim).map(j => if (j == i) 1.0f else 0.0f)
+    val root = java.nio.file.Files.createTempDirectory("ledger-resid").toString
+    val idx = s"$root/index"; val corpus = s"$root/corpus"
+    val seed = (0 until 4).map(i => (i.toLong, oneHot(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(seed, 2, dim), idx)
+    val batch = Seq((10L, oneHot(5)), (11L, oneHot(6)))
+      .toDF("vec_id", "embedding")
+    StreamingOps.ingestVectorsBatch(batch, idx, corpus, nProbe = 2,
+      batchId = Some(1L))
+    val corpusIds = spark.read.parquet(corpus)
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    // simulate the residual window: the marker never landed
+    val marker = new java.io.File(s"$idx/_ledger/local/applied-1")
+    assert(marker.exists(), "marker path contract changed")
+    assert(marker.delete())
+    StreamingOps.ingestVectorsBatch(batch, idx, corpus, nProbe = 2,
+      batchId = Some(1L)) // the replay re-runs in full
+    assert(spark.read.parquet(corpus)
+        .select("vec_id").as[Long].collect().sorted.toSeq == corpusIds,
+      "replayed batch must overwrite its own corpus partition, not append")
+    // the index side re-appended byte-identical rows; dedupe-compact
+    // restores one row per vector (the documented repair)
+    Similarity.compactIvfIndex(spark, idx, dedupeRows = true)
+    val lists = spark.read.parquet(IndexFiles.tablePath(spark, idx, "lists"))
+    assert(lists.count() == lists.select("vec_id").distinct().count(),
+      "dedupe compaction must restore one list row per vector")
+  }
+
   test("document indexing skips a re-delivered batchId without compaction") {
     val root = java.nio.file.Files.createTempDirectory("ledger-bm25").toString
     val idx = s"$root/index"

@@ -125,8 +125,20 @@ class PlanHealthSpec extends AnyFunSuite {
     val probe = graft.operators.Similarity.probeIvfPq(idx,
       e.where(col("vec_id") < 4), e, 5, nProbe = 2, shortlist = 50)
     val plan = probe.queryExecution.executedPlan.toString
-    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+    // same-line check (PlanAudit.hasPartialWindowGroupLimit): a Final-mode
+    // WindowGroupLimit plus a stray "Partial" elsewhere must not pass
+    assert(PlanAudit.hasPartialWindowGroupLimit(plan),
       "bounded-shortlist probeIvfPq lost its map-side pre-rank:\n" + plan)
+  }
+
+  test("partial-WindowGroupLimit detector requires the mode on the node's line") {
+    assert(PlanAudit.hasPartialWindowGroupLimit(
+      "WindowGroupLimit [q#1], [s#2 DESC], row_number(), 10, Partial\n+- Scan"))
+    // Final-mode pre-rank + an unrelated Partial aggregate: NOT a map-side
+    // pre-rank, must fail the audit
+    assert(!PlanAudit.hasPartialWindowGroupLimit(
+      "WindowGroupLimit [q#1], [s#2 DESC], row_number(), 10, Final\n" +
+      "+- HashAggregate(keys=[k#3], functions=[partial_sum(v#4)], Partial)"))
   }
 
   test("grid xbin lookup is a broadcast dim-join, not a plan literal") {
