@@ -610,6 +610,34 @@ object Dedup {
     IndexFiles.compact(spark, dir, "shingles", None, dedupeRows)
   }
 
+  /** DELETE documents from a persisted LSH index — the takedown
+    * maintenance path ([[graft.operators.Retrieval.deleteFromIndex]]'s
+    * near-dup twin): band and shingle rows for the given ids are removed
+    * by a distributed anti-join rewrite of each table, cut over through
+    * the zero-downtime versioned swap. A deleted doc immediately stops
+    * vetoing future ingests (its buckets no longer collide, its shingle
+    * set no longer verifies), exactly as if it had never been indexed —
+    * the spec's delete ≡ rebuild-on-survivors identity. The geometry meta
+    * is untouched.
+    */
+  def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    val del = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val bands = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "bands"))
+      .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
+      .join(del, Seq("doc_id"), "left_anti")
+      .select("band", "bsig", "doc_id")
+    IndexFiles.writeNextVersion(spark, dir, "bands")(next =>
+      bands.repartition(col("band")).write.mode("overwrite")
+        .partitionBy("band").parquet(next))
+    val shingles = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+      .join(del, Seq("doc_id"), "left_anti")
+    IndexFiles.writeNextVersion(spark, dir, "shingles")(next =>
+      shingles.coalesce(4).write.mode("overwrite").parquet(next))
+  }
+
   /** Probe a persisted index with a new batch: every (batch doc, indexed
     * doc) candidate pair from band-bucket collisions, verified with exact
     * shingle-set Jaccard. Output: (batch_id, dup_of, jaccard) — ALL

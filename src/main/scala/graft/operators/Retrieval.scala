@@ -297,21 +297,70 @@ object Retrieval {
       dedupeRows: Boolean = false): Unit = {
     IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows)
     IndexFiles.compact(spark, dir, "doclens", None, dedupeRows)
-    if (dedupeRows) {
-      val nBuckets = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-        .select(col("n_buckets")).head().getInt(0)
-      val dfreq = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val totals = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      IndexFiles.writeNextVersion(spark, dir, "stats")(next =>
-        statsOf(dfreq, totals, nBuckets)
-          .write.mode("overwrite").parquet(next))
-    }
+    if (dedupeRows) rebuildStats(spark, dir)
+  }
+
+  /** Rebuild `stats/` from the LIVE postings and doclens tables (next
+    * version + manifest cutover) — the ground-truth recompute shared by
+    * the dedupe-repair and delete paths: whatever mutation the index
+    * tables just took, the republished df/n_docs/sum_dl are exactly a
+    * clean build's over the surviving rows.
+    */
+  private def rebuildStats(spark: SparkSession, dir: String): Unit = {
+    val nBuckets = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+      .select(col("n_buckets")).head().getInt(0)
+    val dfreq = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    IndexFiles.writeNextVersion(spark, dir, "stats")(next =>
+      statsOf(dfreq, totals, nBuckets)
+        .write.mode("overwrite").parquet(next))
+  }
+
+  /** DELETE documents from a persisted inverted index — the takedown /
+    * right-to-be-forgotten maintenance path a production corpus index
+    * needs as surely as append: postings and doclens are rewritten minus
+    * the deleted ids (distributed anti-join, published through the
+    * zero-downtime versioned swap), then `stats/` is rebuilt from the
+    * survivors, so df / n_docs / sum_dl — and therefore idf and avgdl —
+    * equal a one-shot [[buildIndex]] over the corpus WITHOUT the deleted
+    * docs. Serving after a delete is bit-identical to never having
+    * indexed them (the q97 oracle identity).
+    *
+    * Order matters for readers racing the delete: `doclens` publishes
+    * FIRST, and [[searchIndex]]'s postings–doclens join is inner, so a
+    * deleted doc stops being servable at the first cutover; the windows
+    * until the postings and stats cutovers leave only dead postings rows
+    * (dropped by the join) and the old corpus-level stats — the same
+    * transient staleness an [[appendToIndex]] reader sees, never a
+    * partially-deleted ranking.
+    *
+    * Cost is one pruned rewrite of each table — O(index), distributed,
+    * no driver materialization (`docIds` stays a frame; AQE broadcasts
+    * it when small, the takedown-list case).
+    */
+  def deleteFromIndex(spark: SparkSession, dir: String, docIds: DataFrame,
+      idCol: String = "doc_id"): Unit = {
+    val del = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val doclens = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+      .join(del, Seq("doc_id"), "left_anti")
+    IndexFiles.writeNextVersion(spark, dir, "doclens")(next =>
+      doclens.coalesce(4).write.mode("overwrite").parquet(next))
+    val postings = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+      .select(col("bucket").cast("long").as("bucket"), col("term"),
+        col("doc_id"), col("tf"))
+      .join(del, Seq("doc_id"), "left_anti")
+    IndexFiles.writeNextVersion(spark, dir, "postings")(next =>
+      postings.repartition(col("bucket")).write.mode("overwrite")
+        .partitionBy("bucket").parquet(next))
+    rebuildStats(spark, dir)
   }
 
   /** BM25 over a persisted index: the query batch's terms resolve to

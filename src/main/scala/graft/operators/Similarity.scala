@@ -220,6 +220,34 @@ object Similarity {
     }
   }
 
+  /** DELETE vectors from a persisted IVF index — the takedown maintenance
+    * path ([[graft.operators.Retrieval.deleteFromIndex]]'s vector twin):
+    * the inverted lists are rewritten minus the deleted ids (distributed
+    * anti-join; `vecIds` never transits the driver) and published through
+    * the zero-downtime versioned swap, with the live quantizer re-embedded
+    * in the new version (the [[compactIvfIndex]] discipline — a delete
+    * after a retrain must not strand the retrained centroids). The
+    * quantizer itself is untouched: cell assignment depends only on the
+    * centroids, so remaining vectors stay in their cells and every probe
+    * identity (probe-all ≡ brute force over the SURVIVING corpus) holds
+    * — the q98 oracle gate. A deleted vector stops matching at the one
+    * manifest cutover; no tombstone filtering on the serve path.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    val del = vecIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
+    val kept = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "lists"))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"),
+        col("c_vec"))
+      .join(del, Seq("vec_id"), "left_anti")
+    IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
+      writeLists(kept, next)
+      writeCentroids(spark, cents, s"$next/_centroids")
+    }
+  }
+
   /** Batch-vs-persisted-index embedding near-dup matches — the vector
     * analog of [[graft.operators.Dedup.matchesAgainstLshIndex]]: each
     * batch vector's ANN nearest neighbor over the saved inverted lists
@@ -710,6 +738,24 @@ object Similarity {
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, dedupeRows: Boolean = false): Unit =
     IndexFiles.compact(spark, dir, "lists", Some("cell"), dedupeRows)
+
+  /** DELETE vectors from a persisted IVF-PQ index — the
+    * [[deleteFromIvfIndex]] twin for the composite layout: the code lists
+    * are rewritten minus the deleted ids and cut over under the one lists
+    * manifest; centroids and codebooks are untouched (both frozen — codes
+    * stay valid), so probes over the survivors are unchanged (the spec's
+    * delete-then-probe ≡ rebuild-on-survivors identity).
+    */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecIds: DataFrame, idCol: String = "vec_id"): Unit = {
+    val del = vecIds.select(col(idCol).cast("long").as("vec_id")).distinct()
+    val kept = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "lists"))
+      .select(col("cell").cast("int").as("cell"), col("vec_id"), col("code"))
+      .join(del, Seq("vec_id"), "left_anti")
+    IndexFiles.writeNextVersion(spark, dir, "lists")(next =>
+      writeLists(kept, next))
+  }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqIndex =

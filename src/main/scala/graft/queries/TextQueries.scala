@@ -395,6 +395,29 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Takedown DELETE under the oracle (Retrieval.deleteFromIndex — the
+    // right-to-be-forgotten maintenance path): build the inverted index
+    // over the FULL corpus, DELETE every doc_id % 7 == 3 (postings and
+    // doclens rewritten minus the set through the versioned swap, stats
+    // rebuilt from the survivors), then serve. df / n_docs / sum_dl now
+    // equal a one-shot build over the corpus WITHOUT the deleted docs, so
+    // the surviving-corpus BM25 mirror is an exact oracle for the whole
+    // build -> delete -> rebuild-stats -> serve cycle: a doc that
+    // outlives its takedown, a lost survivor, or a stale df breaks the
+    // hash.
+    "q97_bm25_delete" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val kept = docs.where(pmod(col("doc_id"), lit(7L)) =!= 3L)
+      bm25DelIdfStash.set(graft.operators.Retrieval.idfMicroTable(
+        kept, bm25Queries.flatMap(_._2).distinct))
+      val tmp = java.nio.file.Files.createTempDirectory("q97_idx").toString
+      graft.operators.Retrieval.buildIndex(docs, tmp)
+      graft.operators.Retrieval.deleteFromIndex(s, tmp,
+        docs.where(pmod(col("doc_id"), lit(7L)) === 3L).select("doc_id"))
+      graft.operators.Retrieval.searchIndex(s, tmp, bm25Queries, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // DISTRIBUTED-batch index serve (Retrieval.searchIndexBatch): the
     // query set arrives as a DataFrame of (q_id, terms), so a
     // corpus-scale retrieval pass never routes query rows through the
@@ -617,6 +640,26 @@ object TextQueries {
   private val bm25IdfStash =
     new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](null)
 
+  /** q97's idf stash: computed over the SURVIVING corpus (the takedown
+    * set removed), set by the q97 entry when it runs — the [[bm25IdfStash]]
+    * discipline.
+    */
+  private val bm25DelIdfStash =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](null)
+
+  /** q97's oracle: the BM25 mirror over the corpus minus the takedown set
+    * (`doc_id % 7 = 3`), with idf literals computed on the survivors.
+    */
+  private def bm25DeleteOracleSql: String =
+    Option(bm25DelIdfStash.get()).filter(_.nonEmpty) match {
+      case Some(idf) =>
+        graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10,
+          idfTable = idf,
+          table = "(SELECT * FROM documents WHERE doc_id % 7 <> 3)")
+      case None => // standalone evaluation (specs/tooling) — never Verify
+        bm25OracleSql
+    }
+
   /** Same pattern for q79: the driver-computed DSIR (bucket -> lambda)
     * literals, stashed by the query entry for the oracle's VALUES CTE.
     */
@@ -836,6 +879,7 @@ object TextQueries {
 
     // same mirror as q91: compaction must be invisible to ranked results
     "q93_bm25_compacted_serve" -> bm25OracleSql,
+    "q97_bm25_delete" -> bm25DeleteOracleSql,
 
     // same mirror again: the distributed-batch serve is bit-identical
     "q96_bm25_batch_serve" -> bm25OracleSql,

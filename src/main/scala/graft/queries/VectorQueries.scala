@@ -198,6 +198,29 @@ object VectorQueries {
         .select(col("vec_id")).orderBy("vec_id")
     }),
 
+    // Takedown DELETE under the oracle ([[Similarity.deleteFromIvfIndex]]
+    // — the right-to-be-forgotten maintenance path): build + persist the
+    // IVF index over the FULL corpus, DELETE every vec_id % 5 == 3 (the
+    // takedown set), then probe-all from the LOADED index with the
+    // surviving queries. Survivors keep their cells (the quantizer is
+    // untouched), so probe-all ≡ brute force over the corpus WITHOUT the
+    // deleted rows — a vector that survives its deletion, a lost
+    // survivor, or a stale pre-delete lists version breaks the hash.
+    "q98_ivf_delete_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("q98_idx").toString
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(e, nCells = 8, dim = DIM), tmp)
+      Similarity.deleteFromIvfIndex(s, tmp,
+        e.where(pmod(col("vec_id"), lit(5L)) === 3L).select("vec_id"))
+      Similarity.probeIvf(Similarity.loadIvfIndex(s, tmp),
+          e.where(col("vec_id") < 8 && pmod(col("vec_id"), lit(5L)) =!= 3L),
+          5, nProbe = 8)
+        .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Quantizer RE-TRAIN lifecycle under the oracle: build the lower
     // half (its centroids reflect only that half — the drift setup),
     // append the upper half under the frozen stale quantizer, RETRAIN
@@ -379,6 +402,22 @@ object VectorQueries {
     // same mirror: probe-all ≡ brute force holds for ANY quantizer, so a
     // build+append+retrain lifecycle must reproduce it bit-for-bit
     "q95_ivf_retrain_exact" -> probeAllSql,
+
+    // the probe-all mirror over the corpus MINUS the takedown set: the
+    // engine's delete-rewrite must serve exactly as if the deleted rows
+    // were never indexed
+    "q98_ivf_delete_exact" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings
+                     WHERE vec_id < 8 AND vec_id % 5 <> 3),
+          c AS (SELECT vec_id, $vSql AS cv FROM embeddings WHERE vec_id % 5 <> 3),
+          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                     FROM c, q WHERE vec_id <> q_id),
+          ranked AS (SELECT q_id, vec_id, cosine,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                     FROM scored)
+          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+            ${sqlFp("cosine", 6)} AS cos_micro
+          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
 
     "q56_ann_lsh_buckets" ->
       s"""SELECT ${VecSql.lshBucket("v", Vec.planes(PLANES, DIM))} AS bucket, count(*) AS n
