@@ -638,6 +638,40 @@ object Dedup {
       shingles.coalesce(4).write.mode("overwrite").parquet(next))
   }
 
+  /** MERGE another persisted LSH index into this one — the shard-union
+    * maintenance path ([[graft.operators.Retrieval.mergeIndexes]]'s
+    * near-dup twin). MinHash signatures are deterministic functions of
+    * the text under a geometry (k, n_bands, shingle_n — the hash
+    * coefficients are deterministic in k), so two indexes saved under
+    * the SAME geometry merge as a pure row union: `from`'s band rows
+    * append into `into`'s band partitions and its shingle sets into the
+    * verification table, no re-shingling of either corpus. The geometry
+    * is `require`d equal — rows banded under a different geometry would
+    * silently never collide with the host's (the exact hazard the
+    * persisted meta exists to prevent); re-geometry needs the source
+    * text, so rebuild instead. After the merge a batch probe vetoes
+    * against the union exactly as against a one-shot index (the spec
+    * identity). `from` is read-only; duplicate doc_ids are the caller's
+    * contract (same as append).
+    */
+  def mergeLshIndexes(spark: org.apache.spark.sql.SparkSession,
+      into: String, from: String): Unit = {
+    val gInto = readLshMeta(spark, into)
+    val gFrom = readLshMeta(spark, from)
+    require(gInto == gFrom,
+      s"mergeLshIndexes: geometry (k, n_bands, shingle_n) differs — " +
+        s"into=$gInto from=$gFrom; rows banded under different " +
+        "geometries never collide. Rebuild from source text instead.")
+    spark.read.parquet(IndexFiles.tablePath(spark, from, "bands"))
+      .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
+      .repartition(col("band"), col("bsig"))
+      .write.mode("append").partitionBy("band")
+      .parquet(IndexFiles.tablePath(spark, into, "bands"))
+    spark.read.parquet(IndexFiles.tablePath(spark, from, "shingles"))
+      .write.mode("append")
+      .parquet(IndexFiles.tablePath(spark, into, "shingles"))
+  }
+
   /** Probe a persisted index with a new batch: every (batch doc, indexed
     * doc) candidate pair from band-bucket collisions, verified with exact
     * shingle-set Jaccard. Output: (batch_id, dup_of, jaccard) — ALL

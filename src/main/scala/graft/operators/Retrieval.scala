@@ -363,6 +363,66 @@ object Retrieval {
     rebuildStats(spark, dir)
   }
 
+  /** MERGE another persisted inverted index into this one — the
+    * shard-union maintenance path: corpora indexed independently (one
+    * index per ingest region, per backfill job, per acquisition) become
+    * one servable index without re-tokenizing a single document. `from`'s
+    * posting rows are re-bucketed under `into`'s frozen modulus (one
+    * hash48 expression per row — rows banded under a different modulus
+    * would be unreachable by the pruned probe) and appended into the
+    * existing bucket partitions; doclens append; stats merge additively
+    * (per-term df sums because the doc sets are disjoint; n_docs/sum_dl
+    * add) and publish through the versioned swap. The merged index's
+    * stats equal a one-shot build's over the union, so serving is
+    * bit-identical to having indexed everything together — the q99
+    * oracle identity. `from` is read-only throughout.
+    *
+    * Disjointness is the caller's contract (a doc indexed in both shards
+    * would double its df contributions and duplicate its doclens row);
+    * `requireDisjoint = true` (default) enforces it with one inner join
+    * over the two doclens tables — O(n_docs) small rows, the right
+    * price for a run-rarely maintenance op. Pass `false` only when the
+    * shards are disjoint by construction (e.g. id-range sharding).
+    */
+  def mergeIndexes(spark: SparkSession, into: String, from: String,
+      requireDisjoint: Boolean = true): Unit = {
+    graft.plans.NativeHash48.register(spark)
+    val statsInto = spark.read.parquet(IndexFiles.tablePath(spark, into, "stats"))
+    val statsFrom = spark.read.parquet(IndexFiles.tablePath(spark, from, "stats"))
+    val metaInto = statsInto.select(col("n_buckets"), col("n_docs"),
+      col("sum_dl")).head()
+    val metaFrom = statsFrom.select(col("n_docs"), col("sum_dl")).head()
+    val nBuckets = metaInto.getInt(0)
+    val dlInto = spark.read.parquet(IndexFiles.tablePath(spark, into, "doclens"))
+    val dlFrom = spark.read.parquet(IndexFiles.tablePath(spark, from, "doclens"))
+    if (requireDisjoint) {
+      val overlap = dlInto.select("doc_id")
+        .join(dlFrom.select("doc_id"), Seq("doc_id")).limit(1).count()
+      require(overlap == 0L,
+        s"mergeIndexes: doc_id sets of $into and $from overlap — " +
+          "df additivity and doclens uniqueness need disjoint shards")
+    }
+    // re-bucket under into's modulus (no-op values when the moduli match,
+    // but always recomputed: the stored bucket is from's geometry)
+    spark.read.parquet(IndexFiles.tablePath(spark, from, "postings"))
+      .select(col("term"), col("doc_id"), col("tf"))
+      .withColumn("bucket",
+        pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
+      .repartition(col("bucket")).write.mode("append")
+      .partitionBy("bucket")
+      .parquet(IndexFiles.tablePath(spark, into, "postings"))
+    dlFrom.select(col("doc_id"), col("dl")).write.mode("append")
+      .parquet(IndexFiles.tablePath(spark, into, "doclens"))
+    val merged = statsInto.select(col("term"), col("df"))
+      .unionByName(statsFrom.select(col("term"), col("df")))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .withColumn("n_docs", lit(metaInto.getLong(1) + metaFrom.getLong(0)))
+      .withColumn("sum_dl", lit(metaInto.getLong(2) + metaFrom.getLong(1)))
+      .withColumn("n_buckets", lit(nBuckets))
+    IndexFiles.writeNextVersion(spark, into, "stats")(next =>
+      merged.write.mode("overwrite").parquet(next))
+  }
+
   /** BM25 over a persisted index: the query batch's terms resolve to
     * their hash buckets, a static `bucket IN (...)` filter prunes the
     * postings scan to those partitions (the IVF static-pruning

@@ -80,7 +80,7 @@ object Similarity {
   // left-to-right accumulation as [[Vec.dot]], so assignments are
   // bit-identical to the previous forms; ties go to the larger cell,
   // the array_max-over-(d, cell)-structs rule.
-  private def nearestCell(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def nearestCell(spark: org.apache.spark.sql.SparkSession,
       v: org.apache.spark.sql.Column, cents: Seq[Seq[Double]]) =
     element_at(graft.plans.NativeTopCells.topCellsCol(spark, v, 0, cents,
       Seq.fill(cents.size)(0.0), 1), 1)
@@ -247,6 +247,29 @@ object Similarity {
       writeCentroids(spark, cents, s"$next/_centroids")
     }
   }
+
+  /** MERGE another persisted IVF index into this one — the shard-union
+    * maintenance path ([[graft.operators.Retrieval.mergeIndexes]]'s
+    * vector twin): embedding corpora indexed independently (per region,
+    * per backfill, per acquisition) become one servable index. The
+    * inverted lists store full vectors, so `from`'s rows are simply
+    * RE-ASSIGNED under `into`'s live quantizer and appended into its
+    * cell partitions (the [[appendToIvfIndex]] path — `from`'s own
+    * centroids are discarded: cell assignment must be per-index-global
+    * or the static cell pruning serves wrong candidates). Correctness
+    * never depends on the quantizer (probe-all ≡ brute force over the
+    * union for ANY centroid set — the q100 oracle identity); what the
+    * merged quantizer affects is balance, so a large merge may warrant a
+    * follow-up [[retrainIvfIndex]], exactly as for drift. `from` is
+    * read-only throughout; duplicate vec_ids are the caller's contract
+    * (same as append).
+    */
+  def mergeIvfIndexes(spark: org.apache.spark.sql.SparkSession,
+      into: String, from: String): Unit =
+    appendToIvfIndex(spark, into,
+      spark.read.parquet(IndexFiles.tablePath(spark, from, "lists"))
+        .select(col("vec_id"), col("c_vec")),
+      idCol = "vec_id", vecCol = "c_vec")
 
   /** Batch-vs-persisted-index embedding near-dup matches — the vector
     * analog of [[graft.operators.Dedup.matchesAgainstLshIndex]]: each
@@ -755,6 +778,36 @@ object Similarity {
       .join(del, Seq("vec_id"), "left_anti")
     IndexFiles.writeNextVersion(spark, dir, "lists")(next =>
       writeLists(kept, next))
+  }
+
+  /** MERGE another persisted IVF-PQ index into this one. Unlike the
+    * float-vector layouts, PQ codes are only meaningful under the EXACT
+    * quantizer and codebooks that produced them — the lists hold codes,
+    * not vectors, so re-assignment/re-encoding is impossible from the
+    * index alone. The merge therefore `require`s both tiny tables equal
+    * (the shard-encode pattern: train once centrally, fan the encode out
+    * per shard with [[appendToIvfPqIndex]]-style jobs against copies of
+    * the trained artifacts, merge the code lists back) and is then a
+    * pure lists-union append into the cell partitions. Indexes trained
+    * independently CANNOT be merged this way — rebuild from the source
+    * vectors instead; the require makes that mistake loud, never a
+    * silently-garbage ADC scan.
+    */
+  def mergeIvfPqIndexes(spark: org.apache.spark.sql.SparkSession,
+      into: String, from: String): Unit = {
+    require(readCentroids(spark, liveCentroidsPath(spark, into)) ==
+        readCentroids(spark, liveCentroidsPath(spark, from)),
+      "mergeIvfPqIndexes: coarse centroids differ — codes are not " +
+        "transferable between independently trained IVF-PQ indexes")
+    require(readCodebooks(spark, s"$into/codebooks") ==
+        readCodebooks(spark, s"$from/codebooks"),
+      "mergeIvfPqIndexes: PQ codebooks differ — codes are not " +
+        "transferable between independently trained IVF-PQ indexes")
+    writeLists(spark.read
+        .parquet(IndexFiles.tablePath(spark, from, "lists"))
+        .select(col("cell").cast("int").as("cell"), col("vec_id"),
+          col("code")),
+      IndexFiles.tablePath(spark, into, "lists"), mode = "append")
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,

@@ -418,6 +418,34 @@ object TextQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Shard-union MERGE under the oracle (Retrieval.mergeIndexes): index
+    // the even and odd doc_id halves INDEPENDENTLY (two builds, two
+    // disjoint stats tables — the per-region/per-backfill sharding
+    // pattern), merge the odd shard into the even one (postings
+    // re-bucketed under the host modulus, doclens union, df/n_docs/
+    // sum_dl additively merged through the versioned swap), then serve.
+    // The merged index must serve bit-identically to a one-shot build
+    // over the whole corpus — the same corpus-level BM25 mirror as
+    // q74/q77/q91: a lost posting, a double-counted df, or a
+    // wrong-modulus bucket (unreachable by the pruned probe) breaks the
+    // hash.
+    "q99_bm25_merge" -> ((s, dir) => {
+      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
+        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      val docs = table(s, dir, "documents")
+      val even = java.nio.file.Files.createTempDirectory("q99_even").toString
+      val odd = java.nio.file.Files.createTempDirectory("q99_odd").toString
+      graft.operators.Retrieval.buildIndex(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 0L), even)
+      // the odd shard deliberately uses a DIFFERENT bucket modulus: the
+      // merge must re-bucket, not trust the foreign geometry
+      graft.operators.Retrieval.buildIndex(
+        docs.where(pmod(col("doc_id"), lit(2L)) === 1L), odd, nBuckets = 32)
+      graft.operators.Retrieval.mergeIndexes(s, even, odd)
+      graft.operators.Retrieval.searchIndex(s, even, bm25Queries, k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     // DISTRIBUTED-batch index serve (Retrieval.searchIndexBatch): the
     // query set arrives as a DataFrame of (q_id, terms), so a
     // corpus-scale retrieval pass never routes query rows through the
@@ -880,6 +908,10 @@ object TextQueries {
     // same mirror as q91: compaction must be invisible to ranked results
     "q93_bm25_compacted_serve" -> bm25OracleSql,
     "q97_bm25_delete" -> bm25DeleteOracleSql,
+
+    // same corpus-level mirror: a shard merge must be invisible to
+    // ranked results
+    "q99_bm25_merge" -> bm25OracleSql,
 
     // same mirror again: the distributed-batch serve is bit-identical
     "q96_bm25_batch_serve" -> bm25OracleSql,

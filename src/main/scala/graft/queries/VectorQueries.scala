@@ -221,6 +221,36 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Shard-union MERGE under the oracle (Similarity.mergeIvfIndexes):
+    // build TWO independent IVF indexes — lower and upper vec_id halves,
+    // each with its own quantizer trained on its own half (the
+    // per-region sharding pattern; the quantizers genuinely differ) —
+    // then merge the upper into the lower: its vectors are RE-ASSIGNED
+    // under the host's live centroids and appended into the host's cell
+    // partitions. Probe-all over the merged index must equal brute force
+    // over the whole corpus (the q56c identity, quantizer-independent):
+    // a lost vector, a double-assigned cell, or a foreign-quantizer
+    // assignment leak breaks the hash.
+    "q100_ivf_merge_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      val lo = java.nio.file.Files.createTempDirectory("q100_lo").toString
+      val hi = java.nio.file.Files.createTempDirectory("q100_hi").toString
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(e.where(col("vec_id") <= half),
+          nCells = 8, dim = DIM), lo)
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(e.where(col("vec_id") > half),
+          nCells = 5, dim = DIM), hi)
+      Similarity.mergeIvfIndexes(s, lo, hi)
+      Similarity.probeIvf(Similarity.loadIvfIndex(s, lo),
+          e.where(col("vec_id") < 8), 5, nProbe = 8)
+        .select(col("q_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Quantizer RE-TRAIN lifecycle under the oracle: build the lower
     // half (its centroids reflect only that half — the drift setup),
     // append the upper half under the frozen stale quantizer, RETRAIN
@@ -402,6 +432,10 @@ object VectorQueries {
     // same mirror: probe-all ≡ brute force holds for ANY quantizer, so a
     // build+append+retrain lifecycle must reproduce it bit-for-bit
     "q95_ivf_retrain_exact" -> probeAllSql,
+
+    // the same probe-all ≡ brute-force mirror: a shard merge (foreign
+    // quantizer discarded, vectors re-assigned) must be invisible
+    "q100_ivf_merge_exact" -> probeAllSql,
 
     // the probe-all mirror over the corpus MINUS the takedown set: the
     // engine's delete-rewrite must serve exactly as if the deleted rows
