@@ -634,8 +634,11 @@ object Dedup {
     val shingles = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
       .join(del, Seq("doc_id"), "left_anti")
+    // no explicit coalesce: AQE sizes the post-join output (the
+    // deleteFromIndex doclens rationale — shingle sets are the WIDE
+    // table here, a fixed tiny count would bottleneck the rewrite)
     IndexFiles.writeNextVersion(spark, dir, "shingles")(next =>
-      shingles.coalesce(4).write.mode("overwrite").parquet(next))
+      shingles.write.mode("overwrite").parquet(next))
   }
 
   /** MERGE another persisted LSH index into this one — the shard-union

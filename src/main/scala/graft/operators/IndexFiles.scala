@@ -146,10 +146,16 @@ private[graft] object IndexFiles {
   /** Rewrite `sub` (a parquet table under `dir`) compacted: partitioned
     * tables repartition on `partitionBy` (one task -> one file per
     * partition, the writeLists discipline), unpartitioned ones coalesce
-    * to `flatFiles`. `dedupeRows` drops full-row duplicates first — the
-    * at-least-once replay repair (a replayed micro-batch re-appends
-    * byte-identical rows). The rewrite lands as the next table version
-    * and cuts over with zero reader downtime (see the object doc).
+    * to a file count SIZED FROM THE TABLE'S ON-DISK BYTES (an FS listing,
+    * no data scan): ceil(bytes / 256 MB), floored at `flatFiles`. A fixed
+    * small count would serialize the rewrite at scale — coalesce merges
+    * READ tasks too, so coalesce(4) over a billion-row doclens table is a
+    * 4-task job; sizing by bytes keeps tiny tables at `flatFiles` files
+    * while a 16 GB table compacts with ~64-way parallelism. `dedupeRows`
+    * drops full-row duplicates first — the at-least-once replay repair (a
+    * replayed micro-batch re-appends byte-identical rows). The rewrite
+    * lands as the next table version and cuts over with zero reader
+    * downtime (see the object doc).
     */
   def compact(spark: SparkSession, dir: String, sub: String,
       partitionBy: Option[String], dedupeRows: Boolean,
@@ -160,10 +166,28 @@ private[graft] object IndexFiles {
     writeNextVersion(spark, dir, sub) { next =>
       val writer = partitionBy match {
         case Some(p) => df.repartition(col(p)).write.partitionBy(p)
-        case None => df.coalesce(flatFiles).write
+        case None =>
+          val n = math.max(flatFiles,
+            (tableBytes(spark, live) / (256L << 20)).toInt + 1)
+          df.coalesce(n).write
       }
       writer.mode("overwrite").parquet(next)
     }
+  }
+
+  /** Total data bytes under a table directory, from the filesystem
+    * listing alone (no data scan) — the compaction target-file-count
+    * input.
+    */
+  private def tableBytes(spark: SparkSession, path: String): Long = {
+    val fs = fsFor(spark, path)
+    val it = fs.listFiles(new Path(path), true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) total += f.getLen
+    }
+    total
   }
 
   /** Batch-application ledger — the idempotent-replay guard for

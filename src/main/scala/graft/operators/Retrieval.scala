@@ -350,8 +350,11 @@ object Retrieval {
     val doclens = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
       .join(del, Seq("doc_id"), "left_anti")
+    // no explicit coalesce: the anti-join's shuffle gives AQE the seam to
+    // size the output partitions (a fixed tiny count would serialize the
+    // rewrite of a corpus-scale doclens table into a handful of tasks)
     IndexFiles.writeNextVersion(spark, dir, "doclens")(next =>
-      doclens.coalesce(4).write.mode("overwrite").parquet(next))
+      doclens.write.mode("overwrite").parquet(next))
     val postings = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "postings"))
       .select(col("bucket").cast("long").as("bucket"), col("term"),
