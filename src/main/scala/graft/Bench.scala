@@ -21,6 +21,7 @@ object Bench {
       (Map[String, Double], Seq[String]) = {
     val errors = Seq.newBuilder[String]
     val times = queries.map { case (name, fn) =>
+      val before = tempIndexDirs()
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -31,9 +32,36 @@ object Bench {
           errors += s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(120)}"
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val t = (System.nanoTime() - t0) / 1e9
+      // hygiene OUTSIDE the timed window: the index-lifecycle queries
+      // build multi-hundred-MB temp indexes per run and never delete them
+      // (a query entry cannot clean up under its own lazy result); three
+      // passes over ~12 such queries otherwise leave tens of GB on the
+      // bench host and CHURN THE PAGE CACHE, inflating every later
+      // I/O-heavy query in the same pass — measured at sf1: the vector
+      // queries read 2-3x their isolated times before this sweep. The
+      // forced noop write has fully materialized the result, so the dirs
+      // this query just created are dead.
+      (tempIndexDirs() -- before).foreach(deleteRecursively)
+      name -> (if (ok) t else -1.0)
     }
     (times, errors.result())
+  }
+
+  /** The q<digits>_-prefixed `createTempDirectory` dirs currently under
+    * java.io.tmpdir — the bench-owned index-lifecycle residue (every
+    * query's temp prefix is its own query id, so nothing else matches).
+    */
+  private def tempIndexDirs(): Set[java.io.File] = {
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.matches("q\\d+_.*")).toSet
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** The round-1 63-query set (the keys of BENCH_r01.json), frozen as the

@@ -608,6 +608,7 @@ object Dedup {
       dir: String, dedupeRows: Boolean = false): Unit = {
     IndexFiles.compact(spark, dir, "bands", Some("band"), dedupeRows)
     IndexFiles.compact(spark, dir, "shingles", None, dedupeRows)
+    IndexFiles.compactLedgers(spark, dir)
   }
 
   /** DELETE documents from a persisted LSH index — the takedown

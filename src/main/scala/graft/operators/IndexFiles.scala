@@ -219,8 +219,11 @@ private[graft] object IndexFiles {
     * transactional table format underneath the parquet layout.
     */
   def wasBatchApplied(spark: SparkSession, dir: String, writerId: String,
-      batchId: Long): Boolean =
-    fsFor(spark, dir).exists(ledgerMarker(dir, writerId, batchId))
+      batchId: Long): Boolean = {
+    val fs = fsFor(spark, dir)
+    fs.exists(ledgerMarker(dir, writerId, batchId)) ||
+      readHighwater(fs, dir, writerId).exists(batchId <= _)
+  }
 
   def recordBatchApplied(spark: SparkSession, dir: String, writerId: String,
       batchId: Long): Unit = {
@@ -231,6 +234,71 @@ private[graft] object IndexFiles {
     try out.write(batchId.toString.getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  /** Compact a writer's ledger: fold the CONTIGUOUS applied prefix into a
+    * single `highwater` file and delete its per-batch markers — a
+    * long-lived streaming index otherwise accumulates one marker file per
+    * micro-batch forever (a year of one-minute triggers is ~525k files of
+    * pure listing overhead). Set semantics are preserved exactly:
+    * [[wasBatchApplied]] is `marker exists OR batchId <= highwater`, and
+    * the fold only ever advances along ids that are contiguously present
+    * from the current mark (a GAP stops it — out-of-order markers beyond
+    * the gap stay as files), so no assumption about batchId monotonicity
+    * is introduced even though a Structured Streaming writer does apply
+    * them in order. Crash-safe in both windows: the highwater tmp+rename
+    * lands before any marker is deleted, so every intermediate state
+    * answers [[wasBatchApplied]] identically.
+    */
+  def compactLedger(spark: SparkSession, dir: String,
+      writerId: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val ledgerDir = ledgerMarker(dir, writerId, 0L).getParent
+    if (!fs.exists(ledgerDir)) return
+    val ids = fs.listStatus(ledgerDir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("applied-"))
+      .map(_.stripPrefix("applied-").toLong)
+    val hw0 = readHighwater(fs, dir, writerId).getOrElse(-1L)
+    var hw = hw0
+    ids.filter(_ > hw).sorted.foreach(id => if (id == hw + 1) hw = id)
+    if (hw > hw0) {
+      val hwPath = new Path(ledgerDir, "highwater")
+      val tmp = new Path(ledgerDir, "highwater.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(hw.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (fs.exists(hwPath)) fs.delete(hwPath, false)
+      require(fs.rename(tmp, hwPath),
+        s"compactLedger: rename $tmp -> $hwPath failed")
+    }
+    ids.filter(_ <= hw).foreach(id =>
+      fs.delete(ledgerMarker(dir, writerId, id), false))
+  }
+
+  /** [[compactLedger]] for every writer that has markers under `dir` —
+    * wired into the four families' compact paths so routine table
+    * compaction also bounds the ledger's file count (safe to automate:
+    * the fold never changes a [[wasBatchApplied]] answer).
+    */
+  def compactLedgers(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val root = new Path(s"$dir/_ledger")
+    if (!fs.exists(root)) return
+    fs.listStatus(root).filter(_.isDirectory)
+      .foreach(w => compactLedger(spark, dir, w.getPath.getName))
+  }
+
+  private def readHighwater(fs: FileSystem, dir: String,
+      writerId: String): Option[Long] = {
+    val p = new Path(ledgerMarker(dir, writerId, 0L).getParent, "highwater")
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
   }
 
   private def ledgerMarker(dir: String, writerId: String,

@@ -297,6 +297,7 @@ object Retrieval {
       dedupeRows: Boolean = false): Unit = {
     IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows)
     IndexFiles.compact(spark, dir, "doclens", None, dedupeRows)
+    IndexFiles.compactLedgers(spark, dir)
     if (dedupeRows) rebuildStats(spark, dir)
   }
 

@@ -218,6 +218,7 @@ object Similarity {
       writeLists(df, next)
       writeCentroids(spark, cents, s"$next/_centroids")
     }
+    IndexFiles.compactLedgers(spark, dir)
   }
 
   /** DELETE vectors from a persisted IVF index — the takedown maintenance
@@ -759,8 +760,10 @@ object Similarity {
     * files). `dedupeRows = true` repairs an at-least-once replay.
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, dedupeRows: Boolean = false): Unit =
+      dir: String, dedupeRows: Boolean = false): Unit = {
     IndexFiles.compact(spark, dir, "lists", Some("cell"), dedupeRows)
+    IndexFiles.compactLedgers(spark, dir)
+  }
 
   /** DELETE vectors from a persisted IVF-PQ index — the
     * [[deleteFromIvfIndex]] twin for the composite layout: the code lists

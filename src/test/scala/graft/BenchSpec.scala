@@ -86,6 +86,35 @@ class BenchSpec extends AnyFunSuite {
     assert((JsonMethods.parse(compact) \ "n_errors").extract[Int] == 0)
   }
 
+  test("pass sweeps a query's q-prefixed temp index dirs after forcing it") {
+    // the page-cache hygiene contract: index-lifecycle queries build temp
+    // indexes they cannot clean under their own lazy result; pass deletes
+    // exactly the dirs that appeared during the query, outside the timed
+    // window, after the forced write has fully materialized
+    val preexisting = java.nio.file.Files
+      .createTempDirectory("q777_preexisting")
+    val created = new java.util.concurrent.atomic.AtomicReference[String]()
+    val qs = Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame](
+      "mk" -> ((s, _) => {
+        val d = java.nio.file.Files.createTempDirectory("q888_spec")
+        java.nio.file.Files.writeString(d.resolve("part-0000.parquet"), "x")
+        created.set(d.toString)
+        s.range(3).toDF("id")
+      }))
+    try {
+      val (times, errs) = Bench.pass(qs, spark, "/unused")
+      assert(errs.isEmpty && times("mk") >= 0.0)
+      assert(!new java.io.File(created.get()).exists(),
+        "the dir created during the query must be swept after forcing")
+      assert(preexisting.toFile.exists(),
+        "dirs that predate the query must survive the sweep")
+    } finally {
+      new java.io.File(preexisting.toString).listFiles()
+      java.nio.file.Files.deleteIfExists(preexisting)
+    }
+  }
+
   test("both artifact lines carry the three host-noise probe timings") {
     // the self-describing-artifact contract: a loaded-host recording must
     // be adjudicable from the artifact alone — one probe before each pass,

@@ -159,4 +159,51 @@ class IngestLedgerSpec extends AnyFunSuite {
       batchId = Some(2L))
     assert(state()._2 == applied._2 + 1, "a new batchId must still apply")
   }
+
+  test("ledger compaction folds the contiguous prefix; semantics unchanged") {
+    // a long-lived stream accumulates one marker file per micro-batch;
+    // compactLedger folds the contiguous applied prefix into one
+    // highwater file without changing a single wasBatchApplied answer
+    val root = java.nio.file.Files.createTempDirectory("ledger-hw").toString
+    val idx = s"$root/index"
+    Retrieval.buildIndex(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), idx, 8)
+    val w = "stream-a"
+    // applied 0..3, plus an out-of-order 7 (a gap: 4..6 never applied)
+    Seq(0L, 1L, 2L, 3L, 7L).foreach(
+      IndexFiles.recordBatchApplied(spark, idx, w, _))
+    IndexFiles.compactLedger(spark, idx, w)
+    val ledger = new java.io.File(s"$idx/_ledger/$w")
+    // ignore Hadoop local-FS .crc sidecars (deleted with their file)
+    def files() = ledger.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(files() == Set("highwater", "applied-7"),
+      s"prefix 0..3 folds, the beyond-gap marker stays: ${files()}")
+    // every answer identical to the pre-compaction marker set
+    (0L to 3L).foreach(b =>
+      assert(IndexFiles.wasBatchApplied(spark, idx, w, b), s"batch $b"))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, w, 4L),
+      "never-applied batch inside the gap must stay unapplied")
+    assert(IndexFiles.wasBatchApplied(spark, idx, w, 7L))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, w, 8L))
+    // writer isolation: the highwater is scoped too
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "stream-b", 0L))
+    // the ingest path honors the folded mark: a re-delivered batch 2 is
+    // still a no-op, and new batches extend the fold on the next pass
+    val nDocs = () => spark.read
+      .parquet(IndexFiles.tablePath(spark, idx, "stats"))
+      .select("n_docs").head().getLong(0)
+    val before = nDocs()
+    StreamingOps.indexDocumentsBatch(
+      Seq((30L, "rho sigma")).toDF("doc_id", "text"), idx,
+      batchId = Some(2L), appId = Some(w))
+    assert(nDocs() == before, "folded batchId must still be skipped")
+    Seq(4L, 5L, 6L).foreach(
+      IndexFiles.recordBatchApplied(spark, idx, w, _))
+    IndexFiles.compactLedger(spark, idx, w)
+    assert(files() == Set("highwater"),
+      "closing the gap lets the fold absorb the out-of-order marker")
+    assert(IndexFiles.wasBatchApplied(spark, idx, w, 6L))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, w, 8L))
+  }
 }
