@@ -33,15 +33,19 @@ object Bench {
           false
         }
       val t = (System.nanoTime() - t0) / 1e9
-      // hygiene OUTSIDE the timed window: the index-lifecycle queries
-      // build multi-hundred-MB temp indexes per run and never delete them
-      // (a query entry cannot clean up under its own lazy result); three
-      // passes over ~12 such queries otherwise leave tens of GB on the
-      // bench host and CHURN THE PAGE CACHE, inflating every later
-      // I/O-heavy query in the same pass — measured at sf1: the vector
-      // queries read 2-3x their isolated times before this sweep. The
-      // forced noop write has fully materialized the result, so the dirs
-      // this query just created are dead.
+      // hygiene OUTSIDE the timed window, in two parts. (1) release the
+      // session cache scope: queries persist intermediates into
+      // Dedup.sessionScope (the single-tenant contract — the CALLER
+      // releases), and 112 queries' accumulated dead blocks measurably
+      // throttle the storage-heavy ones (q76/q90/q94 at sf1 ran 2.5x
+      // their isolated times with the junk resident — reproduced: five
+      // IVF queries then q76 in one JVM = 17 s/run vs 6.9 s isolated).
+      // (2) sweep the temp index dirs the index-lifecycle queries build
+      // and cannot delete under their own lazy results (three passes over
+      // ~12 such queries left tens of GB churning the page cache). The
+      // forced noop write has fully materialized the result, so both the
+      // cached blocks and the dirs this query just created are dead.
+      graft.operators.Dedup.releaseCaches()
       (tempIndexDirs() -- before).foreach(deleteRecursively)
       name -> (if (ok) t else -1.0)
     }

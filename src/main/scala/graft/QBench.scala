@@ -15,6 +15,8 @@ object QBench {
         SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        // outside the timed window: the Bench.pass cache-scope hygiene
+        graft.operators.Dedup.releaseCaches()
       }
     }
     spark.stop()
