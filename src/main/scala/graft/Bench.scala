@@ -52,14 +52,16 @@ object Bench {
     (times, errors.result())
   }
 
-  /** The q<digits>_-prefixed `createTempDirectory` dirs currently under
+  /** The query-id-prefixed `createTempDirectory` dirs currently under
     * java.io.tmpdir — the bench-owned index-lifecycle residue (every
-    * query's temp prefix is its own query id, so nothing else matches).
+    * query's temp prefix is its own query id, so nothing else matches;
+    * the optional letter covers variant ids like q56f).
     */
   private def tempIndexDirs(): Set[java.io.File] = {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     Option(tmp.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.matches("q\\d+_.*")).toSet
+      .filter(f => f.isDirectory && f.getName.matches("q\\d+[a-z]?_.*"))
+      .toSet
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
