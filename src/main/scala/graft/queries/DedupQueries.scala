@@ -145,6 +145,67 @@ object DedupQueries {
         .orderBy("batch_id", "dup_of")
     }),
 
+    // Takedown DELETE on the persisted LSH index under the oracle
+    // (Dedup.deleteFromLshIndex — the right-to-be-forgotten path, q97's
+    // near-dup twin): index the non-batch corpus PLUS planted exact
+    // copies of every 30th batch doc (jaccard 1.0 — guaranteed vetoes at
+    // every SF), then DELETE half the plants (originals divisible by 60)
+    // and the naturals with doc_id % 7 == 3, then probe the batch. The
+    // oracle bands the surviving indexed set with the identical
+    // arithmetic: a planted copy that outlives its takedown re-appears
+    // as a jac=1000 pair and breaks the hash; a lost survivor drops one.
+    "q101_lsh_delete" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+      val planted = docs.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val indexed = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      val tmp = java.nio.file.Files.createTempDirectory("q101_idx").toString
+      Dedup.saveLshIndex(indexed, "doc_id", "text", tmp, K, BANDS)
+      val takedown = docs
+        .where(col("doc_id") % 3 =!= 0 && pmod(col("doc_id"), lit(7L)) === 3L)
+        .select("doc_id")
+        .unionByName(docs.where(col("doc_id") % 60 === 0)
+          .select((col("doc_id") + off).as("doc_id")))
+      Dedup.deleteFromLshIndex(s, tmp, takedown)
+      Dedup.matchesAgainstLshIndex(s, tmp, docs.where(col("doc_id") % 3 === 0),
+          maxBucket = None)
+        .where(col("jaccard") >= 0.8)
+        .select(col("batch_id"), col("dup_of"),
+          fp(col("jaccard")).as("jac_milli"))
+        .orderBy("batch_id", "dup_of")
+    }),
+
+    // Shard-union MERGE on the persisted LSH index under the oracle
+    // (Dedup.mergeLshIndexes — q99's near-dup twin): two independently
+    // saved same-geometry shards — naturals split by doc_id % 3, with
+    // planted exact batch-doc copies (every 30th) living in the FOREIGN
+    // shard — merged into one, then the batch probes the union. The
+    // oracle is the q82-shaped mirror over naturals + plants: a band or
+    // shingle row lost in the merge drops a guaranteed jac=1000 pair and
+    // breaks the hash, exactly the veto-set ≡ one-shot-index identity.
+    "q102_lsh_merge" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+      val planted = docs.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val a = java.nio.file.Files.createTempDirectory("q102_a").toString
+      val b = java.nio.file.Files.createTempDirectory("q102_b").toString
+      Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("text")), "doc_id", "text", a, K, BANDS)
+      Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 2)
+        .select(col("doc_id"), col("text")).unionByName(planted),
+        "doc_id", "text", b, K, BANDS)
+      Dedup.mergeLshIndexes(s, a, b)
+      Dedup.matchesAgainstLshIndex(s, a, docs.where(col("doc_id") % 3 === 0),
+          maxBucket = None)
+        .where(col("jaccard") >= 0.8)
+        .select(col("batch_id"), col("dup_of"),
+          fp(col("jaccard")).as("jac_milli"))
+        .orderBy("batch_id", "dup_of")
+    }),
+
     // Span-level exact dedup (Dedup.repeatedSpans, the Lee et al. 2022
     // substring-dedup signal): maximal token spans whose every 5-gram
     // window recurs in >= 2 distinct documents — the shared-boilerplate
@@ -244,6 +305,58 @@ object DedupQueries {
                     max(pos) + 5 - min(pos) AS span_len, count(*) AS n_grams
                   FROM isl GROUP BY doc_id, island)"""
 
+  /** The q82 incremental-probe mirror over a corpus of naturals PLUS
+    * planted copies of every 30th doc (ids offset by max(doc_id)+1, the
+    * q90 collision-free plant convention): the engine's exact
+    * minhash/banding arithmetic, pairs restricted to batch (natural
+    * doc_id % 3 == 0) x indexed side. `plantCond` filters which plants
+    * exist (q101 drops the deleted half), `ixNaturalCond` the natural
+    * indexed docs (over alias `ix`); plants are always indexed-side
+    * (their ids sit above the offset).
+    */
+  private def lshIndexProbeSql(plantCond: String,
+      ixNaturalCond: String): String = {
+    val sigExprs = TextSql.minhashSigExprs("hs", K)
+      .mkString("[", ",\n            ", "]")
+    val rows = K / BANDS
+    val bandSig = (1 to rows)
+      .map(r => s"CAST(sig[b * $rows + $r] AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"""WITH mx AS (SELECT max(doc_id) + 1 AS off FROM documents),
+        alld AS (SELECT doc_id, text FROM documents
+                 UNION ALL
+                 SELECT doc_id + (SELECT off FROM mx), text FROM documents
+                 WHERE $plantCond),
+        d AS (SELECT doc_id, $toksSql AS toks FROM alld),
+        sh AS (SELECT doc_id, ${TextSql.shingles("toks")} AS sh
+               FROM d WHERE len(toks) >= 3),
+        h AS (SELECT doc_id, sh, ${TextSql.hashedArray("sh")} AS hs FROM sh),
+        sig AS (SELECT doc_id, $sigExprs AS sig FROM h),
+        bands AS (SELECT doc_id, b, $bandSig AS bsig
+                  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
+        pairs AS (SELECT DISTINCT bt.doc_id AS batch_id, ix.doc_id AS dup_of
+                  FROM bands ix JOIN bands bt
+                    ON ix.b = bt.b AND ix.bsig = bt.bsig
+                  WHERE ((ix.doc_id < (SELECT off FROM mx)
+                          AND ix.doc_id % 3 <> 0 AND ($ixNaturalCond))
+                         OR ix.doc_id >= (SELECT off FROM mx))
+                    AND bt.doc_id % 3 = 0
+                    AND bt.doc_id < (SELECT off FROM mx)),
+        dsh AS (SELECT doc_id,
+                  list_distinct(${TextSql.hashedArray("sh")}) AS ds FROM h),
+        jacs AS (SELECT batch_id, dup_of,
+            CAST(len(list_intersect(sa.ds, sb.ds)) AS DOUBLE)
+              / (len(sa.ds) + len(sb.ds)
+                 - len(list_intersect(sa.ds, sb.ds))) AS jac
+          FROM pairs
+          JOIN dsh sa ON sa.doc_id = batch_id
+          JOIN dsh sb ON sb.doc_id = dup_of)
+        SELECT batch_id, dup_of,
+          CAST(round(1000.0 * jac) AS BIGINT) AS jac_milli
+        FROM jacs WHERE jac >= 0.8
+        ORDER BY batch_id, dup_of"""
+  }
+
   val oracle: Map[String, String] = Map(
     // Gate (raw-double quality >= 0.3: both engines evaluate the identical
     // IEEE op sequence, so the comparison is engine-exact), then the
@@ -342,6 +455,17 @@ object DedupQueries {
           FROM jacs WHERE jac >= 0.8
           ORDER BY batch_id, dup_of"""
     },
+
+    // surviving indexed set = naturals (% 3 <> 0, % 7 <> 3) + plants of
+    // every 30th doc EXCEPT the deleted every-60th — a takedown survivor
+    // or casualty on either side breaks the hash
+    "q101_lsh_delete" -> lshIndexProbeSql(
+      "doc_id % 30 = 0 AND doc_id % 60 <> 0", "ix.doc_id % 7 <> 3"),
+
+    // merged indexed set = BOTH shards' naturals (% 3 <> 0) + all plants
+    // (they live in the foreign shard, so a dropped merge row is a
+    // dropped guaranteed pair)
+    "q102_lsh_merge" -> lshIndexProbeSql("doc_id % 30 = 0", "TRUE"),
 
     "q52_dedup_simhash" ->
       s"""SELECT ${TextSql.simhash(s"list_transform(toks, s -> ${TextSql.hash48("s")})", 16)} AS simhash,

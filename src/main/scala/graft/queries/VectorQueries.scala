@@ -275,6 +275,62 @@ object VectorQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // Takedown DELETE on the COMPOSITE index under the oracle
+    // (Similarity.deleteFromIvfPqIndex — q98's IVFADC twin): build +
+    // persist IVF-PQ over the full corpus, delete every vec_id % 5 == 3,
+    // then probe-all + shortlist-∞ from the LOADED index with the
+    // surviving queries. Centroids/codebooks are frozen so survivors'
+    // codes stay valid, and the q56e identity makes the result brute
+    // force over the corpus WITHOUT the deleted rows — a code row that
+    // outlives its takedown or a lost survivor breaks the hash.
+    "q103_ivfpq_delete_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("q103_idx").toString
+      Similarity.saveIvfPqIndex(Similarity.buildIvfPq(e, nCells = 8,
+        dim = DIM, m = 8, ksub = 16, iters = 1), tmp)
+      Similarity.deleteFromIvfPqIndex(s, tmp,
+        e.where(pmod(col("vec_id"), lit(5L)) === 3L).select("vec_id"))
+      Similarity.probeIvfPq(Similarity.loadIvfPqIndex(s, tmp),
+          e.where(col("vec_id") < 8 && pmod(col("vec_id"), lit(5L)) =!= 3L),
+          e, 5, nProbe = 8, shortlist = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // Shard-union MERGE on the composite index under the oracle
+    // (Similarity.mergeIvfPqIndexes — q100's IVFADC twin, under the
+    // family's own contract): PQ codes only transfer under IDENTICAL
+    // artifacts, so this is the documented shard-encode pattern — train
+    // ONCE over the corpus, persist the same centroids/codebooks to two
+    // shards holding the lower/upper vec_id halves' code lists, merge
+    // the upper shard's lists into the host's cell partitions (the
+    // equality requires pass by construction), then probe-all +
+    // shortlist-∞. The q56e identity makes the merged index brute force
+    // over the whole corpus: a lost, duplicated, or wrong-cell code row
+    // breaks the hash.
+    "q104_ivfpq_merge_exact" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      val idx = Similarity.buildIvfPq(e, nCells = 8, dim = DIM, m = 8,
+        ksub = 16, iters = 1)
+      val lo = java.nio.file.Files.createTempDirectory("q104_lo").toString
+      val hi = java.nio.file.Files.createTempDirectory("q104_hi").toString
+      Similarity.saveIvfPqIndex(
+        idx.copy(lists = idx.lists.where(col("vec_id") <= half)), lo)
+      Similarity.saveIvfPqIndex(
+        idx.copy(lists = idx.lists.where(col("vec_id") > half)), hi)
+      Similarity.mergeIvfPqIndexes(s, lo, hi)
+      Similarity.probeIvfPq(Similarity.loadIvfPqIndex(s, lo),
+          e.where(col("vec_id") < 8), e, 5, nProbe = 8,
+          shortlist = Int.MaxValue)
+        .select(col("q_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"),
+          fp(col("cosine"), 6).as("cos_micro"))
+        .orderBy("q_id", "rank")
+    }),
+
     // Embedding near-dup: sampled anchors (id % 5 == 0), blocked by label,
     // top-1 most-similar pair per label.
     "q57_embedding_neardup" -> ((s, dir) => {
@@ -395,6 +451,24 @@ object VectorQueries {
                FROM batch b, idx i GROUP BY 1)
         SELECT vec_id FROM mx WHERE mc < 0.99 ORDER BY vec_id"""
 
+  /** Shared q98/q103 mirror: probe-all over the corpus MINUS the
+    * vec_id % 5 == 3 takedown set ≡ brute force over the survivors —
+    * quantizer/codebook-independent for the same reason as
+    * [[probeAllSql]].
+    */
+  private lazy val deleteProbeAllSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings
+                   WHERE vec_id < 8 AND vec_id % 5 <> 3),
+        c AS (SELECT vec_id, $vSql AS cv FROM embeddings WHERE vec_id % 5 <> 3),
+        scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
+                   FROM c, q WHERE vec_id <> q_id),
+        ranked AS (SELECT q_id, vec_id, cosine,
+                     row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
+          ${sqlFp("cosine", 6)} AS cos_micro
+        FROM ranked WHERE rank <= 5 ORDER BY q_id, rank"""
+
   val oracle: Map[String, String] = Map(
     "q55_ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings WHERE vec_id < 8),
@@ -437,21 +511,20 @@ object VectorQueries {
     // quantizer discarded, vectors re-assigned) must be invisible
     "q100_ivf_merge_exact" -> probeAllSql,
 
+    // probe-all + shortlist-∞ ≡ brute force holds for ANY shared
+    // artifacts, so a shard-encode merge (code-lists union under equal
+    // centroids/codebooks) must reproduce it bit-for-bit
+    "q104_ivfpq_merge_exact" -> probeAllSql,
+
     // the probe-all mirror over the corpus MINUS the takedown set: the
     // engine's delete-rewrite must serve exactly as if the deleted rows
     // were never indexed
-    "q98_ivf_delete_exact" ->
-      s"""WITH q AS (SELECT vec_id AS q_id, $vSql AS qv FROM embeddings
-                     WHERE vec_id < 8 AND vec_id % 5 <> 3),
-          c AS (SELECT vec_id, $vSql AS cv FROM embeddings WHERE vec_id % 5 <> 3),
-          scored AS (SELECT q_id, vec_id, ${VecSql.cosine("qv", "cv")} AS cosine
-                     FROM c, q WHERE vec_id <> q_id),
-          ranked AS (SELECT q_id, vec_id, cosine,
-                       row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-                     FROM scored)
-          SELECT q_id, vec_id, CAST(rank AS BIGINT) AS rank,
-            ${sqlFp("cosine", 6)} AS cos_micro
-          FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""",
+    "q98_ivf_delete_exact" -> deleteProbeAllSql,
+
+    // identical mirror for the composite layout: frozen artifacts keep
+    // survivors' codes valid, so delete + probe-all + shortlist-∞ is
+    // brute force over the survivors
+    "q103_ivfpq_delete_exact" -> deleteProbeAllSql,
 
     "q56_ann_lsh_buckets" ->
       s"""SELECT ${VecSql.lshBucket("v", Vec.planes(PLANES, DIM))} AS bucket, count(*) AS n
