@@ -222,7 +222,19 @@ private[graft] object IndexFiles {
       batchId: Long): Boolean = {
     val fs = fsFor(spark, dir)
     fs.exists(ledgerMarker(dir, writerId, batchId)) ||
-      readHighwater(fs, dir, writerId).exists(batchId <= _)
+      readHighwater(fs, dir, writerId).exists(batchId <= _) ||
+      // upgrade fallback, "local" ONLY: markers from the pre-writer-scope
+      // flat layout (`_ledger/applied-<id>`) stay visible to the default
+      // non-streaming writer — backfill loops shared one namespace by
+      // construction, so the flat ledger IS local's scope. Deliberately
+      // NOT honored for stream writers: a flat marker could have been
+      // left by a DIFFERENT pre-upgrade stream, and skipping a new
+      // stream's genuinely-new batch is silent data loss (strictly worse
+      // than the one repairable double-append). A stream restarting its
+      // in-flight batch ACROSS the layout upgrade therefore re-appends
+      // once — run `compact(dedupeRows = true)` once after upgrading a
+      // live streaming ingest pipeline.
+      (writerId == "local" && fs.exists(new Path(s"$dir/_ledger/applied-$batchId")))
   }
 
   def recordBatchApplied(spark: SparkSession, dir: String, writerId: String,
@@ -303,11 +315,24 @@ private[graft] object IndexFiles {
 
   private def ledgerMarker(dir: String, writerId: String,
       batchId: Long): Path = {
+    require(writerId.nonEmpty, "ledger writerId must be nonempty")
     // caller-supplied app ids may carry path separators; queryIds (UUIDs)
     // pass through unchanged
-    val safe = writerId.map(c =>
+    val sanitized = writerId.map(c =>
       if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c else '_')
-    require(safe.nonEmpty, "ledger writerId must be nonempty")
+    // collision-free: the char squash above is many-to-one (`app/1` and
+    // `app:1` both sanitize to `app_1`, the same directory an appId
+    // LITERALLY named `app_1` uses), and writers sharing a ledger
+    // directory silently skip each other's batches — the exact data-loss
+    // mode writer scoping exists to prevent. Any id the squash CHANGED
+    // gets a short hash of the RAW id suffixed, so distinct raw ids can
+    // never share a directory; already-clean ids (queryId UUIDs, "local",
+    // typical appIds) keep their r14 directory names unchanged.
+    val safe =
+      if (sanitized == writerId) sanitized
+      else sanitized + "-" + java.security.MessageDigest.getInstance("MD5")
+        .digest(writerId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .take(4).map(b => f"$b%02x").mkString
     new Path(s"$dir/_ledger/$safe/applied-$batchId")
   }
 

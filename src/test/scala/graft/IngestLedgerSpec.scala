@@ -97,6 +97,56 @@ class IngestLedgerSpec extends AnyFunSuite {
     assert(spark.read.parquet(corpus).count() == 2)
   }
 
+  test("distinct raw writerIds that sanitize identically keep isolated ledgers") {
+    // the path-safe char squash is many-to-one ('app/1' and 'app_1' both
+    // squash to 'app_1'); sharing a ledger directory would make the
+    // second writer silently skip its genuinely new batches — the exact
+    // data-loss mode writer scoping exists to prevent. Squashed ids get a
+    // raw-id hash suffix, so the directories differ.
+    val root = java.nio.file.Files.createTempDirectory("ledger-coll").toString
+    val idx = s"$root/index"
+    Retrieval.buildIndex(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), idx, 8)
+    IndexFiles.recordBatchApplied(spark, idx, "app/1", 0L)
+    assert(IndexFiles.wasBatchApplied(spark, idx, "app/1", 0L))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "app_1", 0L),
+      "a literally-underscored appId must not see the squashed id's markers")
+    IndexFiles.recordBatchApplied(spark, idx, "app_1", 1L)
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "app/1", 1L),
+      "and vice versa")
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "app:1", 0L),
+      "two different squashed ids must not share a directory either")
+    // compactLedgers round-trips the encoded directory names (encoded
+    // names are fixed points of the encoding): folds must land in the
+    // writer's own ledger and answers must be unchanged
+    IndexFiles.recordBatchApplied(spark, idx, "app/1", 1L)
+    IndexFiles.compactLedgers(spark, idx)
+    assert(IndexFiles.wasBatchApplied(spark, idx, "app/1", 1L))
+    assert(IndexFiles.wasBatchApplied(spark, idx, "app_1", 1L))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "app_1", 2L))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "app:1", 1L))
+  }
+
+  test("legacy flat ledger markers are honored by the local writer only") {
+    // pre-writer-scope layout: `_ledger/applied-<id>` with no writer
+    // directory. The default non-streaming writer ("local") keeps replay
+    // protection across the upgrade (backfills shared one namespace by
+    // construction); stream writers must NOT honor foreign flat markers —
+    // skipping a new stream's batch is silent data loss.
+    val root = java.nio.file.Files.createTempDirectory("ledger-flat").toString
+    val idx = s"$root/index"
+    Retrieval.buildIndex(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), idx, 8)
+    val flat = new java.io.File(s"$idx/_ledger/applied-3")
+    flat.getParentFile.mkdirs()
+    assert(flat.createNewFile())
+    assert(IndexFiles.wasBatchApplied(spark, idx, "local", 3L),
+      "the default writer must keep replay protection across the upgrade")
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "local", 4L))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "some-stream-query-id", 3L),
+      "a stream writer must not be suppressed by a foreign flat marker")
+  }
+
   test("corpus sink is idempotent even in the residual crash window") {
     // crash AFTER the appends but BEFORE the ledger marker: the replayed
     // batch re-appends index rows (repaired by compact(dedupeRows)) but
