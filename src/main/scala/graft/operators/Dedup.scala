@@ -581,14 +581,20 @@ object Dedup {
     val sigs = signatures(docs, idCol, textCol, k, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      bands(sigs, idCol, k, nBands)
-        .select(col("band"), col("bsig"), col(idCol).as("doc_id"))
-        .repartition(col("band"), col("bsig"))
-        .write.mode(mode).partitionBy("band")
-        .parquet(IndexFiles.tablePath(spark, dir, "bands"))
-      sigs.select(col(idCol).as("doc_id"), col("shingles"))
-        .write.mode(mode)
-        .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+      // per-table writer leases: a save/append racing a compaction's
+      // rewrite of the same table aborts loudly (IndexFiles doc)
+      IndexFiles.withTableLease(spark, dir, "bands") {
+        bands(sigs, idCol, k, nBands)
+          .select(col("band"), col("bsig"), col(idCol).as("doc_id"))
+          .repartition(col("band"), col("bsig"))
+          .write.mode(mode).partitionBy("band")
+          .parquet(IndexFiles.tablePath(spark, dir, "bands"))
+      }
+      IndexFiles.withTableLease(spark, dir, "shingles") {
+        sigs.select(col(idCol).as("doc_id"), col("shingles"))
+          .write.mode(mode)
+          .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+      }
     } finally sigs.unpersist()
   }
 
@@ -666,14 +672,18 @@ object Dedup {
       s"mergeLshIndexes: geometry (k, n_bands, shingle_n) differs — " +
         s"into=$gInto from=$gFrom; rows banded under different " +
         "geometries never collide. Rebuild from source text instead.")
-    spark.read.parquet(IndexFiles.tablePath(spark, from, "bands"))
-      .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
-      .repartition(col("band"), col("bsig"))
-      .write.mode("append").partitionBy("band")
-      .parquet(IndexFiles.tablePath(spark, into, "bands"))
-    spark.read.parquet(IndexFiles.tablePath(spark, from, "shingles"))
-      .write.mode("append")
-      .parquet(IndexFiles.tablePath(spark, into, "shingles"))
+    IndexFiles.withTableLease(spark, into, "bands") {
+      spark.read.parquet(IndexFiles.tablePath(spark, from, "bands"))
+        .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
+        .repartition(col("band"), col("bsig"))
+        .write.mode("append").partitionBy("band")
+        .parquet(IndexFiles.tablePath(spark, into, "bands"))
+    }
+    IndexFiles.withTableLease(spark, into, "shingles") {
+      spark.read.parquet(IndexFiles.tablePath(spark, from, "shingles"))
+        .write.mode("append")
+        .parquet(IndexFiles.tablePath(spark, into, "shingles"))
+    }
   }
 
   /** Probe a persisted index with a new batch: every (batch doc, indexed

@@ -26,11 +26,107 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    replaces had both a reader outage window and a crash window that
   *    lost the live table outright).
   *
-  * Single-writer contract (unchanged from the append paths' existing
-  * semantics): appends and rewrites of one table must not run
-  * concurrently with each other; readers are lock-free.
+  * Single-writer contract: appends and rewrites of one table must not
+  * run concurrently with each other; readers are lock-free. Since r15
+  * the contract is ENFORCED best-effort by a per-table writer lease
+  * ([[withTableLease]]) taken by every rewrite ([[writeNextVersion]])
+  * and every family append path: a second concurrent writer aborts
+  * loudly instead of silently corrupting the table (a racing rewrite
+  * would otherwise delete the first writer's in-progress version as
+  * "crash residue"). Recovery after an abort is the ingest ledger's
+  * job — a failed micro-batch replays under its recorded batchId.
   */
 private[graft] object IndexFiles {
+
+  /** A lease older than this with no heartbeat refresh is considered
+    * abandoned (holder crashed without releasing) and may be taken over.
+    * The live holder refreshes the lock's mtime every [[heartbeatMs]],
+    * so a healthy long rewrite never looks stale; 10 minutes of silence
+    * is ~40 missed heartbeats.
+    */
+  val defaultStaleLeaseMs: Long = 10 * 60 * 1000L
+
+  private val heartbeatMs = 15 * 1000L
+
+  /** Best-effort per-table writer lease enforcing the single-writer
+    * contract. Acquisition is an atomic `create(overwrite = false)` of
+    * `<dir>/<sub>.lock` holding the owner identity; while the body runs,
+    * a daemon thread refreshes the lock's mtime as a liveness heartbeat;
+    * release deletes the lock. A second writer finding a FRESH lock
+    * aborts with the holder's identity in the message — loud, instead of
+    * the silent interleaved-rewrite corruption the contract doc used to
+    * merely warn about. A lock whose mtime is older than `staleLeaseMs`
+    * is treated as a crashed holder and taken over (delete + re-create;
+    * the documented stale-lease takeover — crash-safe because every
+    * crash window of the guarded operations already leaves a readable
+    * live table, so takeover only ever unblocks, never repairs).
+    *
+    * Best-effort, not a distributed lock manager: the create/delete
+    * races of two takeovers landing in the same millisecond are accepted
+    * (they re-check creation and at most one proceeds per round), and an
+    * object store without atomic create degrades to advisory. That is
+    * the right price — the hazard being closed is unsynchronized
+    * AUTOMATION (a compaction cron racing a streaming append), not
+    * byzantine concurrency.
+    */
+  def withTableLease[T](spark: SparkSession, dir: String, sub: String,
+      staleLeaseMs: Long = defaultStaleLeaseMs)(body: => T): T = {
+    val fs = fsFor(spark, dir)
+    val lock = new Path(s"$dir/$sub.lock")
+    acquireLease(fs, lock, staleLeaseMs)
+    val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-lease-heartbeat-$sub")
+        t.setDaemon(true); t
+      })
+    hb.scheduleAtFixedRate(
+      () => try fs.setTimes(lock, System.currentTimeMillis(), -1)
+            catch { case _: Exception => () },
+      heartbeatMs, heartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body
+    finally {
+      hb.shutdownNow()
+      try fs.delete(lock, false) catch { case _: Exception => () }
+    }
+  }
+
+  private def acquireLease(fs: FileSystem, lock: Path,
+      staleLeaseMs: Long): Unit = {
+    val owner = s"${java.net.InetAddress.getLocalHost.getHostName}/" +
+      s"pid=${ProcessHandle.current().pid()}/" +
+      s"thread=${Thread.currentThread().getName}"
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lock, false)
+        try out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    val holder =
+      try {
+        val in = fs.open(lock)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: Exception => "<unreadable>" }
+    val fresh =
+      try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime <= staleLeaseMs
+      catch { case _: java.io.FileNotFoundException => false }
+    if (fresh)
+      throw new IllegalStateException(
+        s"writer lease $lock is held by $holder — appends and rewrites " +
+          "of one index table must not run concurrently (single-writer " +
+          "contract). If the holder is dead, its lease goes stale after " +
+          s"$staleLeaseMs ms and is taken over automatically.")
+    // stale: the holder stopped heartbeating long ago — take over
+    try fs.delete(lock, false) catch { case _: Exception => () }
+    if (!tryCreate())
+      throw new IllegalStateException(
+        s"writer lease $lock: lost the stale-lease takeover race — " +
+          "another writer claimed it first; retry if still needed")
+  }
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
     FileSystem.get(new java.net.URI(path),
@@ -82,10 +178,16 @@ private[graft] object IndexFiles {
 
   /** Write a replacement for table `sub` as its next version (the `write`
     * callback receives the target directory) and publish it. The
-    * zero-downtime successor of the old delete+rename swap.
+    * zero-downtime successor of the old delete+rename swap. Runs under
+    * the table's writer lease ([[withTableLease]]): a concurrent rewrite
+    * or append of the same table aborts loudly instead of the two
+    * rewriters computing the same `next` and deleting each other's
+    * in-progress version as crash residue.
     */
-  def writeNextVersion(spark: SparkSession, dir: String, sub: String)
-      (write: String => Unit): Unit = {
+  def writeNextVersion(spark: SparkSession, dir: String, sub: String,
+      staleLeaseMs: Long = defaultStaleLeaseMs)
+      (write: String => Unit): Unit =
+      withTableLease(spark, dir, sub, staleLeaseMs) {
     val fs = fsFor(spark, dir)
     val live = liveVersion(fs, dir, sub)
     // bootstrap: the initial save paths write no manifest, so the FIRST

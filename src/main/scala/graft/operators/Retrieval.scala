@@ -257,11 +257,18 @@ object Retrieval {
       val postings = postingsOf(docsTok, nBuckets)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        postings.repartition(col("bucket")).write.mode("append")
-          .partitionBy("bucket")
-          .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-        docsTok.select(col("doc_id"), col("dl")).write.mode("append")
-          .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+        // per-table writer leases: an append racing a compaction's
+        // rewrite of the same table aborts loudly (IndexFiles doc); the
+        // stats rewrite below is leased inside writeNextVersion
+        IndexFiles.withTableLease(spark, dir, "postings") {
+          postings.repartition(col("bucket")).write.mode("append")
+            .partitionBy("bucket")
+            .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+        }
+        IndexFiles.withTableLease(spark, dir, "doclens") {
+          docsTok.select(col("doc_id"), col("dl")).write.mode("append")
+            .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+        }
         // additive stats merge: old per-term rows + the batch's, df
         // summed, n_docs/sum_dl totals recomputed once and stamped on
         // every row
@@ -408,15 +415,19 @@ object Retrieval {
     }
     // re-bucket under into's modulus (no-op values when the moduli match,
     // but always recomputed: the stored bucket is from's geometry)
-    spark.read.parquet(IndexFiles.tablePath(spark, from, "postings"))
-      .select(col("term"), col("doc_id"), col("tf"))
-      .withColumn("bucket",
-        pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
-      .repartition(col("bucket")).write.mode("append")
-      .partitionBy("bucket")
-      .parquet(IndexFiles.tablePath(spark, into, "postings"))
-    dlFrom.select(col("doc_id"), col("dl")).write.mode("append")
-      .parquet(IndexFiles.tablePath(spark, into, "doclens"))
+    IndexFiles.withTableLease(spark, into, "postings") {
+      spark.read.parquet(IndexFiles.tablePath(spark, from, "postings"))
+        .select(col("term"), col("doc_id"), col("tf"))
+        .withColumn("bucket",
+          pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
+        .repartition(col("bucket")).write.mode("append")
+        .partitionBy("bucket")
+        .parquet(IndexFiles.tablePath(spark, into, "postings"))
+    }
+    IndexFiles.withTableLease(spark, into, "doclens") {
+      dlFrom.select(col("doc_id"), col("dl")).write.mode("append")
+        .parquet(IndexFiles.tablePath(spark, into, "doclens"))
+    }
     val merged = statsInto.select(col("term"), col("df"))
       .unionByName(statsFrom.select(col("term"), col("df")))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))

@@ -150,9 +150,13 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
     val c0 = newVecs.select(col(idCol), Vec.asDouble(col(vecCol)).as("v"))
-    writeLists(c0.withColumn("cell", nearestCell(spark, col("v"), cents))
-      .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec")),
-      IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
+    // single-writer contract, enforced: an append racing a compaction's
+    // rewrite of the same lists table aborts loudly (IndexFiles doc)
+    IndexFiles.withTableLease(spark, dir, "lists") {
+      writeLists(c0.withColumn("cell", nearestCell(spark, col("v"), cents))
+        .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec")),
+        IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
+    }
   }
 
   /** Re-train the coarse quantizer from the index's CURRENT contents and
@@ -806,11 +810,13 @@ object Similarity {
         readCodebooks(spark, s"$from/codebooks"),
       "mergeIvfPqIndexes: PQ codebooks differ — codes are not " +
         "transferable between independently trained IVF-PQ indexes")
-    writeLists(spark.read
-        .parquet(IndexFiles.tablePath(spark, from, "lists"))
-        .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("code")),
-      IndexFiles.tablePath(spark, into, "lists"), mode = "append")
+    IndexFiles.withTableLease(spark, into, "lists") {
+      writeLists(spark.read
+          .parquet(IndexFiles.tablePath(spark, from, "lists"))
+          .select(col("cell").cast("int").as("cell"), col("vec_id"),
+            col("code")),
+        IndexFiles.tablePath(spark, into, "lists"), mode = "append")
+    }
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
@@ -839,11 +845,13 @@ object Similarity {
       .select(col(idCol).as("vec_id"), Vec.asDouble(col(vecCol)).as("__v"))
       .select(col("vec_id"), col("__v"),
         nearestCell(spark, col("__v"), cents).as("cell"))
-    writeLists(assigned.select(col("cell"), col("vec_id"),
-      array((0 until cb.m).map(s =>
-        nearestSubCell(spark, col("__v"), s * cb.dsub,
-          cb.centroids(s))): _*).as("code")),
-      IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
+    IndexFiles.withTableLease(spark, dir, "lists") {
+      writeLists(assigned.select(col("cell"), col("vec_id"),
+        array((0 until cb.m).map(s =>
+          nearestSubCell(spark, col("__v"), s * cb.dsub,
+            cb.centroids(s))): _*).as("code")),
+        IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
+    }
   }
 
   /** Probe the composite index: nProbe closest cells per query (static

@@ -1,0 +1,103 @@
+package graft
+
+import java.util.concurrent.{CountDownLatch, TimeUnit}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IndexFiles, Retrieval}
+
+/** The per-table writer lease ([[graft.operators.IndexFiles.withTableLease]])
+  * enforcing the single-writer contract: two concurrent writers of one
+  * index table must never interleave — before r15 a racing rewrite pair
+  * would each compute the same `next` version and delete the other's
+  * in-progress directory as "crash residue" (silent corruption); now the
+  * second writer aborts loudly while the table stays fully servable, and
+  * a crashed holder's lease goes stale and is taken over.
+  */
+class WriterLeaseSpec extends AnyFunSuite {
+  val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshIndex(): String = {
+    val idx = java.nio.file.Files.createTempDirectory("lease").toString + "/index"
+    Retrieval.buildIndex(
+      Seq((1L, "alpha beta gamma"), (2L, "beta delta epsilon"))
+        .toDF("doc_id", "text"), idx, nBuckets = 8)
+    idx
+  }
+
+  private def doclensCount(idx: String): Long =
+    spark.read.parquet(IndexFiles.tablePath(spark, idx, "doclens")).count()
+
+  test("two racing rewrites: one wins, one aborts loudly, table servable throughout") {
+    val idx = freshIndex()
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var aErr: Throwable = null
+    val a = new Thread(() => {
+      try IndexFiles.writeNextVersion(spark, idx, "doclens") { next =>
+        entered.countDown()
+        release.await(60, TimeUnit.SECONDS)
+        spark.read.parquet(IndexFiles.tablePath(spark, idx, "doclens"))
+          .coalesce(1).write.mode("overwrite").parquet(next)
+      } catch { case t: Throwable => aErr = t }
+    }, "lease-race-writer-a")
+    a.start()
+    assert(entered.await(60, TimeUnit.SECONDS), "writer A never entered")
+    // writer B races the same table mid-rewrite: loud abort naming the
+    // holder, NOT a silent delete of A's in-progress version
+    val e = intercept[IllegalStateException] {
+      IndexFiles.writeNextVersion(spark, idx, "doclens")(_ => ())
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    assert(doclensCount(idx) == 2, "table must stay servable mid-race")
+    release.countDown()
+    a.join(120000)
+    assert(aErr == null, s"winner must complete cleanly: $aErr")
+    assert(doclensCount(idx) == 2, "winner's rewrite must have published")
+    // lease released: the loser's retry now proceeds
+    IndexFiles.compact(spark, idx, "doclens", None, dedupeRows = false)
+    assert(doclensCount(idx) == 2)
+  }
+
+  test("an append aborts while a rewrite holds the table lease") {
+    val idx = freshIndex()
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val holder = new Thread(() => {
+      IndexFiles.withTableLease(spark, idx, "postings") {
+        entered.countDown()
+        release.await(60, TimeUnit.SECONDS)
+      }
+      ()
+    }, "lease-holder")
+    holder.start()
+    assert(entered.await(60, TimeUnit.SECONDS))
+    val e = intercept[IllegalStateException] {
+      Retrieval.appendToIndex(spark, idx,
+        Seq((10L, "zeta eta")).toDF("doc_id", "text"))
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    release.countDown()
+    holder.join(60000)
+    // after release the same append succeeds and the index serves it
+    Retrieval.appendToIndex(spark, idx,
+      Seq((10L, "zeta eta")).toDF("doc_id", "text"))
+    assert(doclensCount(idx) == 3)
+  }
+
+  test("a stale lease (crashed holder) is taken over; a fresh one is honored") {
+    val idx = freshIndex()
+    val lock = new java.io.File(s"$idx/doclens.lock")
+    assert(lock.createNewFile(), "seed lock")
+    // fresh foreign lock: abort
+    intercept[IllegalStateException] {
+      IndexFiles.compact(spark, idx, "doclens", None, dedupeRows = false)
+    }
+    // holder "crashes": no heartbeat refreshes the mtime past the stale
+    // window — the next writer takes the lease over and proceeds
+    assert(lock.setLastModified(
+      System.currentTimeMillis() - IndexFiles.defaultStaleLeaseMs - 60000))
+    IndexFiles.compact(spark, idx, "doclens", None, dedupeRows = false)
+    assert(doclensCount(idx) == 2, "takeover rewrite must publish normally")
+    assert(!lock.exists(), "lease must be released after the rewrite")
+  }
+}
