@@ -556,10 +556,53 @@ object Dedup {
   def saveLshIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, k: Int = 16, nBands: Int = 8, shingleN: Int = 3): Unit = {
     writeLshRows(docs, idCol, textCol, dir, k, nBands, shingleN, "overwrite")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq((k, nBands, shingleN)).toDF("k", "n_bands", "shingle_n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    writeLshMeta(docs.sparkSession, k, nBands, shingleN, s"$dir/meta")
+  }
+
+  /** RE-GEOMETRY the banding of a persisted LSH index — the retrain verb
+    * for the family ([[graft.operators.Similarity.retrainIvfIndex]]'s
+    * near-dup twin): recompute the minhash signatures and band rows under
+    * a NEW (k, nBands) from the PERSISTED hashed shingle sets alone.
+    * Signatures are deterministic functions of the distinct hashed
+    * shingle SET (each is an affine-min over the set, and min-over-set ==
+    * min-over-occurrences), so no corpus text is re-read — the rebalance
+    * a long-lived index needs when its collision rate drifts (more bands
+    * = higher recall/more candidates, fewer = cheaper probes) costs one
+    * pass over the shingles table, not a corpus re-shingle. `shingle_n`
+    * is genuinely text-bound (changing it needs re-tokenization) and is
+    * FROZEN — it is adopted from the saved meta and not a parameter.
+    *
+    * Atomicity (the retrainIvfIndex discipline): the new geometry meta is
+    * embedded INSIDE the new bands version (`_meta` — underscore-prefixed,
+    * invisible to the bands scan) and the pair cuts over under the ONE
+    * bands manifest publish, so a probe or append racing the retrain
+    * resolves either (old geometry, old bands) or (new geometry, new
+    * bands), never a mix — rows banded under a mixed pair would silently
+    * never collide, the exact hazard the persisted meta exists to
+    * prevent.
+    */
+  def retrainLshIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int, nBands: Int): Unit = {
+    require(k > 0 && nBands > 0 && k % nBands == 0,
+      s"retrainLshIndex: k=$k must be a positive multiple of nBands=$nBands")
+    val shingleN = readLshMeta(spark, dir)._3
+    val sh = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+      .select(col("doc_id"), explode(col("shingles")).as("__h"))
+    val minCols = Text.hashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
+      min((col("__h") * a + b) % Text.P).as(s"__m$i")
+    }
+    val sigs = sh.groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+    val newBands = bands(sigs, "doc_id", k, nBands)
+      .select(col("band"), col("bsig"), col("doc_id"))
+    IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
+      newBands.repartition(col("band"), col("bsig")).write.mode("overwrite")
+        .partitionBy("band").parquet(next)
+      writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
+    }
   }
 
   /** Append new documents to a persisted index under its FROZEN geometry
@@ -584,6 +627,17 @@ object Dedup {
       // per-table writer leases: a save/append racing a compaction's
       // rewrite of the same table aborts loudly (IndexFiles doc)
       IndexFiles.withTableLease(spark, dir, "bands") {
+        // the batch was banded under the geometry read BEFORE the lease;
+        // a retrain that cut over in between would make those rows
+        // silently never-colliding — re-check under the lease and abort
+        // loudly instead (the caller replays the batch via the ledger)
+        if (mode == "append") {
+          val live = readLshMeta(spark, dir)
+          require(live == ((k, nBands, shingleN)),
+            s"appendToLshIndex: index geometry changed to $live while the " +
+              s"batch was banded under (${k}, ${nBands}, ${shingleN}) — a " +
+              "concurrent retrain cut over; re-run the append")
+        }
         bands(sigs, idCol, k, nBands)
           .select(col("band"), col("bsig"), col(idCol).as("doc_id"))
           .repartition(col("band"), col("bsig"))
@@ -598,9 +652,34 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  private def writeLshMeta(spark: org.apache.spark.sql.SparkSession,
+      k: Int, nBands: Int, shingleN: Int, path: String): Unit = {
+    import spark.implicits._
+    Seq((k, nBands, shingleN)).toDF("k", "n_bands", "shingle_n")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The index's live hash geometry: the `_meta` embedded in the LIVE
+    * bands version when present ([[retrainLshIndex]] and the bands
+    * rewrite paths publish geometry and bands atomically under the one
+    * manifest), else the save-time `<dir>/meta` (an index never
+    * regeometried). Callers that also SCAN the bands table must resolve
+    * the path once and use [[readLshMetaAt]] — resolving twice straddles
+    * a retrain cutover and pairs a new geometry with old bands rows (or
+    * vice versa), which silently never collide.
+    */
   private def readLshMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$dir/meta").head()
+      dir: String): (Int, Int, Int) =
+    readLshMetaAt(spark, dir, IndexFiles.tablePath(spark, dir, "bands"))
+
+  private def readLshMetaAt(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bandsPath: String): (Int, Int, Int) = {
+    val embedded = new org.apache.hadoop.fs.Path(s"$bandsPath/_meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+      spark.sparkContext.hadoopConfiguration)
+    val p = if (fs.exists(embedded)) s"$bandsPath/_meta" else s"$dir/meta"
+    val r = spark.read.parquet(p)
+      .select(col("k"), col("n_bands"), col("shingle_n")).head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
@@ -612,7 +691,21 @@ object Dedup {
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, dedupeRows: Boolean = false): Unit = {
-    IndexFiles.compact(spark, dir, "bands", Some("band"), dedupeRows)
+    // LSH-aware bands compact (not the generic IndexFiles.compact): the
+    // live geometry is re-embedded in the compacted version, so a
+    // compaction AFTER a retrain cannot strand the retrained geometry in
+    // the old version and fall back to the stale save-time meta (the
+    // compactIvfIndex centroid discipline)
+    val (k, nBands, shingleN) = readLshMeta(spark, dir)
+    val df0 = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "bands"))
+      .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
+    val df = if (dedupeRows) df0.distinct() else df0
+    IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
+      df.repartition(col("band")).write.mode("overwrite")
+        .partitionBy("band").parquet(next)
+      writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
+    }
     IndexFiles.compact(spark, dir, "shingles", None, dedupeRows)
     IndexFiles.compactLedgers(spark, dir)
   }
@@ -630,14 +723,19 @@ object Dedup {
   def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, docIds: DataFrame, idCol: String = "doc_id"): Unit = {
     val del = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val (k, nBands, shingleN) = readLshMeta(spark, dir)
     val bands = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "bands"))
       .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
       .join(del, Seq("doc_id"), "left_anti")
       .select("band", "bsig", "doc_id")
-    IndexFiles.writeNextVersion(spark, dir, "bands")(next =>
+    IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
       bands.repartition(col("band")).write.mode("overwrite")
-        .partitionBy("band").parquet(next))
+        .partitionBy("band").parquet(next)
+      // re-embed the live geometry: a delete after a retrain must not
+      // strand the retrained meta in the pruned old version
+      writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
+    }
     val shingles = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
       .join(del, Seq("doc_id"), "left_anti")
@@ -658,8 +756,10 @@ object Dedup {
     * verification table, no re-shingling of either corpus. The geometry
     * is `require`d equal — rows banded under a different geometry would
     * silently never collide with the host's (the exact hazard the
-    * persisted meta exists to prevent); re-geometry needs the source
-    * text, so rebuild instead. After the merge a batch probe vetoes
+    * persisted meta exists to prevent); bring a shard to the host's
+    * (k, nBands) first with [[retrainLshIndex]] (computable from its
+    * persisted shingle sets — only a `shingle_n` change genuinely needs
+    * the source text and a rebuild). After the merge a batch probe vetoes
     * against the union exactly as against a one-shot index (the spec
     * identity). `from` is read-only; duplicate doc_ids are the caller's
     * contract (same as append).
@@ -705,7 +805,11 @@ object Dedup {
       dir: String, batch: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxBucket: Option[Int] = defaultMaxBucket,
       scope: CacheScope = sessionScope): DataFrame = {
-    val (k, nBands, shingleN) = readLshMeta(spark, dir)
+    // resolve the bands version ONCE and read the geometry from it: a
+    // retrain cutover between two resolutions would band the batch under
+    // one geometry and scan the other's rows (silently zero collisions)
+    val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
+    val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
     val bSigs = scope.track(signatures(batch, idCol, textCol, k, shingleN))
     // cap BOTH sides: a degenerate boilerplate bucket can arrive in the
     // batch too, and an uncapped batch bucket of B docs would multiply
@@ -715,7 +819,7 @@ object Dedup {
         .select(col("band"), col("bsig"), col(idCol).as("batch_id")),
       maxBucket)
     val iBands = pruneBuckets(
-      spark.read.parquet(IndexFiles.tablePath(spark, dir, "bands"))
+      spark.read.parquet(bandsPath)
         .select(col("band").cast("int").as("band"), col("bsig"),
           col("doc_id").as("dup_of")),
       maxBucket)
