@@ -52,13 +52,18 @@ object Bench {
     (times, errors.result())
   }
 
-  /** The query-id-prefixed `createTempDirectory` dirs currently under
-    * java.io.tmpdir — the bench-owned index-lifecycle residue (every
-    * query's temp prefix is its own query id, so nothing else matches;
-    * the optional letter covers variant ids like q56f).
+  /** The query-id-prefixed temp dirs currently under the bench-private
+    * root (`graft.tmpdir`, set by [[main]]; [[graft.queries.Common.tempDir]]
+    * routes every query's index-lifecycle dirs there) — falling back to
+    * java.io.tmpdir for embedded callers that didn't set the property.
+    * The private root is what makes the sweep safe: a CONCURRENT process
+    * (a parallel Verify, a second bench) creating a matching `q<N>_*`
+    * name in the shared tmpdir is invisible here, where before r15 its
+    * live temp index was sweepable mid-run.
     */
   private def tempIndexDirs(): Set[java.io.File] = {
-    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val tmp = new java.io.File(System.getProperty("graft.tmpdir",
+      System.getProperty("java.io.tmpdir")))
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.matches("q\\d+[a-z]?_.*"))
       .toSet
@@ -165,6 +170,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // bench-private temp root: queries' index dirs land here (via
+    // Common.tempDir) so the per-query sweep owns everything it deletes
+    System.setProperty("graft.tmpdir", java.nio.file.Files
+      .createTempDirectory("graft_bench_").toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -176,5 +185,7 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").count()
     render(SparkEntry.queries, spark, sfDir).foreach(println)
     spark.stop()
+    deleteRecursively(new java.io.File(System.getProperty("graft.tmpdir")))
+    System.clearProperty("graft.tmpdir")
   }
 }

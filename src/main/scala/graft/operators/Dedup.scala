@@ -601,6 +601,7 @@ object Dedup {
     IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
       newBands.repartition(col("band"), col("bsig")).write.mode("overwrite")
         .partitionBy("band").parquet(next)
+      IndexFiles.ensureReadable(newBands, next)
       writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
     }
   }
@@ -704,6 +705,7 @@ object Dedup {
     IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
       df.repartition(col("band")).write.mode("overwrite")
         .partitionBy("band").parquet(next)
+      IndexFiles.ensureReadable(df, next)
       writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
     }
     IndexFiles.compact(spark, dir, "shingles", None, dedupeRows)
@@ -732,6 +734,7 @@ object Dedup {
     IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
       bands.repartition(col("band")).write.mode("overwrite")
         .partitionBy("band").parquet(next)
+      IndexFiles.ensureReadable(bands, next)
       // re-embed the live geometry: a delete after a retrain must not
       // strand the retrained meta in the pruned old version
       writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
@@ -742,8 +745,10 @@ object Dedup {
     // no explicit coalesce: AQE sizes the post-join output (the
     // deleteFromIndex doclens rationale — shingle sets are the WIDE
     // table here, a fixed tiny count would bottleneck the rewrite)
-    IndexFiles.writeNextVersion(spark, dir, "shingles")(next =>
-      shingles.write.mode("overwrite").parquet(next))
+    IndexFiles.writeNextVersion(spark, dir, "shingles") { next =>
+      shingles.write.mode("overwrite").parquet(next)
+      IndexFiles.ensureReadable(shingles, next)
+    }
   }
 
   /** MERGE another persisted LSH index into this one — the shard-union
@@ -762,7 +767,12 @@ object Dedup {
     * the source text and a rebuild). After the merge a batch probe vetoes
     * against the union exactly as against a one-shot index (the spec
     * identity). `from` is read-only; duplicate doc_ids are the caller's
-    * contract (same as append).
+    * contract (same as append). NOT crash-atomic: a crash between the
+    * bands and shingles appends leaves candidates without verification
+    * rows (they drop silently) — re-merge, then
+    * `compactLshIndex(dedupeRows = true)` drops the byte-identical
+    * re-appended rows (full crash-window discussion at
+    * [[graft.operators.Retrieval.mergeIndexes]]).
     */
   def mergeLshIndexes(spark: org.apache.spark.sql.SparkSession,
       into: String, from: String): Unit = {

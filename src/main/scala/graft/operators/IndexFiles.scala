@@ -274,7 +274,32 @@ private[graft] object IndexFiles {
           df.coalesce(n).write
       }
       writer.mode("overwrite").parquet(next)
+      ensureReadable(df, next)
     }
+  }
+
+  /** Keep a just-rewritten table READABLE when its content is empty: a
+    * dynamic-partition overwrite of an empty frame lands ZERO parquet
+    * files, and Spark cannot re-read a fileless directory
+    * (UNABLE_TO_INFER_SCHEMA) — reachable by a perfectly legal
+    * full-takedown delete (right to be forgotten over a whole tenant).
+    * If no data file landed, land the schema as one empty flat file; the
+    * partition column degrades to a regular column, which every reader
+    * treats identically (partition pruning simply has nothing to prune),
+    * and a later append resurrects the partitioned layout alongside it.
+    */
+  def ensureReadable(df: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    val fs = fsFor(df.sparkSession, path)
+    val p = new Path(path)
+    val it = if (fs.exists(p)) fs.listFiles(p, true) else null
+    var any = false
+    while (!any && it != null && it.hasNext)
+      any = it.next().getPath.getName.endsWith(".parquet")
+    if (!any)
+      // repartition(1), not coalesce: an empty frame may plan ZERO
+      // partitions, and a zero-task write emits no schema file either
+      df.limit(0).repartition(1).write.mode("overwrite").parquet(path)
   }
 
   /** Total data bytes under a table directory, from the filesystem

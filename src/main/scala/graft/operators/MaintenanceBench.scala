@@ -1,10 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Shard-merge + takedown-delete rehearsal at corpus scale — the two
-  * maintenance verbs CompactionBench doesn't cover. Per family:
+/** Maintenance-verb rehearsal at corpus scale, two modes:
+  *
+  * `verbs` (default) — shard-merge + takedown-delete per family (the two
+  * verbs CompactionBench doesn't cover), including the IVF-PQ composite
+  * under its shard-encode contract:
   *
   *  1. build a one-shot index over the full corpus and serve it (the
   *     reference result);
@@ -17,10 +20,19 @@ import org.apache.spark.sql.functions._
   *     require'd to surface no deleted id, with the stats/row counts
   *     shrunk by exactly the takedown count.
   *
+  * `composed` — the verbs COMPOSED into one lifecycle per family, the
+  * shape a year of operations actually takes:
+  * build(A) -> append(B) -> delete -> merge(shard C) -> retrain
+  * (IVF re-quantize / LSH re-geometry) -> compact -> serve, with the
+  * final serve require'd IDENTICAL to a one-shot build over the
+  * survivors-union — any verb that corrupts state for a LATER verb
+  * (a stats drift the compact hides, a stranded geometry the retrain
+  * leaves) surfaces here and nowhere else.
+  *
   * Any violated invariant crashes the run (the CompactionBench
   * discipline: a bench that can silently serve garbage measures nothing).
-  * One JSON line per family. Usage:
-  * `runMain graft.operators.MaintenanceBench [nBase]`.
+  * One JSON line per family per mode. Usage:
+  * `runMain graft.operators.MaintenanceBench [nBase] [verbs|composed|all]`.
   */
 object MaintenanceBench {
 
@@ -32,8 +44,15 @@ object MaintenanceBench {
 
   private def r3(d: Double): Double = math.round(d * 1000) / 1000.0
 
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toLong else 1000000L
+    val mode = if (args.length > 1) args(1) else "verbs"
+    require(Set("verbs", "composed", "all")(mode), s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-maintenance-bench")
@@ -41,20 +60,25 @@ object MaintenanceBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    import spark.implicits._
+    if (mode == "verbs" || mode == "all") verbs(spark, nBase)
+    if (mode == "composed" || mode == "all") composed(spark, nBase)
+    spark.stop()
+  }
 
+  // ==================== verbs mode ====================
+
+  private def verbs(spark: SparkSession, nBase: Long): Unit = {
     val takedown = pmod(col("doc_id"), lit(10L)) === 3L
 
     // ---- BM25 inverted index ----
     locally {
-      val corpus = CorpusBench.synth(spark, nBase)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = CorpusBench.synth(spark, nBase).persist(mem)
       corpus.count()
       val qs = Seq("qa" -> Seq("glider", "ocean", "current"),
         "qb" -> Seq("depth", "water", "signal"))
-      val one = java.nio.file.Files.createTempDirectory("mnt_bm25_one").toString
-      val a = java.nio.file.Files.createTempDirectory("mnt_bm25_a").toString
-      val b = java.nio.file.Files.createTempDirectory("mnt_bm25_b").toString
+      val one = tmp("mnt_bm25_one")
+      val a = tmp("mnt_bm25_a")
+      val b = tmp("mnt_bm25_b")
       def serve(d: String) = Retrieval.searchIndex(spark, d, qs, k = 10)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
           r.getLong(3))).toSet
@@ -95,11 +119,10 @@ object MaintenanceBench {
 
     // ---- LSH band index ----
     locally {
-      val corpus = CorpusBench.synth(spark, nBase)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val corpus = CorpusBench.synth(spark, nBase).persist(mem)
       corpus.count()
-      val a = java.nio.file.Files.createTempDirectory("mnt_lsh_a").toString
-      val b = java.nio.file.Files.createTempDirectory("mnt_lsh_b").toString
+      val a = tmp("mnt_lsh_a")
+      val b = tmp("mnt_lsh_b")
       val even = pmod(col("doc_id"), lit(2L)) === 0L
       val (tShards, _) = timed {
         Dedup.saveLshIndex(corpus.where(even), "doc_id", "text", a)
@@ -110,7 +133,7 @@ object MaintenanceBench {
       // one must hit post-merge (a shard-local index would miss half)
       val probeBatch = corpus.where(col("doc_id") < 200)
         .select((col("doc_id") + lit(5L * nBase)).as("doc_id"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(mem)
       val nProbe = probeBatch.count()
       def hits() = {
         val sc = new Dedup.CacheScope
@@ -142,10 +165,10 @@ object MaintenanceBench {
       val dim = 64
       val nCells = math.max(16, math.sqrt(nBase.toDouble).toInt)
       val vecs = AnnBench.synth(spark, nBase, dim, nClusters = 200)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(mem)
       vecs.count()
-      val a = java.nio.file.Files.createTempDirectory("mnt_ivf_a").toString
-      val b = java.nio.file.Files.createTempDirectory("mnt_ivf_b").toString
+      val a = tmp("mnt_ivf_a")
+      val b = tmp("mnt_ivf_b")
       val half = nBase / 2
       val (tShards, _) = timed {
         Similarity.saveIvfIndex(Similarity.buildIvfIndex(
@@ -169,7 +192,7 @@ object MaintenanceBench {
       require(misplaced == 0L,
         s"$misplaced merged rows not in host-quantizer cells")
       val queries = vecs.where(col("vec_id") % lit(nBase / 50 + 1) === 0)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(mem)
       queries.count()
       def probe() = {
         val scope = new Dedup.CacheScope
@@ -198,6 +221,270 @@ object MaintenanceBench {
         s""""probe_after_delete_sec":${r3(tProbeDel)}}""")
     }
 
-    spark.stop()
+    // ---- IVF-PQ composite lists ----
+    locally {
+      val dim = 64
+      val nCells = 256
+      val vecs = AnnBench.synth(spark, nBase, dim, nClusters = 200)
+        .persist(mem)
+      vecs.count()
+      val a = tmp("mnt_ivfpq_a")
+      val b = tmp("mnt_ivfpq_b")
+      val half = nBase / 2
+      // shard-encode contract (mergeIvfPqIndexes doc): ONE central
+      // training pass, shards carry disjoint code-list halves under the
+      // identical artifacts — the only layout whose codes are transferable
+      val (tBuild, idx0) = timed(Similarity.buildIvfPq(vecs, nCells, dim,
+        m = 8, ksub = 16, iters = 1))
+      val idx = idx0.copy(lists = idx0.lists.persist(mem))
+      val (tShards, _) = timed {
+        Similarity.saveIvfPqIndex(
+          idx.copy(lists = idx.lists.where(col("vec_id") < half)), a)
+        Similarity.saveIvfPqIndex(
+          idx.copy(lists = idx.lists.where(col("vec_id") >= half)), b)
+      }
+      val (tMerge, _) = timed(Similarity.mergeIvfPqIndexes(spark, a, b))
+      require(spark.read.parquet(IndexFiles.tablePath(spark, a, "lists"))
+        .count() == nBase, "merged IVF-PQ lost/duplicated rows")
+      // independently trained artifacts must be REJECTED, not garbage-ADC'd
+      val c = tmp("mnt_ivfpq_c")
+      Similarity.saveIvfPqIndex(Similarity.buildIvfPq(
+        vecs.where(col("vec_id") < 10000), 8, dim, m = 8, ksub = 16,
+        iters = 1), c)
+      val rejected =
+        try { Similarity.mergeIvfPqIndexes(spark, a, c); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected,
+        "merge of independently trained IVF-PQ artifacts must be rejected")
+      val queries = vecs.where(col("vec_id") % lit(nBase / 50 + 1) === 0)
+        .persist(mem)
+      queries.count()
+      def probe() = {
+        val scope = new Dedup.CacheScope
+        try Similarity.probeIvfPq(Similarity.loadIvfPqIndex(spark, a),
+          queries, vecs, k = 10, nProbe = 8, shortlist = 200, scope = scope)
+          .select("vec_id").collect().map(_.getLong(0))
+        finally scope.release()
+      }
+      val (tProbeMerged, _) = timed(probe())
+      val del = pmod(col("vec_id"), lit(10L)) === 3L
+      val (tDelete, _) = timed(Similarity.deleteFromIvfPqIndex(spark, a,
+        vecs.where(del).select("vec_id")))
+      val (tProbeDel, served) = timed(probe())
+      val dead = served.count(_ % 10 == 3)
+      require(dead == 0, s"$dead deleted vectors still served (IVF-PQ)")
+      val nAfter = spark.read
+        .parquet(IndexFiles.tablePath(spark, a, "lists")).count()
+      val nDeleted = vecs.where(del).count()
+      require(nAfter == nBase - nDeleted,
+        s"IVF-PQ lists count $nAfter != ${nBase - nDeleted} after delete")
+      idx.lists.unpersist(); queries.unpersist(); vecs.unpersist()
+      println(s"""{"metric":"maintenance_ivfpq","n":$nBase,""" +
+        s""""build_encode_sec":${r3(tBuild)},"save_shards_sec":${r3(tShards)},""" +
+        s""""merge_sec":${r3(tMerge)},"probe_merged_sec":${r3(tProbeMerged)},""" +
+        s""""n_deleted":$nDeleted,"delete_sec":${r3(tDelete)},""" +
+        s""""probe_after_delete_sec":${r3(tProbeDel)},"reject_exercised":true}""")
+    }
+  }
+
+  // ==================== composed mode ====================
+
+  /** Region split shared by the four composed lifecycles: build on A
+    * (40%), append B (30%), then delete the `% 10 == 3` tenth, merge a
+    * foreign shard C (30%), retrain, compact, serve. The acceptance is
+    * one identity per family: the composed index serves exactly like a
+    * one-shot build over the survivors-union.
+    */
+  private def composed(spark: SparkSession, nBase: Long): Unit = {
+    def regA(id: String) = pmod(col(id), lit(10L)) < 4
+    def regB(id: String) = pmod(col(id), lit(10L)) >= 4 &&
+      pmod(col(id), lit(10L)) < 7
+    def regC(id: String) = pmod(col(id), lit(10L)) >= 7
+    def isDel(id: String) = pmod(col(id), lit(10L)) === 3L
+
+    // ---- BM25 ----
+    locally {
+      val corpus = CorpusBench.synth(spark, nBase).persist(mem)
+      corpus.count()
+      val qs = Seq("qa" -> Seq("glider", "ocean", "current"),
+        "qb" -> Seq("depth", "water", "signal"))
+      val dir = tmp("cmp_bm25"); val shard = tmp("cmp_bm25_c")
+      val one = tmp("cmp_bm25_one")
+      def serve(d: String) = Retrieval.searchIndex(spark, d, qs, k = 10)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val (tChain, _) = timed {
+        Retrieval.buildIndex(corpus.where(regA("doc_id")), dir, 64)
+        Retrieval.appendToIndex(spark, dir, corpus.where(regB("doc_id")))
+        Retrieval.deleteFromIndex(spark, dir,
+          corpus.where(isDel("doc_id")).select("doc_id"))
+        // the foreign shard deliberately uses a different modulus: the
+        // merge must re-bucket under the host's
+        Retrieval.buildIndex(corpus.where(regC("doc_id")), shard, 32)
+        Retrieval.mergeIndexes(spark, dir, shard, requireDisjoint = false)
+        Retrieval.compactIndex(spark, dir)
+      }
+      val (tServe, served) = timed(serve(dir))
+      val (tOne, _) = timed(
+        Retrieval.buildIndex(corpus.where(!isDel("doc_id")), one, 64))
+      require(served == serve(one),
+        "composed BM25 lifecycle served differently from one-shot survivors")
+      corpus.unpersist()
+      println(s"""{"metric":"composed_bm25","n":$nBase,""" +
+        s""""chain_sec":${r3(tChain)},"serve_sec":${r3(tServe)},""" +
+        s""""oneshot_build_sec":${r3(tOne)}}""")
+    }
+
+    // ---- LSH (retrain = re-geometry mid-chain) ----
+    locally {
+      val corpus = CorpusBench.synth(spark, nBase).persist(mem)
+      corpus.count()
+      val dir = tmp("cmp_lsh"); val shard = tmp("cmp_lsh_c")
+      val one = tmp("cmp_lsh_one")
+      // probe: exact copies of docs from every region INCLUDING deleted
+      // ones — survivors must veto, deleted must not, and the veto set
+      // must equal the one-shot index's exactly
+      val probeBatch = corpus.where(col("doc_id") < 400)
+        .select((col("doc_id") + lit(5L * nBase)).as("doc_id"), col("text"))
+        .persist(mem)
+      probeBatch.count()
+      def vetoes(d: String) = {
+        val sc = new Dedup.CacheScope
+        try Dedup.matchesAgainstLshIndex(spark, d, probeBatch, scope = sc)
+          .where(col("jaccard") >= 0.8)
+          .select("batch_id", "dup_of")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        finally sc.release()
+      }
+      val (tChain, _) = timed {
+        Dedup.saveLshIndex(corpus.where(regA("doc_id")), "doc_id", "text",
+          dir, k = 16, nBands = 8)
+        Dedup.appendToLshIndex(spark, dir, corpus.where(regB("doc_id")))
+        Dedup.deleteFromLshIndex(spark, dir,
+          corpus.where(isDel("doc_id")).select("doc_id"))
+        Dedup.saveLshIndex(corpus.where(regC("doc_id")), "doc_id", "text",
+          shard, k = 16, nBands = 8)
+        Dedup.mergeLshIndexes(spark, dir, shard)
+        // re-geometry AFTER the merge: the retrained bands must cover
+        // every row however it arrived (build, append, merge)
+        Dedup.retrainLshIndex(spark, dir, k = 8, nBands = 4)
+        Dedup.compactLshIndex(spark, dir)
+      }
+      val (tServe, got) = timed(vetoes(dir))
+      val (tOne, _) = timed(Dedup.saveLshIndex(
+        corpus.where(!isDel("doc_id")), "doc_id", "text", one,
+        k = 8, nBands = 4))
+      require(got == vetoes(one),
+        "composed LSH lifecycle vetoed differently from one-shot survivors")
+      require(got.nonEmpty, "composed LSH probe produced no vetoes at all")
+      require(!got.exists { case (_, dupOf) => dupOf % 10 == 3 },
+        "a deleted doc still vetoes after the composed lifecycle")
+      probeBatch.unpersist(); corpus.unpersist()
+      println(s"""{"metric":"composed_lsh","n":$nBase,""" +
+        s""""chain_sec":${r3(tChain)},"serve_sec":${r3(tServe)},""" +
+        s""""oneshot_build_sec":${r3(tOne)}}""")
+    }
+
+    // ---- IVF (retrain = re-quantize + grow cells mid-chain) ----
+    locally {
+      val dim = 64
+      val cells0 = math.max(16, math.sqrt(nBase.toDouble).toInt / 2)
+      val cellsFinal = math.max(16, math.sqrt(nBase.toDouble).toInt)
+      val vecs = AnnBench.synth(spark, nBase, dim, nClusters = 200)
+        .persist(mem)
+      vecs.count()
+      val dir = tmp("cmp_ivf"); val shard = tmp("cmp_ivf_c")
+      val one = tmp("cmp_ivf_one")
+      val queries = vecs.where(col("vec_id") % lit(nBase / 16 + 1) === 0)
+        .persist(mem)
+      queries.count()
+      // probe-all: identical to brute force for ANY quantizer, so the
+      // composed chain (whose retrained centroids legitimately differ
+      // from the one-shot build's) must match exactly
+      def probeAll(d: String, n: Int) = {
+        val sc = new Dedup.CacheScope
+        try Similarity.probeIvf(Similarity.loadIvfIndex(spark, d),
+          queries, k = 10, nProbe = n, scope = sc)
+          .select("q_id", "vec_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        finally sc.release()
+      }
+      val (tChain, _) = timed {
+        Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+          vecs.where(regA("vec_id")), cells0, dim), dir)
+        Similarity.appendToIvfIndex(spark, dir, vecs.where(regB("vec_id")))
+        Similarity.deleteFromIvfIndex(spark, dir,
+          vecs.where(isDel("vec_id")).select("vec_id"))
+        Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+          vecs.where(regC("vec_id")), cells0 / 2, dim), shard)
+        Similarity.mergeIvfIndexes(spark, dir, shard)
+        Similarity.retrainIvfIndex(spark, dir, nCells = Some(cellsFinal))
+        Similarity.compactIvfIndex(spark, dir)
+      }
+      val (tServe, got) = timed(probeAll(dir, cellsFinal))
+      val (tOne, _) = timed(Similarity.saveIvfIndex(Similarity.buildIvfIndex(
+        vecs.where(!isDel("vec_id")), cellsFinal, dim), one))
+      require(got == probeAll(one, cellsFinal),
+        "composed IVF lifecycle served differently from one-shot survivors")
+      queries.unpersist(); vecs.unpersist()
+      println(s"""{"metric":"composed_ivf","n":$nBase,""" +
+        s""""chain_sec":${r3(tChain)},"serve_probeall_sec":${r3(tServe)},""" +
+        s""""oneshot_build_sec":${r3(tOne)}}""")
+    }
+
+    // ---- IVF-PQ (shard-encode; no retrain verb by family contract) ----
+    locally {
+      val dim = 64
+      val nCells = 256
+      val vecs = AnnBench.synth(spark, nBase, dim, nClusters = 200)
+        .persist(mem)
+      vecs.count()
+      val dir = tmp("cmp_ivfpq"); val shard = tmp("cmp_ivfpq_c")
+      val one = tmp("cmp_ivfpq_one")
+      val queries = vecs.where(col("vec_id") % lit(nBase / 8 + 1) === 0)
+        .persist(mem)
+      queries.count()
+      // probe-all + shortlist-inf ≡ brute force for ANY artifacts — the
+      // q56e identity — so the one-shot reference may train its own
+      def probeAll(d: String) = {
+        val sc = new Dedup.CacheScope
+        try Similarity.probeIvfPq(Similarity.loadIvfPqIndex(spark, d),
+          queries, vecs, k = 10, nProbe = nCells,
+          shortlist = Int.MaxValue, scope = sc)
+          .select("q_id", "vec_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        finally sc.release()
+      }
+      val (tChain, _) = timed {
+        val idx = Similarity.buildIvfPq(vecs.where(regA("vec_id")), nCells,
+          dim, m = 8, ksub = 16, iters = 1)
+        Similarity.saveIvfPqIndex(idx, dir)
+        Similarity.appendToIvfPqIndex(spark, dir, vecs.where(regB("vec_id")))
+        Similarity.deleteFromIvfPqIndex(spark, dir,
+          vecs.where(isDel("vec_id")).select("vec_id"))
+        // shard C under the SAME artifacts (the shard-encode contract):
+        // copy the host's artifacts+lists, append C, delete the copied
+        // host rows — three existing verbs, no private encode API
+        Similarity.saveIvfPqIndex(idx, shard)
+        Similarity.appendToIvfPqIndex(spark, shard, vecs.where(regC("vec_id")))
+        Similarity.deleteFromIvfPqIndex(spark, shard,
+          vecs.where(regA("vec_id")).select("vec_id"))
+        Similarity.mergeIvfPqIndexes(spark, dir, shard)
+        Similarity.compactIvfPqIndex(spark, dir)
+      }
+      require(spark.read.parquet(IndexFiles.tablePath(spark, dir, "lists"))
+          .count() == vecs.where(!isDel("vec_id")).count(),
+        "composed IVF-PQ lists row count drifted from the survivors-union")
+      val (tServe, got) = timed(probeAll(dir))
+      val (tOne, _) = timed(Similarity.saveIvfPqIndex(Similarity.buildIvfPq(
+        vecs.where(!isDel("vec_id")), nCells, dim, m = 8, ksub = 16,
+        iters = 1), one))
+      require(got == probeAll(one),
+        "composed IVF-PQ lifecycle served differently from one-shot survivors")
+      queries.unpersist(); vecs.unpersist()
+      println(s"""{"metric":"composed_ivfpq","n":$nBase,""" +
+        s""""chain_sec":${r3(tChain)},"serve_probeall_sec":${r3(tServe)},""" +
+        s""""oneshot_build_sec":${r3(tOne)}}""")
+    }
   }
 }

@@ -194,11 +194,23 @@ object Retrieval {
       .withColumn("bucket", pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
 
   /** The stats table shape: one row per term (df) stamped with the corpus
-    * totals and the frozen bucket modulus.
+    * totals and the frozen bucket modulus. With ZERO term rows (an empty
+    * corpus, or a legal full-takedown delete) a bare cross join would
+    * leave stats/ empty and every later `head()` of n_buckets/n_docs
+    * throwing NoSuchElementException — a full purge must leave a
+    * READABLE index (serving empty results, appendable back to life), so
+    * the degenerate case keeps one null-term row carrying the metadata
+    * (df = 0; term-membership filters never match null, so the sentinel
+    * is invisible to scoring and to df lookups).
     */
   private def statsOf(dfreq: DataFrame, totals: DataFrame,
-      nBuckets: Int): DataFrame =
-    dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
+      nBuckets: Int): DataFrame = {
+    if (!dfreq.isEmpty)
+      dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
+    else totals.select(lit(null).cast("string").as("term"),
+      lit(0L).as("df"), col("n_docs"), col("sum_dl"))
+      .withColumn("n_buckets", lit(nBuckets))
+  }
 
   def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
@@ -361,16 +373,22 @@ object Retrieval {
     // no explicit coalesce: the anti-join's shuffle gives AQE the seam to
     // size the output partitions (a fixed tiny count would serialize the
     // rewrite of a corpus-scale doclens table into a handful of tasks)
-    IndexFiles.writeNextVersion(spark, dir, "doclens")(next =>
-      doclens.write.mode("overwrite").parquet(next))
+    IndexFiles.writeNextVersion(spark, dir, "doclens") { next =>
+      doclens.write.mode("overwrite").parquet(next)
+      IndexFiles.ensureReadable(doclens, next)
+    }
     val postings = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "postings"))
       .select(col("bucket").cast("long").as("bucket"), col("term"),
         col("doc_id"), col("tf"))
       .join(del, Seq("doc_id"), "left_anti")
-    IndexFiles.writeNextVersion(spark, dir, "postings")(next =>
+    IndexFiles.writeNextVersion(spark, dir, "postings") { next =>
       postings.repartition(col("bucket")).write.mode("overwrite")
-        .partitionBy("bucket").parquet(next))
+        .partitionBy("bucket").parquet(next)
+      // a full purge leaves zero files in a partitioned overwrite —
+      // land the schema so the table stays readable
+      IndexFiles.ensureReadable(postings, next)
+    }
     rebuildStats(spark, dir)
   }
 
@@ -394,6 +412,25 @@ object Retrieval {
     * over the two doclens tables — O(n_docs) small rows, the right
     * price for a run-rarely maintenance op. Pass `false` only when the
     * shards are disjoint by construction (e.g. id-range sharding).
+    *
+    * NOT crash-atomic (unlike the single-table versioned swaps): the
+    * postings and doclens appends land BEFORE the stats cutover, so a
+    * crash in between leaves a live index serving the merged docs with
+    * STALE corpus stats — n_docs/sum_dl missing `from`'s contribution and
+    * idf computed from df = 0 for merged-only terms (their scores skew
+    * high; rankings degrade but never crash). Repair (the ledger's
+    * at-least-once recipe): RE-RUN the merge, then
+    * `compactIndex(dedupeRows = true)` — posting/doclens rows are
+    * deterministic in their content, so the re-appended rows are
+    * byte-identical duplicates the dedupe drops, and the stats rebuild
+    * recomputes df/n_docs/sum_dl from the live ground truth. The same
+    * crash shape and repair apply to
+    * [[graft.operators.Dedup.mergeLshIndexes]] (bands landed, shingles
+    * not yet — candidate pairs without verification rows drop silently:
+    * re-merge, then `compactLshIndex(dedupeRows = true)`);
+    * [[graft.operators.Similarity.mergeIvfPqIndexes]] is a SINGLE
+    * job-atomic lists append, so a crashed merge left nothing visible —
+    * just re-run it.
     */
   def mergeIndexes(spark: SparkSession, into: String, from: String,
       requireDisjoint: Boolean = true): Unit = {

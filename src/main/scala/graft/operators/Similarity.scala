@@ -130,9 +130,12 @@ object Similarity {
     * would scatter ~32k small files.
     */
   private def writeLists(lists: DataFrame, path: String,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite"): Unit = {
     lists.repartition(col("cell")).write.mode(mode)
       .partitionBy("cell").parquet(path)
+    // full-purge safety: an empty overwrite must stay readable
+    if (mode == "overwrite") IndexFiles.ensureReadable(lists, path)
+  }
 
   /** Append new vectors to a persisted IVF index without rebuilding:
     * assign against the SAVED centroids (the quantizer is frozen — the

@@ -21,6 +21,24 @@ import org.apache.spark.sql.functions._
 object Common {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Temp directory for a query's index-lifecycle artifacts. Under the
+    * `graft.tmpdir` system property when set — Bench sets it to a
+    * per-run private root so its between-query sweep can never touch a
+    * concurrent process's directories (a parallel Verify or second bench
+    * creating a matching `q<N>_*` name in the shared tmpdir used to be
+    * sweepable mid-run) — else the plain JVM default, so Verify and ad-hoc
+    * runs behave exactly as before.
+    */
+  def tempDir(prefix: String): String = {
+    System.getProperty("graft.tmpdir") match {
+      case null => java.nio.file.Files.createTempDirectory(prefix).toString
+      case root =>
+        val r = java.nio.file.Paths.get(root)
+        java.nio.file.Files.createDirectories(r)
+        java.nio.file.Files.createTempDirectory(r, prefix).toString
+    }
+  }
+
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     // If events.ts is parquet TIMESTAMP(NANOS) (pre-2026-08 testdata),
     // Spark 4 reads it only as a nanosecond BIGINT behind this legacy flag

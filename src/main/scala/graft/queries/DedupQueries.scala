@@ -133,7 +133,7 @@ object DedupQueries {
     // after reload breaks the hash.
     "q82_dedup_incremental" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val tmp = java.nio.file.Files.createTempDirectory("q82_idx").toString
+      val tmp = Common.tempDir("q82_idx")
       Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 1),
         "doc_id", "text", tmp, K, BANDS)
       Dedup.appendToLshIndex(s, tmp, docs.where(col("doc_id") % 3 === 2))
@@ -161,7 +161,7 @@ object DedupQueries {
         .select((col("doc_id") + off).as("doc_id"), col("text"))
       val indexed = docs.where(col("doc_id") % 3 =!= 0)
         .select(col("doc_id"), col("text")).unionByName(planted)
-      val tmp = java.nio.file.Files.createTempDirectory("q101_idx").toString
+      val tmp = Common.tempDir("q101_idx")
       Dedup.saveLshIndex(indexed, "doc_id", "text", tmp, K, BANDS)
       val takedown = docs
         .where(col("doc_id") % 3 =!= 0 && pmod(col("doc_id"), lit(7L)) === 3L)
@@ -190,8 +190,8 @@ object DedupQueries {
       val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
       val planted = docs.where(col("doc_id") % 30 === 0)
         .select((col("doc_id") + off).as("doc_id"), col("text"))
-      val a = java.nio.file.Files.createTempDirectory("q102_a").toString
-      val b = java.nio.file.Files.createTempDirectory("q102_b").toString
+      val a = Common.tempDir("q102_a")
+      val b = Common.tempDir("q102_b")
       Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 1)
         .select(col("doc_id"), col("text")), "doc_id", "text", a, K, BANDS)
       Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 2)

@@ -344,7 +344,7 @@ object TextQueries {
       // literal-table oracle the Spark plan used, never the ln fallback.
       bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
         table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
-      val tmp = java.nio.file.Files.createTempDirectory("q77_idx").toString
+      val tmp = Common.tempDir("q77_idx")
       graft.operators.Retrieval.buildIndex(table(s, dir, "documents"), tmp)
       graft.operators.Retrieval.searchIndex(s, tmp, bm25Queries, k = 10)
         .orderBy("q_id", "rank")
@@ -363,7 +363,7 @@ object TextQueries {
         table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
       val docs = table(s, dir, "documents")
       val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
-      val tmp = java.nio.file.Files.createTempDirectory("q91_idx").toString
+      val tmp = Common.tempDir("q91_idx")
       graft.operators.Retrieval.buildIndex(
         docs.where(col("doc_id") <= half), tmp)
       graft.operators.Retrieval.appendToIndex(s, tmp,
@@ -385,7 +385,7 @@ object TextQueries {
         table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
       val docs = table(s, dir, "documents")
       val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
-      val tmp = java.nio.file.Files.createTempDirectory("q93_idx").toString
+      val tmp = Common.tempDir("q93_idx")
       graft.operators.Retrieval.buildIndex(
         docs.where(col("doc_id") <= half), tmp)
       graft.operators.Retrieval.appendToIndex(s, tmp,
@@ -410,7 +410,7 @@ object TextQueries {
       val kept = docs.where(pmod(col("doc_id"), lit(7L)) =!= 3L)
       bm25DelIdfStash.set(graft.operators.Retrieval.idfMicroTable(
         kept, bm25Queries.flatMap(_._2).distinct))
-      val tmp = java.nio.file.Files.createTempDirectory("q97_idx").toString
+      val tmp = Common.tempDir("q97_idx")
       graft.operators.Retrieval.buildIndex(docs, tmp)
       graft.operators.Retrieval.deleteFromIndex(s, tmp,
         docs.where(pmod(col("doc_id"), lit(7L)) === 3L).select("doc_id"))
@@ -433,8 +433,8 @@ object TextQueries {
       bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
         table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
       val docs = table(s, dir, "documents")
-      val even = java.nio.file.Files.createTempDirectory("q99_even").toString
-      val odd = java.nio.file.Files.createTempDirectory("q99_odd").toString
+      val even = Common.tempDir("q99_even")
+      val odd = Common.tempDir("q99_odd")
       graft.operators.Retrieval.buildIndex(
         docs.where(pmod(col("doc_id"), lit(2L)) === 0L), even)
       // the odd shard deliberately uses a DIFFERENT bucket modulus: the
@@ -456,7 +456,7 @@ object TextQueries {
     "q96_bm25_batch_serve" -> ((s, dir) => {
       bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
         table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
-      val tmp = java.nio.file.Files.createTempDirectory("q96_idx").toString
+      val tmp = Common.tempDir("q96_idx")
       graft.operators.Retrieval.buildIndex(table(s, dir, "documents"), tmp)
       import s.implicits._
       val qFrame = bm25Queries.toDF("q_id", "terms")

@@ -125,7 +125,7 @@ object VectorQueries {
       val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
       val idx = Similarity.buildIvfPq(e.where(col("vec_id") <= half),
         nCells = 8, dim = DIM, m = 8, ksub = 16, iters = 1)
-      val tmp = java.nio.file.Files.createTempDirectory("q56f_idx").toString
+      val tmp = Common.tempDir("q56f_idx")
       Similarity.saveIvfPqIndex(idx, tmp)
       Similarity.appendToIvfPqIndex(s, tmp, e.where(col("vec_id") > half))
       Similarity.probeIvfPq(Similarity.loadIvfPqIndex(s, tmp),
@@ -157,7 +157,7 @@ object VectorQueries {
       val agg = e.agg(expr("percentile(vec_id, 0.5)"), max("vec_id")).head()
       val (half, offset) = (agg.getDouble(0), agg.getLong(1) + 1L)
       val idxSide = e.where(col("vec_id") <= half)
-      val tmp = java.nio.file.Files.createTempDirectory("q90_idx").toString
+      val tmp = Common.tempDir("q90_idx")
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(idxSide, nCells = 8, dim = DIM), tmp)
       val batch = e.where(col("vec_id") > half).unionByName(
@@ -183,7 +183,7 @@ object VectorQueries {
       val (q25, half, offset) =
         (agg.getDouble(0), agg.getDouble(1), agg.getLong(2) + 1L)
       val idxSide = e.where(col("vec_id") <= half)
-      val tmp = java.nio.file.Files.createTempDirectory("q94_idx").toString
+      val tmp = Common.tempDir("q94_idx")
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(e.where(col("vec_id") <= q25),
           nCells = 8, dim = DIM), tmp)
@@ -208,7 +208,7 @@ object VectorQueries {
     // survivor, or a stale pre-delete lists version breaks the hash.
     "q98_ivf_delete_exact" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("q98_idx").toString
+      val tmp = Common.tempDir("q98_idx")
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(e, nCells = 8, dim = DIM), tmp)
       Similarity.deleteFromIvfIndex(s, tmp,
@@ -234,8 +234,8 @@ object VectorQueries {
     "q100_ivf_merge_exact" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
-      val lo = java.nio.file.Files.createTempDirectory("q100_lo").toString
-      val hi = java.nio.file.Files.createTempDirectory("q100_hi").toString
+      val lo = Common.tempDir("q100_lo")
+      val hi = Common.tempDir("q100_hi")
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(e.where(col("vec_id") <= half),
           nCells = 8, dim = DIM), lo)
@@ -261,7 +261,7 @@ object VectorQueries {
     "q95_ivf_retrain_exact" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
-      val tmp = java.nio.file.Files.createTempDirectory("q95_idx").toString
+      val tmp = Common.tempDir("q95_idx")
       Similarity.saveIvfIndex(
         Similarity.buildIvfIndex(e.where(col("vec_id") <= half),
           nCells = 8, dim = DIM), tmp)
@@ -285,7 +285,7 @@ object VectorQueries {
     // outlives its takedown or a lost survivor breaks the hash.
     "q103_ivfpq_delete_exact" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("q103_idx").toString
+      val tmp = Common.tempDir("q103_idx")
       Similarity.saveIvfPqIndex(Similarity.buildIvfPq(e, nCells = 8,
         dim = DIM, m = 8, ksub = 16, iters = 1), tmp)
       Similarity.deleteFromIvfPqIndex(s, tmp,
@@ -315,8 +315,8 @@ object VectorQueries {
       val half = e.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
       val idx = Similarity.buildIvfPq(e, nCells = 8, dim = DIM, m = 8,
         ksub = 16, iters = 1)
-      val lo = java.nio.file.Files.createTempDirectory("q104_lo").toString
-      val hi = java.nio.file.Files.createTempDirectory("q104_hi").toString
+      val lo = Common.tempDir("q104_lo")
+      val hi = Common.tempDir("q104_hi")
       Similarity.saveIvfPqIndex(
         idx.copy(lists = idx.lists.where(col("vec_id") <= half)), lo)
       Similarity.saveIvfPqIndex(

@@ -47,6 +47,29 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(remaining.intersect(deadIds).isEmpty, "doclens row survived delete")
   }
 
+  test("BM25 full purge leaves a readable, appendable index") {
+    // a takedown set covering EVERY document is legal (right to be
+    // forgotten over a whole tenant); the rebuilt stats must keep one
+    // metadata row so the index stays readable — before r15, searchIndex
+    // threw NoSuchElementException on the empty stats head
+    val dir = tmp("del_bm25_purge")
+    Retrieval.buildIndex(docs, dir, nBuckets = 16)
+    Retrieval.deleteFromIndex(spark, dir, docs.select("doc_id"))
+    val qs = Seq("qa" -> Seq("spark", "join"))
+    assert(Retrieval.searchIndex(spark, dir, qs, k = 10).collect().isEmpty,
+      "a fully purged index must serve empty results, not crash")
+    val stats = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+    assert(stats.select("n_docs").head().getLong(0) == 0L)
+    // and appends bring it back to life with correct stats
+    Retrieval.appendToIndex(spark, dir,
+      Seq((9001L, "spark join window")).toDF("doc_id", "text"))
+    val served = Retrieval.searchIndex(spark, dir, qs, k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(served == Set(9001L),
+      "an append after a full purge must serve the new doc")
+  }
+
   test("IVF delete == brute force over the survivors (probe-all)") {
     val del = pmod(col("vec_id"), lit(5L)) === 3L
     val dir = tmp("del_ivf")
