@@ -68,6 +68,13 @@ class IndexDeleteSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(served == Set(9001L),
       "an append after a full purge must serve the new doc")
+    // the revival leaves a mixed layout (the purge's flat schema file +
+    // the append's bucket= partitions); compaction normalizes it and
+    // serving is unchanged
+    Retrieval.compactIndex(spark, dir)
+    assert(Retrieval.searchIndex(spark, dir, qs, k = 10)
+      .select("doc_id").as[Long].collect().toSet == Set(9001L),
+      "compaction after a purge+revival must preserve serving")
   }
 
   test("IVF delete == brute force over the survivors (probe-all)") {

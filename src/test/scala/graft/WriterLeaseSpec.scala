@@ -84,6 +84,50 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(doclensCount(idx) == 3)
   }
 
+  test("streaming ingest aborted by a lease replays safely via the ledger") {
+    // the documented recovery story end to end: a micro-batch whose
+    // append hits a held lease (a compaction racing the stream) FAILS
+    // loudly; because the failure landed before the ledger marker, the
+    // foreachBatch replay of the same batchId re-runs in full and the
+    // final state is exactly one application of the batch
+    import graft.operators.Dedup
+    import graft.streaming.StreamingOps
+    val root = java.nio.file.Files.createTempDirectory("lease-replay").toString
+    val idx = s"$root/index"; val corpus = s"$root/corpus"
+    Dedup.saveLshIndex(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val batch = Seq((10L, "iota kappa lambda mu")).toDF("doc_id", "text")
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    val holder = new Thread(() => {
+      IndexFiles.withTableLease(spark, idx, "bands") {
+        entered.countDown()
+        release.await(60, TimeUnit.SECONDS)
+      }
+      ()
+    }, "lease-holder-ingest")
+    holder.start()
+    assert(entered.await(60, TimeUnit.SECONDS))
+    val e = intercept[IllegalStateException] {
+      StreamingOps.ingestBatch(batch, idx, corpus, batchId = Some(5L))
+    }
+    assert(e.getMessage.contains("writer lease"), e.getMessage)
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "local", 5L),
+      "an aborted batch must NOT be marked applied")
+    release.countDown()
+    holder.join(60000)
+    // the replay (same batchId, as foreachBatch would re-deliver it)
+    StreamingOps.ingestBatch(batch, idx, corpus, batchId = Some(5L))
+    assert(IndexFiles.wasBatchApplied(spark, idx, "local", 5L))
+    assert(spark.read.parquet(corpus).count() == 1,
+      "exactly one application of the batch after abort + replay")
+    val bandRows = spark.read
+      .parquet(IndexFiles.tablePath(spark, idx, "bands"))
+      .where(org.apache.spark.sql.functions.col("doc_id") === 10L).count()
+    assert(bandRows == 8L, s"one banding of the ingested doc, got $bandRows")
+  }
+
   test("a stale lease (crashed holder) is taken over; a fresh one is honored") {
     val idx = freshIndex()
     val lock = new java.io.File(s"$idx/doclens.lock")
