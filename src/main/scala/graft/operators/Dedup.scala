@@ -585,20 +585,27 @@ object Dedup {
       k: Int, nBands: Int): Unit = {
     require(k > 0 && nBands > 0 && k % nBands == 0,
       s"retrainLshIndex: k=$k must be a positive multiple of nBands=$nBands")
-    val shingleN = readLshMeta(spark, dir)._3
-    val sh = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("__h"))
-    val minCols = Text.hashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
-      min((col("__h") * a + b) % Text.P).as(s"__m$i")
-    }
-    val sigs = sh.groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
-    val newBands = bands(sigs, "doc_id", k, nBands)
-      .select(col("band"), col("bsig"), col("doc_id"))
     IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
+      // meta + shingles resolve INSIDE the lease (the IndexFiles
+      // read-under-lease rule). Shingles land BEFORE bands on every
+      // append path, so the snapshot read here covers every doc the
+      // bands table has ever served; an append interleaving its two
+      // writes around this rebuild at worst duplicates its doc's band
+      // rows (distinct'd at the probe, dedupe-compactable) — never
+      // loses them.
+      val shingleN = readLshMeta(spark, dir)._3
+      val sh = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+        .select(col("doc_id"), explode(col("shingles")).as("__h"))
+      val minCols = Text.hashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
+        min((col("__h") * a + b) % Text.P).as(s"__m$i")
+      }
+      val sigs = sh.groupBy(col("doc_id"))
+        .agg(minCols.head, minCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until k).map(i => col(s"__m$i")): _*).as("sig"))
+      val newBands = bands(sigs, "doc_id", k, nBands)
+        .select(col("band"), col("bsig"), col("doc_id"))
       newBands.repartition(col("band"), col("bsig")).write.mode("overwrite")
         .partitionBy("band").parquet(next)
       IndexFiles.ensureReadable(newBands, next)
@@ -626,7 +633,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // per-table writer leases: a save/append racing a compaction's
-      // rewrite of the same table aborts loudly (IndexFiles doc)
+      // rewrite of the same table aborts loudly (IndexFiles doc).
+      // SHINGLES LAND FIRST: every doc visible in bands is then already
+      // verifiable (bands-without-shingles pairs drop silently at the
+      // probe's inner join), and a retrain — which rebuilds bands FROM
+      // the shingles table — can at worst duplicate an in-flight doc's
+      // band rows (candidates are DISTINCT; dedupe-compact removes the
+      // residue) instead of losing them.
+      IndexFiles.withTableLease(spark, dir, "shingles") {
+        sigs.select(col(idCol).as("doc_id"), col("shingles"))
+          .write.mode(mode)
+          .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+      }
       IndexFiles.withTableLease(spark, dir, "bands") {
         // the batch was banded under the geometry read BEFORE the lease;
         // a retrain that cut over in between would make those rows
@@ -644,11 +662,6 @@ object Dedup {
           .repartition(col("band"), col("bsig"))
           .write.mode(mode).partitionBy("band")
           .parquet(IndexFiles.tablePath(spark, dir, "bands"))
-      }
-      IndexFiles.withTableLease(spark, dir, "shingles") {
-        sigs.select(col(idCol).as("doc_id"), col("shingles"))
-          .write.mode(mode)
-          .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
       }
     } finally sigs.unpersist()
   }
@@ -696,13 +709,18 @@ object Dedup {
     // live geometry is re-embedded in the compacted version, so a
     // compaction AFTER a retrain cannot strand the retrained geometry in
     // the old version and fall back to the stale save-time meta (the
-    // compactIvfIndex centroid discipline)
-    val (k, nBands, shingleN) = readLshMeta(spark, dir)
-    val df0 = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "bands"))
-      .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
-    val df = if (dedupeRows) df0.distinct() else df0
+    // compactIvfIndex centroid discipline). Geometry and rows resolve
+    // from ONE bands version INSIDE the lease — split or pre-lease
+    // resolution could pair a retrain's rows with the pre-retrain meta
+    // (rows that then silently never collide) or revert the retrain
+    // outright.
     IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
+      val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
+      val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
+      val df0 = spark.read.parquet(bandsPath)
+        .select(col("band").cast("int").as("band"), col("bsig"),
+          col("doc_id"))
+      val df = if (dedupeRows) df0.distinct() else df0
       df.repartition(col("band")).write.mode("overwrite")
         .partitionBy("band").parquet(next)
       IndexFiles.ensureReadable(df, next)
@@ -725,13 +743,16 @@ object Dedup {
   def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, docIds: DataFrame, idCol: String = "doc_id"): Unit = {
     val del = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val (k, nBands, shingleN) = readLshMeta(spark, dir)
-    val bands = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "bands"))
-      .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
-      .join(del, Seq("doc_id"), "left_anti")
-      .select("band", "bsig", "doc_id")
     IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
+      // geometry + rows from ONE bands version inside the lease (the
+      // compactLshIndex rationale)
+      val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
+      val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
+      val bands = spark.read.parquet(bandsPath)
+        .select(col("band").cast("int").as("band"), col("bsig"),
+          col("doc_id"))
+        .join(del, Seq("doc_id"), "left_anti")
+        .select("band", "bsig", "doc_id")
       bands.repartition(col("band")).write.mode("overwrite")
         .partitionBy("band").parquet(next)
       IndexFiles.ensureReadable(bands, next)
@@ -739,13 +760,13 @@ object Dedup {
       // strand the retrained meta in the pruned old version
       writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
     }
-    val shingles = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
-      .join(del, Seq("doc_id"), "left_anti")
     // no explicit coalesce: AQE sizes the post-join output (the
     // deleteFromIndex doclens rationale — shingle sets are the WIDE
     // table here, a fixed tiny count would bottleneck the rewrite)
     IndexFiles.writeNextVersion(spark, dir, "shingles") { next =>
+      val shingles = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+        .join(del, Seq("doc_id"), "left_anti")
       shingles.write.mode("overwrite").parquet(next)
       IndexFiles.ensureReadable(shingles, next)
     }
@@ -767,12 +788,12 @@ object Dedup {
     * the source text and a rebuild). After the merge a batch probe vetoes
     * against the union exactly as against a one-shot index (the spec
     * identity). `from` is read-only; duplicate doc_ids are the caller's
-    * contract (same as append). NOT crash-atomic: a crash between the
-    * bands and shingles appends leaves candidates without verification
-    * rows (they drop silently) — re-merge, then
-    * `compactLshIndex(dedupeRows = true)` drops the byte-identical
-    * re-appended rows (full crash-window discussion at
-    * [[graft.operators.Retrieval.mergeIndexes]]).
+    * contract (same as append). NOT crash-atomic: shingles land first,
+    * so a crash between the two appends leaves the shard's docs
+    * verifiable-but-never-candidates (invisible, never wrong) — re-run
+    * the merge, then `compactLshIndex(dedupeRows = true)` drops the
+    * byte-identical re-appended shingle rows (full crash-window
+    * discussion at [[graft.operators.Retrieval.mergeIndexes]]).
     */
   def mergeLshIndexes(spark: org.apache.spark.sql.SparkSession,
       into: String, from: String): Unit = {
@@ -781,18 +802,32 @@ object Dedup {
     require(gInto == gFrom,
       s"mergeLshIndexes: geometry (k, n_bands, shingle_n) differs — " +
         s"into=$gInto from=$gFrom; rows banded under different " +
-        "geometries never collide. Rebuild from source text instead.")
+        "geometries never collide. Bring the shard to the host's " +
+        "geometry with retrainLshIndex (shingle_n changes need a " +
+        "rebuild from source text).")
+    // shingles first (the writeLshRows ordering rationale), then bands —
+    // with the host geometry RE-CHECKED under the bands lease: a host
+    // retrain committing between the pre-check above and the append
+    // would otherwise take the foreign (now wrong-geometry) band rows
+    // silently — the appendToLshIndex race, same loud abort
+    IndexFiles.withTableLease(spark, into, "shingles") {
+      spark.read.parquet(IndexFiles.tablePath(spark, from, "shingles"))
+        .write.mode("append")
+        .parquet(IndexFiles.tablePath(spark, into, "shingles"))
+    }
     IndexFiles.withTableLease(spark, into, "bands") {
+      val live = readLshMeta(spark, into)
+      require(live == gFrom,
+        s"mergeLshIndexes: host geometry changed to $live while merging " +
+          s"a $gFrom shard — a concurrent retrain cut over; re-run the " +
+          "merge (the already-appended shingle rows are geometry-free " +
+          "and byte-identical on the re-run; dedupe-compact removes the " +
+          "duplicates)")
       spark.read.parquet(IndexFiles.tablePath(spark, from, "bands"))
         .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
         .repartition(col("band"), col("bsig"))
         .write.mode("append").partitionBy("band")
         .parquet(IndexFiles.tablePath(spark, into, "bands"))
-    }
-    IndexFiles.withTableLease(spark, into, "shingles") {
-      spark.read.parquet(IndexFiles.tablePath(spark, from, "shingles"))
-        .write.mode("append")
-        .parquet(IndexFiles.tablePath(spark, into, "shingles"))
     }
   }
 

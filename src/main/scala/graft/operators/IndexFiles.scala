@@ -33,8 +33,20 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * and every family append path: a second concurrent writer aborts
   * loudly instead of silently corrupting the table (a racing rewrite
   * would otherwise delete the first writer's in-progress version as
-  * "crash residue"). Recovery after an abort is the ingest ledger's
-  * job — a failed micro-batch replays under its recorded batchId.
+  * "crash residue"). Every rewrite resolves the table version and reads
+  * its inputs INSIDE the lease (a read-modify-write whose read preceded
+  * the lease would silently revert a writer that committed in between).
+  * Recovery after an abort is the ingest ledger's job — a failed
+  * micro-batch replays under its recorded batchId.
+  *
+  * Scope, stated honestly: the lease serializes writers of ONE TABLE.
+  * Maintenance OPERATIONS that touch several tables of an index (a
+  * delete rewriting postings+doclens+stats, an append landing bands
+  * then shingles) are not made atomic by it — two concurrent
+  * OPERATIONS on one index interleave at table granularity and remain
+  * the caller's contract to serialize (the write orders are chosen so
+  * such interleavings degrade to invisible-until-retry rows or
+  * dedupe-compactable duplicates, never wrong serve results).
   */
 private[graft] object IndexFiles {
 
@@ -79,9 +91,19 @@ private[graft] object IndexFiles {
         val t = new Thread(r, s"graft-lease-heartbeat-$sub")
         t.setDaemon(true); t
       })
+    val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
     hb.scheduleAtFixedRate(
       () => try fs.setTimes(lock, System.currentTimeMillis(), -1)
-            catch { case _: Exception => () },
+            catch { case e: Exception =>
+              // a silently dead heartbeat would let a HEALTHY long write
+              // look stale and be taken over mid-flight — surface it
+              if (warned.compareAndSet(false, true))
+                System.err.println(s"[graft] writer-lease heartbeat on " +
+                  s"$lock failing (${e.getClass.getSimpleName}: " +
+                  s"${e.getMessage}); a write longer than the stale " +
+                  "window risks takeover — serialize writers externally " +
+                  "on stores without setTimes support")
+            },
       heartbeatMs, heartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
@@ -92,9 +114,13 @@ private[graft] object IndexFiles {
 
   private def acquireLease(fs: FileSystem, lock: Path,
       staleLeaseMs: Long): Unit = {
+    // nonce makes the owner string unique per ACQUISITION, so the
+    // post-takeover ownership re-check below cannot be fooled by this
+    // writer's own earlier lease
     val owner = s"${java.net.InetAddress.getLocalHost.getHostName}/" +
       s"pid=${ProcessHandle.current().pid()}/" +
-      s"thread=${Thread.currentThread().getName}"
+      s"thread=${Thread.currentThread().getName}/" +
+      s"nonce=${java.util.UUID.randomUUID()}"
     def tryCreate(): Boolean =
       try {
         val out = fs.create(lock, false)
@@ -102,14 +128,15 @@ private[graft] object IndexFiles {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (tryCreate()) return
-    val holder =
+    def readHolder(): String =
       try {
         val in = fs.open(lock)
         try new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       } catch { case _: Exception => "<unreadable>" }
+    if (tryCreate()) return
+    val holder = readHolder()
     val fresh =
       try System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime <= staleLeaseMs
@@ -120,9 +147,15 @@ private[graft] object IndexFiles {
           "of one index table must not run concurrently (single-writer " +
           "contract). If the holder is dead, its lease goes stale after " +
           s"$staleLeaseMs ms and is taken over automatically.")
-    // stale: the holder stopped heartbeating long ago — take over
+    // stale: the holder stopped heartbeating long ago — take over. The
+    // delete+create pair is NOT atomic: a second taker pausing between
+    // its own staleness check and its delete could remove THIS taker's
+    // fresh lock (the window is unbounded — a GC pause suffices), so
+    // after creating, re-read the lock and require it still carries OUR
+    // owner string; losing either step means another taker won — abort
+    // rather than run two writers.
     try fs.delete(lock, false) catch { case _: Exception => () }
-    if (!tryCreate())
+    if (!tryCreate() || readHolder() != owner)
       throw new IllegalStateException(
         s"writer lease $lock: lost the stale-lease takeover race — " +
           "another writer claimed it first; retry if still needed")
@@ -261,11 +294,14 @@ private[graft] object IndexFiles {
     */
   def compact(spark: SparkSession, dir: String, sub: String,
       partitionBy: Option[String], dedupeRows: Boolean,
-      flatFiles: Int = 4): Unit = {
-    val live = tablePath(spark, dir, sub)
-    val df0 = spark.read.parquet(live)
-    val df = if (dedupeRows) df0.distinct() else df0
+      flatFiles: Int = 4): Unit =
     writeNextVersion(spark, dir, sub) { next =>
+      // resolve + read INSIDE the lease: resolving before it could pair
+      // this rewrite with a version another writer replaced in between
+      // (reverting that writer's committed work)
+      val live = tablePath(spark, dir, sub)
+      val df0 = spark.read.parquet(live)
+      val df = if (dedupeRows) df0.distinct() else df0
       val writer = partitionBy match {
         case Some(p) => df.repartition(col(p)).write.partitionBy(p)
         case None =>
@@ -276,7 +312,6 @@ private[graft] object IndexFiles {
       writer.mode("overwrite").parquet(next)
       ensureReadable(df, next)
     }
-  }
 
   /** Keep a just-rewritten table READABLE when its content is empty: a
     * dynamic-partition overwrite of an empty frame lands ZERO parquet

@@ -44,8 +44,21 @@ object MaintenanceBench {
 
   private def r3(d: Double): Double = math.round(d * 1000) / 1000.0
 
+  // every index dir of a run roots under ONE per-run directory, deleted
+  // at exit — an 'all' run at 1M otherwise leaves ~18 full index copies
+  // (tens of GB) in the shared tmpdir, the residue class the r14 bench
+  // sweep existed to fix
+  private lazy val tmpRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_mnt_")
+
   private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    java.nio.file.Files.createTempDirectory(tmpRoot, prefix).toString
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 
   private val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -60,9 +73,13 @@ object MaintenanceBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (mode == "verbs" || mode == "all") verbs(spark, nBase)
-    if (mode == "composed" || mode == "all") composed(spark, nBase)
-    spark.stop()
+    try {
+      if (mode == "verbs" || mode == "all") verbs(spark, nBase)
+      if (mode == "composed" || mode == "all") composed(spark, nBase)
+    } finally {
+      spark.stop()
+      deleteRecursively(tmpRoot.toFile)
+    }
   }
 
   // ==================== verbs mode ====================

@@ -205,6 +205,9 @@ object Retrieval {
     */
   private def statsOf(dfreq: DataFrame, totals: DataFrame,
       nBuckets: Int): DataFrame = {
+    // callers persist dfreq across this emptiness probe and the write
+    // that follows — isEmpty on an unpersisted aggregation would run the
+    // full per-term shuffle once here and again for the write
     if (!dfreq.isEmpty)
       dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
     else totals.select(lit(null).cast("string").as("term"),
@@ -227,11 +230,14 @@ object Retrieval {
     docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
       .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val totals = docsTok.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("sum_dl"))
-    statsOf(dfreq, totals, nBuckets)
-      .write.mode("overwrite")
-      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = docsTok.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      statsOf(dfreq, totals, nBuckets)
+        .write.mode("overwrite")
+        .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+    } finally dfreq.unpersist()
   }
 
   /** Append new documents to a persisted inverted index — the
@@ -283,23 +289,32 @@ object Retrieval {
         }
         // additive stats merge: old per-term rows + the batch's, df
         // summed, n_docs/sum_dl totals recomputed once and stamped on
-        // every row
+        // every row. The OLD stats re-resolve INSIDE the stats lease —
+        // merging against the snapshot read at function entry would
+        // silently revert a delete/merge that republished stats while
+        // this batch's postings were landing (lost update)
         val dfNew = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val batchTotals = docsTok.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
-        val nDocs = meta.getLong(1) + batchTotals.getLong(0)
-        val sumDl = meta.getLong(2) + batchTotals.getLong(1)
-        val merged = statsOld.select(col("term"), col("df"))
-          .unionByName(dfNew)
-          .groupBy(col("term")).agg(sum(col("df")).as("df"))
-          .withColumn("n_docs", lit(nDocs))
-          .withColumn("sum_dl", lit(sumDl))
-          .withColumn("n_buckets", lit(nBuckets))
         // published only after the next version is fully written — a
         // reader racing the cutover resolves either the old or the new
         // stats, never a partial table
-        IndexFiles.writeNextVersion(spark, dir, "stats")(next =>
-          merged.write.mode("overwrite").parquet(next))
+        IndexFiles.writeNextVersion(spark, dir, "stats") { next =>
+          val statsLive = spark.read
+            .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+          val metaLive = statsLive.select(col("n_docs"), col("sum_dl"))
+            .head()
+          val merged = statsLive.select(col("term"), col("df"))
+            .where(col("term").isNotNull) // drop a full-purge sentinel row
+            .unionByName(dfNew)
+            .groupBy(col("term")).agg(sum(col("df")).as("df"))
+            .withColumn("n_docs",
+              lit(metaLive.getLong(0) + batchTotals.getLong(0)))
+            .withColumn("sum_dl",
+              lit(metaLive.getLong(1) + batchTotals.getLong(1)))
+            .withColumn("n_buckets", lit(nBuckets))
+          merged.write.mode("overwrite").parquet(next)
+        }
       } finally postings.unpersist()
     } finally docsTok.unpersist()
   }
@@ -326,21 +341,26 @@ object Retrieval {
     * tables just took, the republished df/n_docs/sum_dl are exactly a
     * clean build's over the surviving rows.
     */
-  private def rebuildStats(spark: SparkSession, dir: String): Unit = {
-    val nBuckets = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-      .select(col("n_buckets")).head().getInt(0)
-    val dfreq = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val totals = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-    IndexFiles.writeNextVersion(spark, dir, "stats")(next =>
-      statsOf(dfreq, totals, nBuckets)
-        .write.mode("overwrite").parquet(next))
-  }
+  private def rebuildStats(spark: SparkSession, dir: String): Unit =
+    IndexFiles.writeNextVersion(spark, dir, "stats") { next =>
+      // source tables resolve INSIDE the stats lease (the IndexFiles
+      // read-under-lease rule)
+      val nBuckets = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+        .select(col("n_buckets")).head().getInt(0)
+      val dfreq = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val totals = spark.read
+          .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        statsOf(dfreq, totals, nBuckets)
+          .write.mode("overwrite").parquet(next)
+      } finally dfreq.unpersist()
+    }
 
   /** DELETE documents from a persisted inverted index — the takedown /
     * right-to-be-forgotten maintenance path a production corpus index
@@ -367,22 +387,23 @@ object Retrieval {
   def deleteFromIndex(spark: SparkSession, dir: String, docIds: DataFrame,
       idCol: String = "doc_id"): Unit = {
     val del = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val doclens = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
-      .join(del, Seq("doc_id"), "left_anti")
     // no explicit coalesce: the anti-join's shuffle gives AQE the seam to
     // size the output partitions (a fixed tiny count would serialize the
-    // rewrite of a corpus-scale doclens table into a handful of tasks)
+    // rewrite of a corpus-scale doclens table into a handful of tasks);
+    // source tables resolve INSIDE each lease (IndexFiles rule)
     IndexFiles.writeNextVersion(spark, dir, "doclens") { next =>
+      val doclens = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+        .join(del, Seq("doc_id"), "left_anti")
       doclens.write.mode("overwrite").parquet(next)
       IndexFiles.ensureReadable(doclens, next)
     }
-    val postings = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-      .select(col("bucket").cast("long").as("bucket"), col("term"),
-        col("doc_id"), col("tf"))
-      .join(del, Seq("doc_id"), "left_anti")
     IndexFiles.writeNextVersion(spark, dir, "postings") { next =>
+      val postings = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+        .select(col("bucket").cast("long").as("bucket"), col("term"),
+          col("doc_id"), col("tf"))
+        .join(del, Seq("doc_id"), "left_anti")
       postings.repartition(col("bucket")).write.mode("overwrite")
         .partitionBy("bucket").parquet(next)
       // a full purge leaves zero files in a partitioned overwrite —
@@ -425,9 +446,11 @@ object Retrieval {
     * byte-identical duplicates the dedupe drops, and the stats rebuild
     * recomputes df/n_docs/sum_dl from the live ground truth. The same
     * crash shape and repair apply to
-    * [[graft.operators.Dedup.mergeLshIndexes]] (bands landed, shingles
-    * not yet — candidate pairs without verification rows drop silently:
-    * re-merge, then `compactLshIndex(dedupeRows = true)`);
+    * [[graft.operators.Dedup.mergeLshIndexes]] (shingles land first, so
+    * the crash window leaves docs verifiable-but-never-candidates —
+    * invisible until the re-merge lands their band rows; the re-merge's
+    * duplicate shingle rows are byte-identical and
+    * `compactLshIndex(dedupeRows = true)` removes them);
     * [[graft.operators.Similarity.mergeIvfPqIndexes]] is a SINGLE
     * job-atomic lists append, so a crashed merge left nothing visible —
     * just re-run it.

@@ -151,11 +151,15 @@ object Similarity {
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newVecs: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
     val c0 = newVecs.select(col(idCol), Vec.asDouble(col(vecCol)).as("v"))
     // single-writer contract, enforced: an append racing a compaction's
-    // rewrite of the same lists table aborts loudly (IndexFiles doc)
+    // rewrite of the same lists table aborts loudly (IndexFiles doc).
+    // The quantizer is read INSIDE the lease: centroids live with the
+    // lists version, so reading them before it could assign this batch
+    // under a quantizer a concurrent retrain just replaced — appended
+    // rows would sit in cells the LIVE quantizer never probes.
     IndexFiles.withTableLease(spark, dir, "lists") {
+      val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
       writeLists(c0.withColumn("cell", nearestCell(spark, col("v"), cents))
         .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec")),
         IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
@@ -189,17 +193,19 @@ object Similarity {
     * code) — rebuild from source instead.
     */
   def retrainIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, nCells: Option[Int] = None): Unit = {
-    val idx = loadIvfIndex(spark, dir)
-    val n = nCells.getOrElse(idx.centroids.size)
-    val rebuilt = buildIvfIndex(
-      idx.lists.select(col("vec_id"), col("c_vec").as("embedding")),
-      n, idx.centroids.head.size)
+      dir: String, nCells: Option[Int] = None): Unit =
     IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
+      // load INSIDE the lease (the IndexFiles read-under-lease rule): a
+      // version resolved before it could predate an append/compact that
+      // committed in between, silently reverting those rows
+      val idx = loadIvfIndex(spark, dir)
+      val n = nCells.getOrElse(idx.centroids.size)
+      val rebuilt = buildIvfIndex(
+        idx.lists.select(col("vec_id"), col("c_vec").as("embedding")),
+        n, idx.centroids.head.size)
       writeLists(rebuilt.lists, next)
       writeCentroids(spark, rebuilt.centroids, s"$next/_centroids")
     }
-  }
 
   /** Compact the saved inverted lists back to one file per cell — the
     * maintenance pass a daily-append index needs (each [[appendToIvfIndex]]
@@ -214,14 +220,17 @@ object Similarity {
     // IVF-aware compact (not the generic IndexFiles.compact): the live
     // quantizer is re-embedded in the compacted version, so a compaction
     // AFTER a retrain cannot strand the retrained centroids in the old
-    // version and silently fall back to the stale initial-save table
-    val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
-    val df0 = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "lists"))
-      .select(col("cell").cast("int").as("cell"), col("vec_id"),
-        col("c_vec"))
-    val df = if (dedupeRows) df0.distinct() else df0
+    // version and silently fall back to the stale initial-save table.
+    // Quantizer and rows resolve INSIDE the lease — resolving before it
+    // could pair this rewrite with a version (or centroids) a concurrent
+    // retrain/delete just replaced, reverting that writer's work.
     IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
+      val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
+      val df0 = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "lists"))
+        .select(col("cell").cast("int").as("cell"), col("vec_id"),
+          col("c_vec"))
+      val df = if (dedupeRows) df0.distinct() else df0
       writeLists(df, next)
       writeCentroids(spark, cents, s"$next/_centroids")
     }
@@ -244,13 +253,14 @@ object Similarity {
   def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecIds: DataFrame, idCol: String = "vec_id"): Unit = {
     val del = vecIds.select(col(idCol).cast("long").as("vec_id")).distinct()
-    val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
-    val kept = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "lists"))
-      .select(col("cell").cast("int").as("cell"), col("vec_id"),
-        col("c_vec"))
-      .join(del, Seq("vec_id"), "left_anti")
     IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
+      // quantizer + rows resolved INSIDE the lease (see compactIvfIndex)
+      val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
+      val kept = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "lists"))
+        .select(col("cell").cast("int").as("cell"), col("vec_id"),
+          col("c_vec"))
+        .join(del, Seq("vec_id"), "left_anti")
       writeLists(kept, next)
       writeCentroids(spark, cents, s"$next/_centroids")
     }
@@ -782,12 +792,15 @@ object Similarity {
   def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecIds: DataFrame, idCol: String = "vec_id"): Unit = {
     val del = vecIds.select(col(idCol).cast("long").as("vec_id")).distinct()
-    val kept = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "lists"))
-      .select(col("cell").cast("int").as("cell"), col("vec_id"), col("code"))
-      .join(del, Seq("vec_id"), "left_anti")
-    IndexFiles.writeNextVersion(spark, dir, "lists")(next =>
-      writeLists(kept, next))
+    IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
+      // rows resolved INSIDE the lease (see compactIvfIndex)
+      val kept = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "lists"))
+        .select(col("cell").cast("int").as("cell"), col("vec_id"),
+          col("code"))
+        .join(del, Seq("vec_id"), "left_anti")
+      writeLists(kept, next)
+    }
   }
 
   /** MERGE another persisted IVF-PQ index into this one. Unlike the
@@ -840,15 +853,19 @@ object Similarity {
   def appendToIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, newVecs: DataFrame,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
-    val cb = readCodebooks(spark, s"$dir/codebooks")
-    // two-step select keeps the double-cast vector a bound attribute
-    // inside the argmax expressions (the dotOff contract, as in pqEncode)
-    val assigned = newVecs
-      .select(col(idCol).as("vec_id"), Vec.asDouble(col(vecCol)).as("__v"))
-      .select(col("vec_id"), col("__v"),
-        nearestCell(spark, col("__v"), cents).as("cell"))
+    // artifacts read INSIDE the lease (the appendToIvfIndex rationale:
+    // centroids resolve through the lists version, and an assignment
+    // under artifacts a concurrent rewrite replaced would land rows in
+    // cells the live index never probes)
     IndexFiles.withTableLease(spark, dir, "lists") {
+      val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
+      val cb = readCodebooks(spark, s"$dir/codebooks")
+      // two-step select keeps the double-cast vector a bound attribute
+      // inside the argmax expressions (the dotOff contract, as in pqEncode)
+      val assigned = newVecs
+        .select(col(idCol).as("vec_id"), Vec.asDouble(col(vecCol)).as("__v"))
+        .select(col("vec_id"), col("__v"),
+          nearestCell(spark, col("__v"), cents).as("cell"))
       writeLists(assigned.select(col("cell"), col("vec_id"),
         array((0 until cb.m).map(s =>
           nearestSubCell(spark, col("__v"), s * cb.dsub,
