@@ -488,14 +488,26 @@ object Retrieval {
       dlFrom.select(col("doc_id"), col("dl")).write.mode("append")
         .parquet(IndexFiles.tablePath(spark, into, "doclens"))
     }
-    val merged = statsInto.select(col("term"), col("df"))
-      .unionByName(statsFrom.select(col("term"), col("df")))
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      .withColumn("n_docs", lit(metaInto.getLong(1) + metaFrom.getLong(0)))
-      .withColumn("sum_dl", lit(metaInto.getLong(2) + metaFrom.getLong(1)))
-      .withColumn("n_buckets", lit(nBuckets))
-    IndexFiles.writeNextVersion(spark, into, "stats")(next =>
-      merged.write.mode("overwrite").parquet(next))
+    // host stats re-resolve INSIDE the stats lease (the appendToIndex
+    // rationale: merging against the entry-time snapshot would silently
+    // revert a delete/append that republished stats while this merge's
+    // postings were landing); `from` is read-only, its entry-time stats
+    // stand
+    IndexFiles.writeNextVersion(spark, into, "stats") { next =>
+      val statsLive = spark.read
+        .parquet(IndexFiles.tablePath(spark, into, "stats"))
+      val metaLive = statsLive.select(col("n_docs"), col("sum_dl")).head()
+      val merged = statsLive.select(col("term"), col("df"))
+        .where(col("term").isNotNull) // drop a full-purge sentinel row
+        .unionByName(statsFrom.select(col("term"), col("df")))
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .withColumn("n_docs",
+          lit(metaLive.getLong(0) + metaFrom.getLong(0)))
+        .withColumn("sum_dl",
+          lit(metaLive.getLong(1) + metaFrom.getLong(1)))
+        .withColumn("n_buckets", lit(nBuckets))
+      merged.write.mode("overwrite").parquet(next)
+    }
   }
 
   /** BM25 over a persisted index: the query batch's terms resolve to
