@@ -206,6 +206,34 @@ object DedupQueries {
         .orderBy("batch_id", "dup_of")
     }),
 
+    // RE-GEOMETRY RETRAIN under the oracle (Dedup.retrainLshIndex —
+    // q95's near-dup twin, closing the retrain x LSH cell of the
+    // verb x family matrix): index naturals + planted exact copies at
+    // the default (16, 8) geometry, RETRAIN to (8, 4) from the persisted
+    // shingle sets alone, then probe. The oracle bands everything
+    // directly at (8, 4) — the engine's recomputed signatures must match
+    // a from-scratch build's (affine-min over the distinct shingle set,
+    // deterministic coefficient prefix), so a wrong min, a stale banded
+    // row, or a geometry not picked up by the probe breaks the hash; the
+    // jaccard-1.0 plants guarantee observable pairs at every SF.
+    "q105_lsh_retrain" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val off = docs.agg(max("doc_id")).head().getLong(0) + 1L
+      val planted = docs.where(col("doc_id") % 30 === 0)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))
+      val indexed = docs.where(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      val tmp = Common.tempDir("q105_idx")
+      Dedup.saveLshIndex(indexed, "doc_id", "text", tmp, K, BANDS)
+      Dedup.retrainLshIndex(s, tmp, k = 8, nBands = 4)
+      Dedup.matchesAgainstLshIndex(s, tmp, docs.where(col("doc_id") % 3 === 0),
+          maxBucket = None)
+        .where(col("jaccard") >= 0.8)
+        .select(col("batch_id"), col("dup_of"),
+          fp(col("jaccard")).as("jac_milli"))
+        .orderBy("batch_id", "dup_of")
+    }),
+
     // Span-level exact dedup (Dedup.repeatedSpans, the Lee et al. 2022
     // substring-dedup signal): maximal token spans whose every 5-gram
     // window recurs in >= 2 distinct documents — the shared-boilerplate
@@ -314,11 +342,11 @@ object DedupQueries {
     * indexed docs (over alias `ix`); plants are always indexed-side
     * (their ids sit above the offset).
     */
-  private def lshIndexProbeSql(plantCond: String,
-      ixNaturalCond: String): String = {
-    val sigExprs = TextSql.minhashSigExprs("hs", K)
+  private def lshIndexProbeSql(plantCond: String, ixNaturalCond: String,
+      k: Int = K, nBands: Int = BANDS): String = {
+    val sigExprs = TextSql.minhashSigExprs("hs", k)
       .mkString("[", ",\n            ", "]")
-    val rows = K / BANDS
+    val rows = k / nBands
     val bandSig = (1 to rows)
       .map(r => s"CAST(sig[b * $rows + $r] AS VARCHAR)")
       .mkString(" || ',' || ")
@@ -333,7 +361,7 @@ object DedupQueries {
         h AS (SELECT doc_id, sh, ${TextSql.hashedArray("sh")} AS hs FROM sh),
         sig AS (SELECT doc_id, $sigExprs AS sig FROM h),
         bands AS (SELECT doc_id, b, $bandSig AS bsig
-                  FROM sig, (SELECT unnest(range(0, $BANDS)) AS b)),
+                  FROM sig, (SELECT unnest(range(0, $nBands)) AS b)),
         pairs AS (SELECT DISTINCT bt.doc_id AS batch_id, ix.doc_id AS dup_of
                   FROM bands ix JOIN bands bt
                     ON ix.b = bt.b AND ix.bsig = bt.bsig
@@ -466,6 +494,12 @@ object DedupQueries {
     // (they live in the foreign shard, so a dropped merge row is a
     // dropped guaranteed pair)
     "q102_lsh_merge" -> lshIndexProbeSql("doc_id % 30 = 0", "TRUE"),
+
+    // the same mirror banded DIRECTLY at the post-retrain (8, 4)
+    // geometry: the engine's recompute-from-persisted-shingles must be
+    // indistinguishable from a from-scratch build there
+    "q105_lsh_retrain" -> lshIndexProbeSql("doc_id % 30 = 0", "TRUE",
+      k = 8, nBands = 4),
 
     "q52_dedup_simhash" ->
       s"""SELECT ${TextSql.simhash(s"list_transform(toks, s -> ${TextSql.hash48("s")})", 16)} AS simhash,
