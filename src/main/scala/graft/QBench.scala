@@ -1,6 +1,11 @@
 package graft
 object QBench {
   def main(args: Array[String]): Unit = {
+    // private temp root (the Bench discipline): isolated-query runs of
+    // the index-lifecycle queries otherwise leave their temp indexes in
+    // the shared tmpdir forever
+    System.setProperty("graft.tmpdir", java.nio.file.Files
+      .createTempDirectory("graft_qbench_").toString)
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -20,5 +25,12 @@ object QBench {
       }
     }
     spark.stop()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(System.getProperty("graft.tmpdir")))
+    System.clearProperty("graft.tmpdir")
   }
 }

@@ -10,6 +10,11 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f.split(',').toSet))
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // private temp root for the queries' index-lifecycle dirs (the Bench
+    // discipline): a full run builds ~30 temp indexes that otherwise
+    // accumulate in the shared tmpdir forever
+    System.setProperty("graft.tmpdir", java.nio.file.Files
+      .createTempDirectory("graft_verify_").toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,5 +57,12 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(System.getProperty("graft.tmpdir")))
+    System.clearProperty("graft.tmpdir")
   }
 }
