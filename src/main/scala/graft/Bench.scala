@@ -174,18 +174,23 @@ object Bench {
     // Common.tempDir) so the per-query sweep owns everything it deletes
     System.setProperty("graft.tmpdir", java.nio.file.Files
       .createTempDirectory("graft_bench_").toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // warm the session (task scheduling, codegen compiler, parquet footers)
-    // so the first timed query doesn't absorb ~3s of one-time startup cost
-    spark.range(1000).selectExpr("sum(id)").count()
-    render(SparkEntry.queries, spark, sfDir).foreach(println)
-    spark.stop()
-    deleteRecursively(new java.io.File(System.getProperty("graft.tmpdir")))
-    System.clearProperty("graft.tmpdir")
+    // try/finally: a failing query must not leak the whole private root —
+    // the residue class the root exists to eliminate
+    try {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // warm the session (task scheduling, codegen compiler, parquet footers)
+      // so the first timed query doesn't absorb ~3s of one-time startup cost
+      spark.range(1000).selectExpr("sum(id)").count()
+      render(SparkEntry.queries, spark, sfDir).foreach(println)
+      spark.stop()
+    } finally {
+      deleteRecursively(new java.io.File(System.getProperty("graft.tmpdir")))
+      System.clearProperty("graft.tmpdir")
+    }
   }
 }

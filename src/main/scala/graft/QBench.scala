@@ -6,6 +6,8 @@ object QBench {
     // the shared tmpdir forever
     System.setProperty("graft.tmpdir", java.nio.file.Files
       .createTempDirectory("graft_qbench_").toString)
+    // try/finally: a failing query must not leak the private root
+    try {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -25,12 +27,14 @@ object QBench {
       }
     }
     spark.stop()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(System.getProperty("graft.tmpdir")))
+      System.clearProperty("graft.tmpdir")
     }
-    rm(new java.io.File(System.getProperty("graft.tmpdir")))
-    System.clearProperty("graft.tmpdir")
   }
 }

@@ -15,6 +15,8 @@ object Verify {
     // accumulate in the shared tmpdir forever
     System.setProperty("graft.tmpdir", java.nio.file.Files
       .createTempDirectory("graft_verify_").toString)
+    // try/finally: a failing query must not leak the private root
+    try {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -57,12 +59,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(System.getProperty("graft.tmpdir")))
+      System.clearProperty("graft.tmpdir")
     }
-    rm(new java.io.File(System.getProperty("graft.tmpdir")))
-    System.clearProperty("graft.tmpdir")
   }
 }

@@ -655,7 +655,11 @@ object Dedup {
           require(live == ((k, nBands, shingleN)),
             s"appendToLshIndex: index geometry changed to $live while the " +
               s"batch was banded under (${k}, ${nBands}, ${shingleN}) — a " +
-              "concurrent retrain cut over; re-run the append")
+              "concurrent retrain cut over; re-run the append. The batch's " +
+              "shingle rows already landed, so the replay leaves duplicate " +
+              "shingles until a compactLshIndex(dedupeRows = true) — " +
+              "harmless to probes (candidates are DISTINCT) but run the " +
+              "dedupe compact to reclaim the space")
         }
         bands(sigs, idCol, k, nBands)
           .select(col("band"), col("bsig"), col(idCol).as("doc_id"))

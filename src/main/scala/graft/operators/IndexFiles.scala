@@ -60,43 +60,121 @@ private[graft] object IndexFiles {
 
   private val heartbeatMs = 15 * 1000L
 
+  /** Handle to one lease acquisition — carries the acquisition's unique
+    * owner nonce (for fencing) and the heartbeat's health (for failing
+    * loud BEFORE a takeover, not after). Guarded bodies that publish
+    * irreversible state call [[checkStillHeld]] immediately before the
+    * publish: it re-reads the lock and requires it still carries THIS
+    * acquisition's nonce — a holder that stalled past the stale window
+    * (GC pause, long shuffle) and was taken over aborts loudly instead
+    * of double-publishing over the taker — and aborts pre-emptively when
+    * the heartbeat has been failing long enough that a takeover is
+    * imminent (an object store without `setTimes`: better to fail loud
+    * before the takeover than to fence-abort after it).
+    */
+  private[graft] final class WriterLease(fs: FileSystem, val lock: Path,
+      owner: String, staleLeaseMs: Long) {
+    private val hbFailures = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile private var lastRefreshMs = System.currentTimeMillis()
+    private[operators] def refreshed(): Unit = {
+      hbFailures.set(0); lastRefreshMs = System.currentTimeMillis()
+    }
+    private[operators] def refreshFailed(): Int = hbFailures.incrementAndGet()
+    private[operators] def ownsLock(): Boolean = readHolder(fs, lock) == owner
+
+    /** True while the heartbeat is keeping the lock visibly fresh — or
+      * has not yet failed long enough for staleness to be NEAR (half the
+      * stale window with >=3 consecutive failures is the abort line).
+      */
+    def heartbeatHealthy: Boolean =
+      hbFailures.get() < 3 ||
+        System.currentTimeMillis() - lastRefreshMs <= staleLeaseMs / 2
+
+    def checkStillHeld(what: String): Unit = {
+      if (!heartbeatHealthy)
+        throw new IllegalStateException(
+          s"writer lease $lock: heartbeat has been failing for " +
+            s"${System.currentTimeMillis() - lastRefreshMs} ms " +
+            s"(${hbFailures.get()} consecutive failures) and the lock " +
+            s"looks abandoned to other writers after $staleLeaseMs ms — " +
+            s"aborting before $what rather than racing an imminent " +
+            "stale-lease takeover. Serialize writers externally on " +
+            "stores without setTimes support.")
+      if (!ownsLock())
+        throw new IllegalStateException(
+          s"writer lease $lock: fenced out before $what — the lock no " +
+            "longer carries this acquisition's nonce (a stale-lease " +
+            "takeover claimed it while this writer stalled). Aborting " +
+            "instead of publishing over the new holder; retry if still " +
+            "needed.")
+    }
+  }
+
+  /** Test seam: the heartbeat's refresh action. Specs inject a failing
+    * refresh to exercise the takeover-prone-store abort path; production
+    * never touches it.
+    */
+  @volatile private[graft] var heartbeatRefresh: (FileSystem, Path) => Unit =
+    (fs, lock) => fs.setTimes(lock, System.currentTimeMillis(), -1)
+
   /** Best-effort per-table writer lease enforcing the single-writer
-    * contract. Acquisition is an atomic `create(overwrite = false)` of
-    * `<dir>/<sub>.lock` holding the owner identity; while the body runs,
-    * a daemon thread refreshes the lock's mtime as a liveness heartbeat;
-    * release deletes the lock. A second writer finding a FRESH lock
-    * aborts with the holder's identity in the message — loud, instead of
-    * the silent interleaved-rewrite corruption the contract doc used to
-    * merely warn about. A lock whose mtime is older than `staleLeaseMs`
-    * is treated as a crashed holder and taken over (delete + re-create;
-    * the documented stale-lease takeover — crash-safe because every
-    * crash window of the guarded operations already leaves a readable
-    * live table, so takeover only ever unblocks, never repairs).
+    * contract. Acquisition is a `create(overwrite = false)` of
+    * `<dir>/<sub>.lock` holding the owner identity — atomic on HDFS-like
+    * stores; where create-no-overwrite is check-then-create
+    * (LocalFileSystem, some object stores) the acquirer re-reads the
+    * lock after EVERY create and requires its own nonce, so a collided
+    * double-create resolves to at most one proceeding writer. While the
+    * body runs, a daemon thread refreshes the lock's mtime as a liveness
+    * heartbeat; release deletes the lock only if it still carries this
+    * acquisition's nonce (never a taker's fresh lease). A second writer
+    * finding a FRESH lock aborts with the holder's identity in the
+    * message — loud, instead of the silent interleaved-rewrite
+    * corruption the contract doc used to merely warn about. A lock whose
+    * mtime is older than `staleLeaseMs` is treated as a crashed holder
+    * and taken over (delete + re-create; the documented stale-lease
+    * takeover — crash-safe because every crash window of the guarded
+    * operations already leaves a readable live table, so takeover only
+    * ever unblocks, never repairs).
     *
     * Best-effort, not a distributed lock manager: the create/delete
     * races of two takeovers landing in the same millisecond are accepted
-    * (they re-check creation and at most one proceeds per round), and an
-    * object store without atomic create degrades to advisory. That is
-    * the right price — the hazard being closed is unsynchronized
-    * AUTOMATION (a compaction cron racing a streaming append), not
-    * byzantine concurrency.
+    * (they re-check ownership and at most one proceeds per round), and
+    * an object store without atomic create degrades to the
+    * re-read-verified advisory protocol above. That is the right
+    * price — the hazard being closed is unsynchronized AUTOMATION (a
+    * compaction cron racing a streaming append), not byzantine
+    * concurrency.
     */
   def withTableLease[T](spark: SparkSession, dir: String, sub: String,
-      staleLeaseMs: Long = defaultStaleLeaseMs)(body: => T): T = {
+      staleLeaseMs: Long = defaultStaleLeaseMs)(body: => T): T =
+    withTableLeaseFenced(spark, dir, sub, staleLeaseMs)(_ => body)
+
+  /** [[withTableLease]] variant passing the [[WriterLease]] handle so the
+    * body can fence its publish points ([[WriterLease.checkStillHeld]]).
+    */
+  private[graft] def withTableLeaseFenced[T](spark: SparkSession,
+      dir: String, sub: String,
+      staleLeaseMs: Long = defaultStaleLeaseMs)(body: WriterLease => T): T = {
     val fs = fsFor(spark, dir)
     val lock = new Path(s"$dir/$sub.lock")
-    acquireLease(fs, lock, staleLeaseMs)
+    val owner = acquireLease(fs, lock, staleLeaseMs)
+    val lease = new WriterLease(fs, lock, owner, staleLeaseMs)
     val hb = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => {
         val t = new Thread(r, s"graft-lease-heartbeat-$sub")
         t.setDaemon(true); t
       })
     val warned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // heartbeat faster than the stale window divided by ~40 missed beats
+    // (15 s under the 10 min default), so short spec windows still beat
+    val period = math.max(50L, math.min(heartbeatMs, staleLeaseMs / 40))
     hb.scheduleAtFixedRate(
-      () => try fs.setTimes(lock, System.currentTimeMillis(), -1)
+      () => try { heartbeatRefresh(fs, lock); lease.refreshed() }
             catch { case e: Exception =>
+              lease.refreshFailed()
               // a silently dead heartbeat would let a HEALTHY long write
-              // look stale and be taken over mid-flight — surface it
+              // look stale and be taken over mid-flight — surface it, and
+              // let the lease handle abort fenced publishes pre-emptively
               if (warned.compareAndSet(false, true))
                 System.err.println(s"[graft] writer-lease heartbeat on " +
                   s"$lock failing (${e.getClass.getSimpleName}: " +
@@ -104,18 +182,29 @@ private[graft] object IndexFiles {
                   "window risks takeover — serialize writers externally " +
                   "on stores without setTimes support")
             },
-      heartbeatMs, heartbeatMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-    try body
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    try body(lease)
     finally {
       hb.shutdownNow()
-      try fs.delete(lock, false) catch { case _: Exception => () }
+      // release only OUR lease: after a stale takeover the lock is the
+      // taker's — deleting it here would unlock a live writer's table
+      try { if (lease.ownsLock()) fs.delete(lock, false) }
+      catch { case _: Exception => () }
     }
   }
 
+  private def readHolder(fs: FileSystem, lock: Path): String =
+    try {
+      val in = fs.open(lock)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: Exception => "<unreadable>" }
+
   private def acquireLease(fs: FileSystem, lock: Path,
-      staleLeaseMs: Long): Unit = {
+      staleLeaseMs: Long): String = {
     // nonce makes the owner string unique per ACQUISITION, so the
-    // post-takeover ownership re-check below cannot be fooled by this
+    // post-create ownership re-checks below cannot be fooled by this
     // writer's own earlier lease
     val owner = s"${java.net.InetAddress.getLocalHost.getHostName}/" +
       s"pid=${ProcessHandle.current().pid()}/" +
@@ -128,15 +217,17 @@ private[graft] object IndexFiles {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    def readHolder(): String =
-      try {
-        val in = fs.open(lock)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      } catch { case _: Exception => "<unreadable>" }
-    if (tryCreate()) return
-    val holder = readHolder()
+    if (tryCreate()) {
+      // create-no-overwrite is check-then-create on LocalFileSystem and
+      // some object stores, so two first-time acquirers can BOTH see
+      // success; re-read and require our nonce — at most one proceeds
+      if (readHolder(fs, lock) == owner) return owner
+      throw new IllegalStateException(
+        s"writer lease $lock: simultaneous acquisition collided " +
+          "(non-atomic create) and another writer's identity landed — " +
+          "aborting; retry if still needed")
+    }
+    val holder = readHolder(fs, lock)
     val fresh =
       try System.currentTimeMillis() -
         fs.getFileStatus(lock).getModificationTime <= staleLeaseMs
@@ -155,10 +246,11 @@ private[graft] object IndexFiles {
     // owner string; losing either step means another taker won — abort
     // rather than run two writers.
     try fs.delete(lock, false) catch { case _: Exception => () }
-    if (!tryCreate() || readHolder() != owner)
+    if (!tryCreate() || readHolder(fs, lock) != owner)
       throw new IllegalStateException(
         s"writer lease $lock: lost the stale-lease takeover race — " +
           "another writer claimed it first; retry if still needed")
+    owner
   }
 
   private def fsFor(spark: SparkSession, path: String): FileSystem =
@@ -215,12 +307,16 @@ private[graft] object IndexFiles {
     * the table's writer lease ([[withTableLease]]): a concurrent rewrite
     * or append of the same table aborts loudly instead of the two
     * rewriters computing the same `next` and deleting each other's
-    * in-progress version as crash residue.
+    * in-progress version as crash residue. The two destructive points —
+    * the crash-residue delete and the manifest publish — are FENCED
+    * ([[WriterLease.checkStillHeld]]): a holder that stalled past the
+    * stale window and was taken over aborts there instead of deleting
+    * the taker's in-progress version or double-publishing over it.
     */
   def writeNextVersion(spark: SparkSession, dir: String, sub: String,
       staleLeaseMs: Long = defaultStaleLeaseMs)
       (write: String => Unit): Unit =
-      withTableLease(spark, dir, sub, staleLeaseMs) {
+      withTableLeaseFenced(spark, dir, sub, staleLeaseMs) { lease =>
     val fs = fsFor(spark, dir)
     val live = liveVersion(fs, dir, sub)
     // bootstrap: the initial save paths write no manifest, so the FIRST
@@ -234,9 +330,17 @@ private[graft] object IndexFiles {
     val target = new Path(versionPath(dir, sub, next))
     // crash residue: a previous rewrite attempt may have died mid-write of
     // this same (never-published) version — clear it so the callback
-    // writes a fresh table instead of landing on top of a partial one
+    // writes a fresh table instead of landing on top of a partial one.
+    // Fenced: if we were fenced out at acquisition (collided create) or
+    // already taken over, "residue" may be the NEW holder's in-progress
+    // version — abort rather than delete a live writer's work
+    lease.checkStillHeld("the crash-residue delete")
     if (fs.exists(target)) fs.delete(target, true)
     write(versionPath(dir, sub, next))
+    // fenced publish: a takeover during a long `write` means the taker
+    // may have published its own versions — re-verify ownership (and
+    // heartbeat health) and abort instead of publishing over it
+    lease.checkStillHeld("publishing the new version")
     publishVersion(spark, dir, sub, next)
   }
 
@@ -428,16 +532,30 @@ private[graft] object IndexFiles {
       writerId: String): Unit = {
     val fs = fsFor(spark, dir)
     val ledgerDir = ledgerMarker(dir, writerId, 0L).getParent
-    if (!fs.exists(ledgerDir)) return
-    val ids = fs.listStatus(ledgerDir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("applied-"))
-      .map(_.stripPrefix("applied-").toLong)
+    val scoped =
+      if (!fs.exists(ledgerDir)) Seq.empty[Long]
+      else fs.listStatus(ledgerDir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("applied-"))
+        .map(_.stripPrefix("applied-").toLong)
+    // legacy flat markers (`_ledger/applied-<id>`, pre-writer-scope
+    // layout) are the `local` writer's scope by construction (see
+    // [[wasBatchApplied]]) — fold them into local's highwater too,
+    // else an upgraded pipeline keeps the flat files forever
+    val flatDir = new Path(s"$dir/_ledger")
+    val flat: Seq[Long] =
+      if (writerId != "local" || !fs.exists(flatDir)) Seq.empty
+      else fs.listStatus(flatDir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName).filter(_.startsWith("applied-"))
+        .map(_.stripPrefix("applied-").toLong)
+    val ids = (scoped ++ flat).distinct
+    if (ids.isEmpty) return
     val hw0 = readHighwater(fs, dir, writerId).getOrElse(-1L)
     var hw = hw0
     ids.filter(_ > hw).sorted.foreach(id => if (id == hw + 1) hw = id)
     if (hw > hw0) {
       val hwPath = new Path(ledgerDir, "highwater")
       val tmp = new Path(ledgerDir, "highwater.tmp")
+      fs.mkdirs(ledgerDir)
       val out = fs.create(tmp, true)
       try out.write(hw.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
@@ -446,21 +564,29 @@ private[graft] object IndexFiles {
       require(fs.rename(tmp, hwPath),
         s"compactLedger: rename $tmp -> $hwPath failed")
     }
-    ids.filter(_ <= hw).foreach(id =>
+    scoped.filter(_ <= hw).foreach(id =>
       fs.delete(ledgerMarker(dir, writerId, id), false))
+    flat.filter(_ <= hw).foreach(id =>
+      fs.delete(new Path(s"$dir/_ledger/applied-$id"), false))
   }
 
   /** [[compactLedger]] for every writer that has markers under `dir` —
     * wired into the four families' compact paths so routine table
     * compaction also bounds the ledger's file count (safe to automate:
-    * the fold never changes a [[wasBatchApplied]] answer).
+    * the fold never changes a [[wasBatchApplied]] answer). Legacy flat
+    * markers are folded as the `local` writer's even when no scoped
+    * `local` directory exists yet.
     */
   def compactLedgers(spark: SparkSession, dir: String): Unit = {
     val fs = fsFor(spark, dir)
     val root = new Path(s"$dir/_ledger")
     if (!fs.exists(root)) return
-    fs.listStatus(root).filter(_.isDirectory)
-      .foreach(w => compactLedger(spark, dir, w.getPath.getName))
+    val entries = fs.listStatus(root)
+    val writers = entries.filter(_.isDirectory).map(_.getPath.getName).toSet
+    val hasFlat = entries.exists(e =>
+      e.isFile && e.getPath.getName.startsWith("applied-"))
+    (writers ++ (if (hasFlat) Set("local") else Set.empty))
+      .foreach(w => compactLedger(spark, dir, w))
   }
 
   private def readHighwater(fs: FileSystem, dir: String,

@@ -210,6 +210,43 @@ class IngestLedgerSpec extends AnyFunSuite {
     assert(state()._2 == applied._2 + 1, "a new batchId must still apply")
   }
 
+  test("legacy flat markers fold into the local writer's highwater and are deleted") {
+    // an upgraded pipeline would otherwise keep the pre-writer-scope
+    // flat files (`_ledger/applied-<id>`) forever: compactLedgers must
+    // fold them as the `local` writer's — even when no scoped `local`
+    // directory exists yet — without changing a wasBatchApplied answer
+    val root = java.nio.file.Files.createTempDirectory("ledger-flatfold").toString
+    val idx = s"$root/index"
+    Retrieval.buildIndex(
+      Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"), idx, 8)
+    val ledger = new java.io.File(s"$idx/_ledger")
+    ledger.mkdirs()
+    // flat 0..2 contiguous, flat 5 beyond a gap (3,4 never applied)
+    Seq(0, 1, 2, 5).foreach(i =>
+      assert(new java.io.File(ledger, s"applied-$i").createNewFile()))
+    IndexFiles.compactLedgers(spark, idx)
+    def flatFiles() = ledger.listFiles().filter(_.isFile).map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(flatFiles() == Set("applied-5"),
+      s"contiguous flat prefix must fold and be deleted: ${flatFiles()}")
+    assert(new java.io.File(s"$idx/_ledger/local/highwater").exists(),
+      "fold must land in the scoped local ledger")
+    (0L to 2L).foreach(b =>
+      assert(IndexFiles.wasBatchApplied(spark, idx, "local", b), s"batch $b"))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "local", 3L))
+    assert(IndexFiles.wasBatchApplied(spark, idx, "local", 5L),
+      "the beyond-gap flat marker must stay honored")
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "stream-x", 1L),
+      "flat markers stay invisible to stream writers after the fold")
+    // mixed fold: scoped local markers close the gap on the next pass
+    Seq(3L, 4L).foreach(
+      IndexFiles.recordBatchApplied(spark, idx, "local", _))
+    IndexFiles.compactLedgers(spark, idx)
+    assert(flatFiles().isEmpty, "gap closed: the last flat marker folds too")
+    assert(IndexFiles.wasBatchApplied(spark, idx, "local", 5L))
+    assert(!IndexFiles.wasBatchApplied(spark, idx, "local", 6L))
+  }
+
   test("ledger compaction folds the contiguous prefix; semantics unchanged") {
     // a long-lived stream accumulates one marker file per micro-batch;
     // compactLedger folds the contiguous applied prefix into one

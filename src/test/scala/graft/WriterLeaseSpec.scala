@@ -128,6 +128,82 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(bandRows == 8L, s"one banding of the ingested doc, got $bandRows")
   }
 
+  test("a holder taken over mid-write is FENCED OUT at publish, not double-publishing") {
+    // the r15 residual race: a holder stalls past the stale window (GC
+    // pause, heartbeat silently failing), a taker claims the lease and
+    // publishes; the resumed holder must abort at its publish fence
+    // instead of publishing over the taker. Simulated deterministically:
+    // while the holder is inside its write callback, the lock is
+    // rewritten with a taker's identity (exactly what the takeover's
+    // delete+create leaves behind).
+    val idx = freshIndex()
+    val lockFile = new java.io.File(s"$idx/doclens.lock")
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    @volatile var err: Throwable = null
+    val holder = new Thread(() => {
+      try IndexFiles.writeNextVersion(spark, idx, "doclens") { next =>
+        spark.read.parquet(IndexFiles.tablePath(spark, idx, "doclens"))
+          .coalesce(1).write.mode("overwrite").parquet(next)
+        entered.countDown()
+        release.await(60, TimeUnit.SECONDS)
+      } catch { case t: Throwable => err = t }
+    }, "fenced-holder")
+    holder.start()
+    assert(entered.await(60, TimeUnit.SECONDS), "holder never entered")
+    val manifestBefore = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$idx/doclens.manifest")).trim
+    // the "taker" claims the lock with its own identity
+    java.nio.file.Files.write(lockFile.toPath,
+      "taker-host/pid=999/nonce=deadbeef".getBytes("UTF-8"))
+    release.countDown()
+    holder.join(120000)
+    assert(err != null, "fenced holder must abort, not publish")
+    assert(err.isInstanceOf[IllegalStateException], err.toString)
+    assert(err.getMessage.contains("fenced out"), err.getMessage)
+    // nothing published: the live version is unchanged and servable
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$idx/doclens.manifest")).trim
+      == manifestBefore, "fenced holder must not move the manifest")
+    assert(doclensCount(idx) == 2)
+    // and release must NOT delete the taker's lease
+    assert(lockFile.exists(), "release must leave the taker's lock alone")
+    assert(new String(java.nio.file.Files.readAllBytes(lockFile.toPath),
+      "UTF-8").contains("taker-host"),
+      "the taker's lock content must survive the fenced holder's release")
+    lockFile.delete()
+  }
+
+  test("a failing heartbeat aborts the write BEFORE a takeover becomes possible") {
+    // an object store without setTimes: the heartbeat cannot keep the
+    // lock fresh, so a write longer than the stale window WILL be taken
+    // over — the lease must fail loud at the publish fence once
+    // staleness is near, not publish into the takeover race
+    val idx = freshIndex()
+    val orig = IndexFiles.heartbeatRefresh
+    IndexFiles.heartbeatRefresh = (_, _) =>
+      throw new java.io.IOException("setTimes unsupported (injected)")
+    try {
+      val e = intercept[IllegalStateException] {
+        IndexFiles.writeNextVersion(spark, idx, "doclens",
+            staleLeaseMs = 400L) { next =>
+          spark.read.parquet(IndexFiles.tablePath(spark, idx, "doclens"))
+            .coalesce(1).write.mode("overwrite").parquet(next)
+          Thread.sleep(900) // >= 3 failed beats, past half the window
+        }
+      }
+      assert(e.getMessage.contains("heartbeat"), e.getMessage)
+      // nothing published; table stays servable; lease released (the
+      // lock content is still ours — only the mtime refresh failed)
+      assert(doclensCount(idx) == 2)
+      assert(!new java.io.File(s"$idx/doclens.lock").exists(),
+        "healthy-content lock must still be released after the abort")
+    } finally IndexFiles.heartbeatRefresh = orig
+    // with the refresh restored the same rewrite proceeds normally
+    IndexFiles.compact(spark, idx, "doclens", None, dedupeRows = false)
+    assert(doclensCount(idx) == 2)
+  }
+
   test("a stale lease (crashed holder) is taken over; a fresh one is honored") {
     val idx = freshIndex()
     val lock = new java.io.File(s"$idx/doclens.lock")
