@@ -98,6 +98,55 @@ object ScaleUp {
     }.drop("__rep")
   }
 
+  /** UNIQUE-mode documents: every 5th token gets a per-copy suffix, so a
+    * replica shares well under half its shingles with its original —
+    * BELOW any near-dup threshold. The control for the scale-ratio
+    * table: the default " repI" recipe makes the TRUE near-dup pair
+    * count quadratic in the factor (a 100× build carries 110× sf1's
+    * pairs — the detectors' output itself explodes by construction);
+    * this mode holds dup DENSITY constant, so a detector whose runtime
+    * is linear in data at constant density shows it here.
+    */
+  def replicateDocsUnique(docs: org.apache.spark.sql.DataFrame,
+      factor: Int): org.apache.spark.sql.DataFrame = {
+    val toks = split(col("text"), " ")
+    val mutated = array_join(
+      transform(toks, (w, j) =>
+        when(j % 5 === 0,
+          concat(w, lit("q"), col("__rep").cast("string"))).otherwise(w)),
+      " ")
+    val added = ceil(size(toks).cast("double") / 5.0).cast("int") *
+      (length(col("__rep").cast("string")) + 1)
+    docs.crossJoin(broadcast(copies(docs, factor)))
+      .select(
+        (col("doc_id") + col("__rep") * lit(10000000L)).as("doc_id"),
+        when(col("__rep") === 0, col("text")).otherwise(mutated).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + when(col("__rep") === 0, lit(0))
+          .otherwise(added)).as("n_chars"))
+  }
+
+  /** UNIQUE-mode embeddings: a deterministic ±40% per-component
+    * multiplicative perturbation (pattern keyed on component × copy)
+    * pushes replica cosine vs the original to ~0.85 — below every
+    * near-dup threshold in use. See [[replicateDocsUnique]].
+    */
+  def replicateEmbeddingsUnique(df: org.apache.spark.sql.DataFrame,
+      factor: Int): org.apache.spark.sql.DataFrame = {
+    val reps = df.sparkSession.range(factor)
+      .select(col("id").cast("long").as("__rep"))
+    df.crossJoin(broadcast(reps))
+      .select(
+        (col("vec_id") + col("__rep") * lit(KeyOffset)).as("vec_id"),
+        when(col("__rep") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            x * (lit(1.0f) +
+              (pmod(i.cast("long") * 7L + col("__rep"), lit(6L))
+                .cast("float") - lit(2.5f)) * lit(0.16f))))
+          .as("embedding"),
+        col("label"))
+  }
+
   /** Embeddings: vec_id offset per copy; replica vectors get a
     * deterministic +rep*1e-3 jitter on component 0, so every original becomes
     * a factor-way NEAR-dup cluster (cosine ~0.999+) — the documents
@@ -121,6 +170,12 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val factor = if (args.nonEmpty) args(0).toInt else 10
     val outDir = if (args.length > 1) args(1) else "/tmp/sf1"
+    // "neardup" (default): replicas form factor-way near-dup clusters —
+    // detectors do genuinely more (quadratic) work. "unique": replicas
+    // are NOT near-dups — the constant-dup-density control for scale
+    // ratios (see replicateDocsUnique).
+    val mode = if (args.length > 2) args(2) else "neardup"
+    require(Set("neardup", "unique")(mode), s"unknown mode $mode")
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
@@ -134,16 +189,19 @@ object ScaleUp {
     // events: ts normalized to bigint ns and written back as plain
     // bigint, which Common.events consumes via its LongType branch
     write(replicateEvents(tbl("events"), factor), "events")
-    write(replicateDocs(tbl("documents"), factor), "documents")
+    write(if (mode == "unique") replicateDocsUnique(tbl("documents"), factor)
+          else replicateDocs(tbl("documents"), factor), "documents")
     write(replicateKeyed(tbl("lineitem"), factor, Seq("l_orderkey")), "lineitem")
     write(replicateKeyed(tbl("orders"), factor, Seq("o_orderkey", "o_custkey")), "orders")
     write(replicateKeyed(tbl("customer"), factor, Seq("c_custkey")), "customer", 8)
     write(replicateKeyed(tbl("part"), factor, Seq("p_partkey")), "part", 8)
-    write(replicateEmbeddings(tbl("embeddings"), factor), "embeddings")
+    write(if (mode == "unique")
+            replicateEmbeddingsUnique(tbl("embeddings"), factor)
+          else replicateEmbeddings(tbl("embeddings"), factor), "embeddings")
     // broadcast dims pass through unreplicated
     Seq("region", "nation", "supplier").foreach(n => write(tbl(n), n, 1))
 
-    println(s"wrote ${factor}x all-tables from $srcDir to $outDir")
+    println(s"wrote ${factor}x all-tables ($mode) from $srcDir to $outDir")
     spark.stop()
   }
 }

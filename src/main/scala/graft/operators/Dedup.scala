@@ -645,6 +645,7 @@ object Dedup {
           .write.mode(mode)
           .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
       }
+      if (mode == "append") FaultPoints.afterTable("lsh.append", "shingles")
       IndexFiles.withTableLease(spark, dir, "bands") {
         // the batch was banded under the geometry read BEFORE the lease;
         // a retrain that cut over in between would make those rows
@@ -730,6 +731,7 @@ object Dedup {
       IndexFiles.ensureReadable(df, next)
       writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
     }
+    FaultPoints.afterTable("lsh.compact", "bands")
     IndexFiles.compact(spark, dir, "shingles", None, dedupeRows)
     IndexFiles.compactLedgers(spark, dir)
   }
@@ -764,6 +766,7 @@ object Dedup {
       // strand the retrained meta in the pruned old version
       writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
     }
+    FaultPoints.afterTable("lsh.delete", "bands")
     // no explicit coalesce: AQE sizes the post-join output (the
     // deleteFromIndex doclens rationale — shingle sets are the WIDE
     // table here, a fixed tiny count would bottleneck the rewrite)
@@ -819,6 +822,7 @@ object Dedup {
         .write.mode("append")
         .parquet(IndexFiles.tablePath(spark, into, "shingles"))
     }
+    FaultPoints.afterTable("lsh.merge", "shingles")
     IndexFiles.withTableLease(spark, into, "bands") {
       val live = readLshMeta(spark, into)
       require(live == gFrom,

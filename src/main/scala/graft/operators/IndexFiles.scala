@@ -44,9 +44,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * delete rewriting postings+doclens+stats, an append landing bands
   * then shingles) are not made atomic by it — two concurrent
   * OPERATIONS on one index interleave at table granularity and remain
-  * the caller's contract to serialize (the write orders are chosen so
-  * such interleavings degrade to invisible-until-retry rows or
-  * dedupe-compactable duplicates, never wrong serve results).
+  * the caller's contract to serialize. The write orders are chosen so
+  * such interleavings degrade to invisible-until-retry rows,
+  * dedupe-compactable duplicates, or REPAIRABLE STATS DRIFT — never a
+  * wrong serve DOC SET. The drift case (exercised by
+  * IndexInterleaveSpec): a BM25 delete/dedupe-compact whose
+  * ground-truth stats rebuild runs between a concurrent append's
+  * postings landing and that append's additive stats merge counts the
+  * batch's df/n_docs/sum_dl twice — idf/avgdl skew (rankings can
+  * drift, docs never appear or vanish) until the next
+  * rebuild-carrying operation (`compactIndex(dedupeRows = true)`,
+  * any delete) restores exact corpus stats. The verb×verb
+  * interleaving matrix with each pair's landed state is COVERAGE.md's
+  * interleaving table; every other pair is exact or loud-abort.
   */
 private[graft] object IndexFiles {
 

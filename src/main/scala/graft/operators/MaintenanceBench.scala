@@ -29,10 +29,20 @@ import org.apache.spark.sql.functions._
   * (a stats drift the compact hides, a stranded geometry the retrain
   * leaves) surfaces here and nowhere else.
   *
+  * `liveserve` — retrain UNDER LIVE SERVE: a serve thread probes the
+  * index continuously while the main thread runs a retrain (LSH
+  * re-geometry, IVF re-quantize); every probe's result is require'd
+  * correct whichever side of the cutover it resolved (LSH: exact copies
+  * collide under ANY geometry, so every probe must hit all of them;
+  * IVF: probe-all ≡ brute force under any quantizer), and per-probe
+  * latency is reported split before/during/after the retrain window —
+  * the zero-downtime claim for the newest verb, measured at scale
+  * instead of spec'd at toy scale (IndexSwapSpec's loop).
+  *
   * Any violated invariant crashes the run (the CompactionBench
   * discipline: a bench that can silently serve garbage measures nothing).
   * One JSON line per family per mode. Usage:
-  * `runMain graft.operators.MaintenanceBench [nBase] [verbs|composed|all]`.
+  * `runMain graft.operators.MaintenanceBench [nBase] [verbs|composed|all|liveserve]`.
   */
 object MaintenanceBench {
 
@@ -65,7 +75,8 @@ object MaintenanceBench {
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toLong else 1000000L
     val mode = if (args.length > 1) args(1) else "verbs"
-    require(Set("verbs", "composed", "all")(mode), s"unknown mode $mode")
+    require(Set("verbs", "composed", "all", "liveserve")(mode),
+      s"unknown mode $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-maintenance-bench")
@@ -76,6 +87,7 @@ object MaintenanceBench {
     try {
       if (mode == "verbs" || mode == "all") verbs(spark, nBase)
       if (mode == "composed" || mode == "all") composed(spark, nBase)
+      if (mode == "liveserve") liveServe(spark, nBase)
     } finally {
       spark.stop()
       deleteRecursively(tmpRoot.toFile)
@@ -301,6 +313,138 @@ object MaintenanceBench {
         s""""merge_sec":${r3(tMerge)},"probe_merged_sec":${r3(tProbeMerged)},""" +
         s""""n_deleted":$nDeleted,"delete_sec":${r3(tDelete)},""" +
         s""""probe_after_delete_sec":${r3(tProbeDel)},"reject_exercised":true}""")
+    }
+  }
+
+  // ==================== liveserve mode ====================
+
+  private case class ProbeRec(t0: Long, t1: Long, ok: Boolean)
+
+  /** One serve loop: probes on a dedicated thread until stopped,
+    * recording (startMs, endMs, resultOk); `probe` must be
+    * version-consistent per call (each probe resolves the index once).
+    */
+  private final class ServeLoop(probe: () => Boolean) {
+    private val out =
+      new java.util.concurrent.ConcurrentLinkedQueue[ProbeRec]()
+    @volatile private var err: Throwable = null
+    private val stopF = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private val t = new Thread(() => {
+      try while (!stopF.get()) {
+        val t0 = System.currentTimeMillis()
+        val ok = probe()
+        out.add(ProbeRec(t0, System.currentTimeMillis(), ok))
+      } catch { case e: Throwable => err = e }
+    }, "graft-liveserve")
+    t.setDaemon(true)
+    def start(): Unit = t.start()
+    def awaitProbes(n: Int): Unit =
+      while (out.size < n && err == null) Thread.sleep(50)
+    def stop(): Seq[ProbeRec] = {
+      stopF.set(true); t.join(600000)
+      require(err == null, s"serve loop failed: $err")
+      import scala.jdk.CollectionConverters._
+      out.iterator().asScala.toSeq
+    }
+  }
+
+  /** Split per-probe latencies by overlap with the retrain window and
+    * require every result correct — the acceptance + report shared by
+    * the two liveserve legs.
+    */
+  private def reportLive(metric: String, nBase: Long, rs: Seq[ProbeRec],
+      w0: Long, w1: Long, tRetrain: Double): Unit = {
+    require(rs.forall(_.ok),
+      s"$metric: ${rs.count(!_.ok)} of ${rs.size} probes returned WRONG " +
+        "results across the retrain cutover")
+    def secs(f: ProbeRec => Boolean) =
+      rs.filter(f).map(r => r3((r.t1 - r.t0) / 1000.0))
+    val before = secs(_.t1 <= w0)
+    val during = secs(r => r.t1 > w0 && r.t0 < w1)
+    val after = secs(_.t0 >= w1)
+    def fmt(xs: Seq[Double]) = xs.mkString("[", ",", "]")
+    require(during.nonEmpty,
+      s"$metric: no probe overlapped the retrain window — lengthen the " +
+        "window or slow the probes; the measurement is the DURING column")
+    println(s"""{"metric":"$metric","n":$nBase,""" +
+      s""""retrain_sec":${r3(tRetrain)},"n_probes":${rs.size},"wrong":0,""" +
+      s""""probe_sec_before":${fmt(before)},""" +
+      s""""probe_sec_during":${fmt(during)},""" +
+      s""""probe_sec_after":${fmt(after)}}""")
+  }
+
+  private def liveServe(spark: SparkSession, nBase: Long): Unit = {
+    // ---- LSH: re-geometry under continuous veto probes ----
+    locally {
+      val corpus = CorpusBench.synth(spark, nBase).persist(mem)
+      corpus.count()
+      val dir = tmp("ls_lsh")
+      Dedup.saveLshIndex(corpus, "doc_id", "text", dir, k = 16, nBands = 8)
+      // exact copies of 200 indexed docs: identical shingle sets collide
+      // under ANY geometry, so a correct probe hits ALL of them on both
+      // sides of the cutover — and under a torn geometry/bands pairing
+      // (the hazard the embedded-meta publish exists to prevent) they
+      // would silently hit ZERO
+      val probeBatch = corpus.where(col("doc_id") < 200)
+        .select((col("doc_id") + lit(5L * nBase)).as("doc_id"), col("text"))
+        .persist(mem)
+      val nCopies = probeBatch.count()
+      val loop = new ServeLoop(() => {
+        val sc = new Dedup.CacheScope
+        try Dedup.matchesAgainstLshIndex(spark, dir, probeBatch, scope = sc)
+          .where(col("jaccard") >= 0.8)
+          .select("batch_id").distinct().count() == nCopies
+        finally sc.release()
+      })
+      loop.start()
+      loop.awaitProbes(2) // latency baseline before the cutover
+      val w0 = System.currentTimeMillis()
+      val (tRetrain, _) =
+        timed(Dedup.retrainLshIndex(spark, dir, k = 8, nBands = 4))
+      val w1 = System.currentTimeMillis()
+      loop.awaitProbes(6) // and a post-cutover tail
+      val recs = loop.stop()
+      reportLive("liveserve_lsh", nBase, recs, w0, w1, tRetrain)
+      probeBatch.unpersist(); corpus.unpersist()
+    }
+
+    // ---- IVF: re-quantize under continuous probe-all top-k ----
+    locally {
+      val dim = 64
+      val cells0 = math.max(16, math.sqrt(nBase.toDouble).toInt / 2)
+      val cellsFinal = math.max(16, math.sqrt(nBase.toDouble).toInt)
+      val vecs = AnnBench.synth(spark, nBase, dim, nClusters = 200)
+        .persist(mem)
+      vecs.count()
+      val dir = tmp("ls_ivf")
+      Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(vecs, cells0, dim), dir)
+      val queries = vecs.where(col("vec_id") % lit(nBase / 8 + 1) === 0)
+        .persist(mem)
+      queries.count()
+      // probe-all ≡ brute force under ANY quantizer: the expected set is
+      // fixed across the cutover even though the centroids change
+      def probeAll(): Set[(Long, Long, Int)] = {
+        val sc = new Dedup.CacheScope
+        try Similarity.probeIvf(Similarity.loadIvfIndex(spark, dir),
+          queries, k = 10, nProbe = Int.MaxValue, scope = sc)
+          .select("q_id", "vec_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+          .toSet
+        finally sc.release()
+      }
+      val want = probeAll()
+      val loop = new ServeLoop(() => probeAll() == want)
+      loop.start()
+      loop.awaitProbes(2)
+      val w0 = System.currentTimeMillis()
+      val (tRetrain, _) = timed(
+        Similarity.retrainIvfIndex(spark, dir, nCells = Some(cellsFinal)))
+      val w1 = System.currentTimeMillis()
+      loop.awaitProbes(6)
+      val recs = loop.stop()
+      reportLive("liveserve_ivf", nBase, recs, w0, w1, tRetrain)
+      queries.unpersist(); vecs.unpersist()
     }
   }
 

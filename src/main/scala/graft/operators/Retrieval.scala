@@ -283,10 +283,12 @@ object Retrieval {
             .partitionBy("bucket")
             .parquet(IndexFiles.tablePath(spark, dir, "postings"))
         }
+        FaultPoints.afterTable("bm25.append", "postings")
         IndexFiles.withTableLease(spark, dir, "doclens") {
           docsTok.select(col("doc_id"), col("dl")).write.mode("append")
             .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
         }
+        FaultPoints.afterTable("bm25.append", "doclens")
         // additive stats merge: old per-term rows + the batch's, df
         // summed, n_docs/sum_dl totals recomputed once and stamped on
         // every row. The OLD stats re-resolve INSIDE the stats lease —
@@ -330,7 +332,9 @@ object Retrieval {
   def compactIndex(spark: SparkSession, dir: String,
       dedupeRows: Boolean = false): Unit = {
     IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows)
+    FaultPoints.afterTable("bm25.compact", "postings")
     IndexFiles.compact(spark, dir, "doclens", None, dedupeRows)
+    FaultPoints.afterTable("bm25.compact", "doclens")
     IndexFiles.compactLedgers(spark, dir)
     if (dedupeRows) rebuildStats(spark, dir)
   }
@@ -398,6 +402,7 @@ object Retrieval {
       doclens.write.mode("overwrite").parquet(next)
       IndexFiles.ensureReadable(doclens, next)
     }
+    FaultPoints.afterTable("bm25.delete", "doclens")
     IndexFiles.writeNextVersion(spark, dir, "postings") { next =>
       val postings = spark.read
         .parquet(IndexFiles.tablePath(spark, dir, "postings"))
@@ -410,6 +415,7 @@ object Retrieval {
       // land the schema so the table stays readable
       IndexFiles.ensureReadable(postings, next)
     }
+    FaultPoints.afterTable("bm25.delete", "postings")
     rebuildStats(spark, dir)
   }
 
@@ -484,10 +490,12 @@ object Retrieval {
         .partitionBy("bucket")
         .parquet(IndexFiles.tablePath(spark, into, "postings"))
     }
+    FaultPoints.afterTable("bm25.merge", "postings")
     IndexFiles.withTableLease(spark, into, "doclens") {
       dlFrom.select(col("doc_id"), col("dl")).write.mode("append")
         .parquet(IndexFiles.tablePath(spark, into, "doclens"))
     }
+    FaultPoints.afterTable("bm25.merge", "doclens")
     // host stats re-resolve INSIDE the stats lease (the appendToIndex
     // rationale: merging against the entry-time snapshot would silently
     // revert a delete/append that republished stats while this merge's

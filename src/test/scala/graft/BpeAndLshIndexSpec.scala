@@ -257,6 +257,77 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(reprobe.count() == 0L,
       "a survivor's exact copy must be dropped by the grown index")
   }
+
+  test("a retrain cutover mid-stream aborts the micro-batch; the replay converges to exactly-once") {
+    // the WriterLeaseSpec lease-abort replay, streamed, for the newest
+    // verb: a RETRAIN cuts the index to a new geometry between a
+    // micro-batch's shingle and band writes — the append aborts loudly
+    // on the under-lease geometry re-check, the streaming query FAILS
+    // before its checkpoint commits, and a restart from the same
+    // checkpoint re-delivers the batch, which now lands under the new
+    // geometry: exactly one corpus application, index ≡ one-shot
+    import graft.operators.{FaultPoints, IndexFiles}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-retrain-race-").toString
+    // one batch: an exact dup of seed 5 (dropped) + two uniques
+    Seq((100L, doc(5)), (101L, doc(300)), (102L, doc(301)))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$root/in/b1")
+    val idx = s"$root/index"; val corpus = s"$root/corpus"
+    Dedup.saveLshIndex((0L until 20L).map(i => (i, doc(i)))
+      .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val schema = spark.read.parquet(s"$root/in/b1").schema
+    def startStream() = StreamingOps.ingestWithDedup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in/*"),
+      idx, corpus, jaccardThreshold = 0.7)
+      .option("checkpointLocation", s"$root/ckpt").start()
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      FaultPoints.withHook((o, t) =>
+        if (o == "lsh.append" && t == "shingles" &&
+            fired.compareAndSet(false, true))
+          Dedup.retrainLshIndex(spark, idx, k = 8, nBands = 4)) {
+        val q = startStream()
+        try q.processAllAvailable() finally q.stop()
+      }
+    }
+    val chain = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage)).toSeq
+    assert(chain.exists(_.contains("geometry changed")),
+      s"the micro-batch must abort on the geometry re-check: $chain")
+    assert(!new java.io.File(corpus).exists() ||
+      spark.read.parquet(corpus).count() == 0L,
+      "an aborted micro-batch must not have published corpus rows")
+    // restart from the SAME checkpoint: the batch re-delivers under its
+    // original batchId and now lands under the retrained geometry
+    val q2 = startStream()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(corpus).select("doc_id").as[Long]
+      .collect().toSet == Set(101L, 102L),
+      "the replay must apply the batch exactly once (dup dropped)")
+    // the index serves ≡ a one-shot build at the NEW geometry over
+    // seed ∪ survivors; the aborted attempt's duplicate shingle rows
+    // are the documented residue, removed by the dedupe compact
+    Dedup.compactLshIndex(spark, idx, dedupeRows = true)
+    val one = s"$root/one"
+    Dedup.saveLshIndex(
+      ((0L until 20L).map(i => (i, doc(i))) ++
+        Seq((101L, doc(300)), (102L, doc(301))))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", one, k = 8, nBands = 4)
+    def vetoes(d: String) = Dedup.dedupBatchAgainstLshIndex(spark, d,
+      Seq((900L, doc(300)), (901L, doc(5)), (902L, doc(888)))
+        .toDF("doc_id", "text"), jaccardThreshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(vetoes(idx) == Set(902L), "survivor + seed copies must veto")
+    assert(vetoes(idx) == vetoes(one))
+    def rows(d: String, sub: String) =
+      spark.read.parquet(IndexFiles.tablePath(spark, d, sub)).count()
+    assert(rows(idx, "shingles") == rows(one, "shingles"),
+      "dedupe-compact must drop the aborted attempt's shingle rows")
+    assert(rows(idx, "bands") == rows(one, "bands"),
+      "band rows must carry no duplicates after the dedupe compact")
+  }
 }
 
 /** Persisted LSH index: probe parity with the one-shot minhashLsh pairs,
