@@ -340,6 +340,15 @@ object MaintenanceBench {
     def start(): Unit = t.start()
     def awaitProbes(n: Int): Unit =
       while (out.size < n && err == null) Thread.sleep(50)
+    /** Wait until `n` probes STARTED at or after `t` have completed —
+      * the post-cutover tail (a long retrain otherwise fills any count
+      * quota with during-window probes and the AFTER column reads empty).
+      */
+    def awaitProbesAfter(t: Long, n: Int): Unit = {
+      import scala.jdk.CollectionConverters._
+      while (err == null &&
+          out.iterator().asScala.count(_.t0 >= t) < n) Thread.sleep(50)
+    }
     def stop(): Seq[ProbeRec] = {
       stopF.set(true); t.join(600000)
       require(err == null, s"serve loop failed: $err")
@@ -374,6 +383,9 @@ object MaintenanceBench {
   }
 
   private def liveServe(spark: SparkSession, nBase: Long): Unit = {
+    // the LSH shingle pipeline resolves graft_hash48 from the session
+    // registry; other modes register it via Retrieval.buildIndex
+    graft.plans.NativeHash48.register(spark)
     // ---- LSH: re-geometry under continuous veto probes ----
     locally {
       val corpus = CorpusBench.synth(spark, nBase).persist(mem)
@@ -402,7 +414,7 @@ object MaintenanceBench {
       val (tRetrain, _) =
         timed(Dedup.retrainLshIndex(spark, dir, k = 8, nBands = 4))
       val w1 = System.currentTimeMillis()
-      loop.awaitProbes(6) // and a post-cutover tail
+      loop.awaitProbesAfter(w1, 2) // a real post-cutover tail
       val recs = loop.stop()
       reportLive("liveserve_lsh", nBase, recs, w0, w1, tRetrain)
       probeBatch.unpersist(); corpus.unpersist()
@@ -441,7 +453,7 @@ object MaintenanceBench {
       val (tRetrain, _) = timed(
         Similarity.retrainIvfIndex(spark, dir, nCells = Some(cellsFinal)))
       val w1 = System.currentTimeMillis()
-      loop.awaitProbes(6)
+      loop.awaitProbesAfter(w1, 2)
       val recs = loop.stop()
       reportLive("liveserve_ivf", nBase, recs, w0, w1, tRetrain)
       queries.unpersist(); vecs.unpersist()
