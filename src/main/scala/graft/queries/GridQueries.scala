@@ -23,12 +23,30 @@ object GridQueries {
   /** q89's synthetic ping frame (shared with OracleMarginSpec's guard-band
     * check on the per-regime mean chain): depth/pressure = value, pitch
     * sign from user parity, a 3-slot u array (middle null — the nan-mean),
-    * strictly-monotone synthetic time (event_id x 1000 s).
+    * synthetic time from a bit-split of the id:
+    * `(id & 0x3FFFFF) * 1e9 + (id >> 22) * 1000`. A raw event_id x 1e9
+    * overflows BIGINT once ids pass ~9.2e9 (the sf10 replicas reach
+    * ~1e11 — found by the 100x rehearsal; sf1's ~9e9 squeaked under by
+    * 2%), and any MODULAR wrap either ties massively (a 9e9 modulus is
+    * a multiple of the ScaleUp 1e9 id stride — at sf10 it tied ~91% of
+    * rows and the zero-dt guards emptied the result) or pushes time_us
+    * past 2^53, where replica-dependent double rounding of t moved
+    * ~361 histogram rows across bin edges differently per engine. The
+    * bit-split has neither failure mode: it is INJECTIVE for
+    * id < 2^22 x 1e6 ≈ 4.2e12 (low 22 bits stride 1e9 us, high bits
+    * stride 1000 us < the 1e9 gap — no two ids ever tie), every value
+    * stays under (2^22)x1e9 + 2.4e8 < 2^53 (the BIGINT→DOUBLE cast is
+    * EXACT, so both engines' t is bit-identical by construction), the
+    * minimum 1 ms gap bounds |gradient| <= ~25/1e-3, keeping the
+    * nano-integerized regime sums far from BIGINT overflow, and below
+    * 2^22 (every driver SF) it is bit-identical to the original
+    * event_id x 1e9 form.
     */
   def q89Pings(s: SparkSession, dir: String): DataFrame =
     events(s, dir).where(col("value").isNotNull).select(
       col("user_id"),
-      (col("event_id") * 1000000000L).as("time_us"),
+      (col("event_id").bitwiseAND(lit(4194303L)) * 1000000000L +
+        shiftright(col("event_id"), 22) * 1000L).as("time_us"),
       col("value").as("depth"), col("value").as("pressure"),
       when(pmod(col("user_id"), lit(2)) === 0, lit(15.0))
         .otherwise(lit(-15.0)).as("pitch"),
@@ -323,7 +341,7 @@ object GridQueries {
     // histogram and per-regime avg/count — every op mirrored in order.
     "q89_verify_enu" -> {
       val cut = Bins.cutLeftHistSql("d", -0.02, 0.04 / 99, 99)
-      s"""WITH p AS (SELECT user_id, event_id * 1000000000 AS time_us,
+      s"""WITH p AS (SELECT user_id, (event_id & 4194303) * 1000000000 + (event_id >> 22) * 1000 AS time_us,
                 value AS depth, value AS pressure,
                 CASE WHEN user_id % 2 = 0 THEN 15.0 ELSE -15.0 END AS pitch,
                 ((event_id % 40) - 20.0) / 1000.0 AS ua,
