@@ -182,12 +182,17 @@ object Bench {
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
-      spark.sparkContext.setLogLevel("WARN")
-      // warm the session (task scheduling, codegen compiler, parquet footers)
-      // so the first timed query doesn't absorb ~3s of one-time startup cost
-      spark.range(1000).selectExpr("sum(id)").count()
-      render(SparkEntry.queries, spark, sfDir).foreach(println)
-      spark.stop()
+      // stop in a finally: a render() failure must not let the outer
+      // tmp-root delete race a still-running session's spill/cache dirs
+      // (delete errors would also mask the original exception)
+      try {
+        spark.sparkContext.setLogLevel("WARN")
+        // warm the session (task scheduling, codegen compiler, parquet
+        // footers) so the first timed query doesn't absorb ~3s of
+        // one-time startup cost
+        spark.range(1000).selectExpr("sum(id)").count()
+        render(SparkEntry.queries, spark, sfDir).foreach(println)
+      } finally spark.stop()
     } finally {
       deleteRecursively(new java.io.File(System.getProperty("graft.tmpdir")))
       System.clearProperty("graft.tmpdir")

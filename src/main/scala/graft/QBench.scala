@@ -11,6 +11,9 @@ object QBench {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
+    // stop in a finally: a failing query must not let the outer tmp-root
+    // delete race a still-running session's spill/cache dirs
+    try {
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").count()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -26,7 +29,7 @@ object QBench {
         graft.operators.Dedup.releaseCaches()
       }
     }
-    spark.stop()
+    } finally spark.stop()
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory)

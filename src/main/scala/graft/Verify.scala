@@ -23,6 +23,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // stop in a finally: a failure below must not let the outer tmp-root
+    // delete race a still-running session's spill/cache dirs
+    try {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
@@ -58,7 +61,7 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
+    } finally spark.stop()
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory)

@@ -640,13 +640,19 @@ object Dedup {
       // the shingles table — can at worst duplicate an in-flight doc's
       // band rows (candidates are DISTINCT; dedupe-compact removes the
       // residue) instead of losing them.
-      IndexFiles.withTableLease(spark, dir, "shingles") {
+      IndexFiles.withTableLeaseFenced(spark, dir, "shingles") { lease =>
+        // fenced before the write job (the appendToIndex rationale): a
+        // taken-over holder must not land rows into a version the taker
+        // is about to prune
+        if (mode == "append")
+          FaultPoints.beforeFencedWrite("lsh.append", "shingles")
+        lease.checkStillHeld("the shingles write")
         sigs.select(col(idCol).as("doc_id"), col("shingles"))
           .write.mode(mode)
           .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
       }
       if (mode == "append") FaultPoints.afterTable("lsh.append", "shingles")
-      IndexFiles.withTableLease(spark, dir, "bands") {
+      IndexFiles.withTableLeaseFenced(spark, dir, "bands") { lease =>
         // the batch was banded under the geometry read BEFORE the lease;
         // a retrain that cut over in between would make those rows
         // silently never-colliding — re-check under the lease and abort
@@ -661,7 +667,9 @@ object Dedup {
               "shingles until a compactLshIndex(dedupeRows = true) — " +
               "harmless to probes (candidates are DISTINCT) but run the " +
               "dedupe compact to reclaim the space")
+          FaultPoints.beforeFencedWrite("lsh.append", "bands")
         }
+        lease.checkStillHeld("the bands write")
         bands(sigs, idCol, k, nBands)
           .select(col("band"), col("bsig"), col(idCol).as("doc_id"))
           .repartition(col("band"), col("bsig"))
@@ -817,13 +825,15 @@ object Dedup {
     // retrain committing between the pre-check above and the append
     // would otherwise take the foreign (now wrong-geometry) band rows
     // silently — the appendToLshIndex race, same loud abort
-    IndexFiles.withTableLease(spark, into, "shingles") {
+    IndexFiles.withTableLeaseFenced(spark, into, "shingles") { lease =>
+      // fenced before the write job (the appendToIndex rationale)
+      lease.checkStillHeld("the shingles merge-append")
       spark.read.parquet(IndexFiles.tablePath(spark, from, "shingles"))
         .write.mode("append")
         .parquet(IndexFiles.tablePath(spark, into, "shingles"))
     }
     FaultPoints.afterTable("lsh.merge", "shingles")
-    IndexFiles.withTableLease(spark, into, "bands") {
+    IndexFiles.withTableLeaseFenced(spark, into, "bands") { lease =>
       val live = readLshMeta(spark, into)
       require(live == gFrom,
         s"mergeLshIndexes: host geometry changed to $live while merging " +
@@ -831,6 +841,7 @@ object Dedup {
           "merge (the already-appended shingle rows are geometry-free " +
           "and byte-identical on the re-run; dedupe-compact removes the " +
           "duplicates)")
+      lease.checkStillHeld("the bands merge-append")
       spark.read.parquet(IndexFiles.tablePath(spark, from, "bands"))
         .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
         .repartition(col("band"), col("bsig"))

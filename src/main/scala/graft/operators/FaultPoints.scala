@@ -27,4 +27,20 @@ private[graft] object FaultPoints {
     afterTable = handler
     try body finally afterTable = (_, _) => ()
   }
+
+  /** (op, tableAboutToBeWritten) — fired INSIDE the table's writer
+    * lease, immediately before the fence check that guards an
+    * append-mode write ([[IndexFiles]]'s checkStillHeld). Exists so the
+    * fenced-append spec can stage a takeover deterministically in the
+    * exact window the fence closes (a stall between lease acquisition
+    * and the write job starting). Unlike [[afterTable]], handlers run
+    * under a HELD lease — they must not acquire the same table's lease.
+    * Production never touches it.
+    */
+  @volatile var beforeFencedWrite: (String, String) => Unit = (_, _) => ()
+
+  def withPreWriteHook[T](handler: (String, String) => Unit)(body: => T): T = {
+    beforeFencedWrite = handler
+    try body finally beforeFencedWrite = (_, _) => ()
+  }
 }

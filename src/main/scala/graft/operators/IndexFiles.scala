@@ -36,8 +36,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * "crash residue"). Every rewrite resolves the table version and reads
   * its inputs INSIDE the lease (a read-modify-write whose read preceded
   * the lease would silently revert a writer that committed in between).
-  * Recovery after an abort is the ingest ledger's job — a failed
-  * micro-batch replays under its recorded batchId.
+  * Append-mode writers are FENCED too (since r17): each calls
+  * [[WriterLease.checkStillHeld]] immediately before its write job
+  * starts, so a holder that stalled past the stale window and was taken
+  * over aborts instead of landing rows into a table version the taker
+  * is about to prune (silently lost rows — worse than the duplicate an
+  * abort+replay leaves). The residual window is the write job itself: a
+  * takeover DURING it requires the heartbeat to be failing as well
+  * (a healthy heartbeat keeps the lock fresh for the job's whole
+  * duration), and its residue is dedupe-compactable rows in a pruned
+  * version — bounded by the two-priors retention, repaired by the
+  * ledger replay. Recovery after an abort is the ingest ledger's job —
+  * a failed micro-batch replays under its recorded batchId.
   *
   * Scope, stated honestly: the lease serializes writers of ONE TABLE.
   * Maintenance OPERATIONS that touch several tables of an index (a
@@ -46,17 +56,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * OPERATIONS on one index interleave at table granularity and remain
   * the caller's contract to serialize. The write orders are chosen so
   * such interleavings degrade to invisible-until-retry rows,
-  * dedupe-compactable duplicates, or REPAIRABLE STATS DRIFT — never a
-  * wrong serve DOC SET. The drift case (exercised by
-  * IndexInterleaveSpec): a BM25 delete/dedupe-compact whose
-  * ground-truth stats rebuild runs between a concurrent append's
-  * postings landing and that append's additive stats merge counts the
-  * batch's df/n_docs/sum_dl twice — idf/avgdl skew (rankings can
-  * drift, docs never appear or vanish) until the next
-  * rebuild-carrying operation (`compactIndex(dedupeRows = true)`,
-  * any delete) restores exact corpus stats. The verb×verb
-  * interleaving matrix with each pair's landed state is COVERAGE.md's
-  * interleaving table; every other pair is exact or loud-abort.
+  * dedupe-compactable duplicates, or a SELF-HEALED stats recompute —
+  * never a wrong serve DOC SET. The formerly-drifting case (exercised
+  * by IndexInterleaveSpec): a BM25 delete/dedupe-compact whose
+  * ground-truth stats rebuild runs between a concurrent append's table
+  * writes has already counted whichever of the batch's tables landed
+  * before it — WHICH stats components the append's additive merge
+  * would then double-count depends on the window (df only when the
+  * rebuild fell between the postings and doclens landings — the tested
+  * representative case; df AND n_docs/sum_dl when it ran after both).
+  * Since r17 the additive mergers detect the rebuild via the stats
+  * EPOCH (bumped by every ground-truth recompute, compared
+  * entry-vs-live inside the stats lease) and recompute ground truth
+  * instead of double-adding, so the pair lands EXACT in either window.
+  * The verb×verb interleaving matrix with each pair's landed state is
+  * COVERAGE.md's interleaving table; every other pair is exact or
+  * loud-abort.
   */
 private[graft] object IndexFiles {
 
@@ -69,6 +84,13 @@ private[graft] object IndexFiles {
   val defaultStaleLeaseMs: Long = 10 * 60 * 1000L
 
   private val heartbeatMs = 15 * 1000L
+
+  /** Settle delay for the double re-read that guards non-atomic
+    * check-then-create lock acquisition (see [[withTableLease]]) — must
+    * exceed a plausible competitor's check-to-create skew. `private[graft]`
+    * var only so time-sensitive specs can shorten it.
+    */
+  @volatile private[graft] var createSettleMs: Long = 50L
 
   /** Handle to one lease acquisition — carries the acquisition's unique
     * owner nonce (for fencing) and the heartbeat's health (for failing
@@ -132,8 +154,13 @@ private[graft] object IndexFiles {
     * `<dir>/<sub>.lock` holding the owner identity — atomic on HDFS-like
     * stores; where create-no-overwrite is check-then-create
     * (LocalFileSystem, some object stores) the acquirer re-reads the
-    * lock after EVERY create and requires its own nonce, so a collided
-    * double-create resolves to at most one proceeding writer. While the
+    * lock after EVERY create — immediately and again after a settle
+    * delay ([[createSettleMs]]) longer than a plausible competitor's
+    * check-to-create skew — and requires its own nonce both times. That
+    * NARROWS the collided-double-create window to competitors whose
+    * create lands later than the settle delay after their check (not a
+    * proof of mutual exclusion — see the best-effort paragraph below);
+    * a detected collision aborts loudly. While the
     * body runs, a daemon thread refreshes the lock's mtime as a liveness
     * heartbeat; release deletes the lock only if it still carries this
     * acquisition's nonce (never a taker's fresh lease). A second writer
@@ -148,9 +175,11 @@ private[graft] object IndexFiles {
     *
     * Best-effort, not a distributed lock manager: the create/delete
     * races of two takeovers landing in the same millisecond are accepted
-    * (they re-check ownership and at most one proceeds per round), and
-    * an object store without atomic create degrades to the
-    * re-read-verified advisory protocol above. That is the right
+    * (the settled re-reads make two proceeding writers require a
+    * competitor's create to land later than the settle delay after its
+    * own existence check — unlikely, not impossible), and an object
+    * store without atomic create degrades to the re-read-verified
+    * advisory protocol above. That is the right
     * price — the hazard being closed is unsynchronized AUTOMATION (a
     * compaction cron racing a streaming append), not byzantine
     * concurrency.
@@ -203,13 +232,36 @@ private[graft] object IndexFiles {
     }
   }
 
-  private def readHolder(fs: FileSystem, lock: Path): String =
-    try {
-      val in = fs.open(lock)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    } catch { case _: Exception => "<unreadable>" }
+  /** The lock's current holder string. A MISSING lock and a transiently
+    * unreadable one are different facts: missing means genuinely not ours
+    * (released or taken over — callers comparing against their own nonce
+    * correctly treat it as lost), while a transient read failure on a
+    * flaky store must not make release leak the lock for a full stale
+    * window or make checkStillHeld fence out a healthy writer after its
+    * expensive data write — so FileNotFoundException returns immediately
+    * and every other failure is retried briefly before giving up. A
+    * PERSISTENTLY unreadable lock still resolves to not-ours: failing
+    * safe (abort / leak until stale) beats double-publishing.
+    */
+  private def readHolder(fs: FileSystem, lock: Path): String = {
+    var attempt = 0
+    var res: String = null
+    while (res == null) {
+      try {
+        val in = fs.open(lock)
+        try res = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => res = "<missing>"
+        case _: Exception =>
+          attempt += 1
+          if (attempt >= 3) res = "<unreadable>"
+          else Thread.sleep(20L * attempt)
+      }
+    }
+    res
+  }
 
   private def acquireLease(fs: FileSystem, lock: Path,
       staleLeaseMs: Long): String = {
@@ -227,11 +279,22 @@ private[graft] object IndexFiles {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    // create-no-overwrite is check-then-create on LocalFileSystem and some
+    // object stores, so two acquirers can BOTH see create success. An
+    // immediate re-read alone only NARROWS the window (A could re-read its
+    // own nonce before B's check-then-create overwrite lands), so verify
+    // twice: once immediately (fast fail), then again after a settle delay
+    // longer than a plausible competitor's check-to-create skew — B's
+    // overwrite either landed by then (we see B's nonce and abort) or B
+    // itself settles after us and sees whoever wrote last. Still advisory,
+    // not a proof, on stores without atomic create (see the lease doc).
+    def settledOwnership(): Boolean = {
+      if (readHolder(fs, lock) != owner) return false
+      Thread.sleep(createSettleMs)
+      readHolder(fs, lock) == owner
+    }
     if (tryCreate()) {
-      // create-no-overwrite is check-then-create on LocalFileSystem and
-      // some object stores, so two first-time acquirers can BOTH see
-      // success; re-read and require our nonce — at most one proceeds
-      if (readHolder(fs, lock) == owner) return owner
+      if (settledOwnership()) return owner
       throw new IllegalStateException(
         s"writer lease $lock: simultaneous acquisition collided " +
           "(non-atomic create) and another writer's identity landed — " +
@@ -256,7 +319,7 @@ private[graft] object IndexFiles {
     // owner string; losing either step means another taker won — abort
     // rather than run two writers.
     try fs.delete(lock, false) catch { case _: Exception => () }
-    if (!tryCreate() || readHolder(fs, lock) != owner)
+    if (!tryCreate() || !settledOwnership())
       throw new IllegalStateException(
         s"writer lease $lock: lost the stale-lease takeover race — " +
           "another writer claimed it first; retry if still needed")

@@ -194,25 +194,66 @@ object Retrieval {
       .withColumn("bucket", pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
 
   /** The stats table shape: one row per term (df) stamped with the corpus
-    * totals and the frozen bucket modulus. With ZERO term rows (an empty
-    * corpus, or a legal full-takedown delete) a bare cross join would
-    * leave stats/ empty and every later `head()` of n_buckets/n_docs
-    * throwing NoSuchElementException — a full purge must leave a
-    * READABLE index (serving empty results, appendable back to life), so
-    * the degenerate case keeps one null-term row carrying the metadata
-    * (df = 0; term-membership filters never match null, so the sentinel
-    * is invisible to scoring and to df lookups).
+    * totals, the frozen bucket modulus, and the stats EPOCH. With ZERO
+    * term rows (an empty corpus, or a legal full-takedown delete) a bare
+    * cross join would leave stats/ empty and every later `head()` of
+    * n_buckets/n_docs throwing NoSuchElementException — a full purge must
+    * leave a READABLE index (serving empty results, appendable back to
+    * life), so the degenerate case keeps one null-term row carrying the
+    * metadata (df = 0; term-membership filters never match null, so the
+    * sentinel is invisible to scoring and to df lookups).
+    *
+    * `stats_epoch` increments on every GROUND-TRUTH recompute (a delete's
+    * or dedupe-compact's [[rebuildStats]], or an additive merger's own
+    * drift repair) and is left unchanged by additive merges. An additive
+    * stats merge whose index tables landed before a concurrent rebuild
+    * would re-add rows the rebuild already counted; comparing the epoch
+    * read at operation entry with the live one inside the stats lease
+    * detects exactly that window, and the merger recomputes ground truth
+    * instead of double-counting (see [[appendToIndex]]).
     */
   private def statsOf(dfreq: DataFrame, totals: DataFrame,
-      nBuckets: Int): DataFrame = {
+      nBuckets: Int, epoch: Long): DataFrame = {
     // callers persist dfreq across this emptiness probe and the write
     // that follows — isEmpty on an unpersisted aggregation would run the
     // full per-term shuffle once here and again for the write
-    if (!dfreq.isEmpty)
-      dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
-    else totals.select(lit(null).cast("string").as("term"),
-      lit(0L).as("df"), col("n_docs"), col("sum_dl"))
-      .withColumn("n_buckets", lit(nBuckets))
+    val base =
+      if (!dfreq.isEmpty)
+        dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
+      else totals.select(lit(null).cast("string").as("term"),
+        lit(0L).as("df"), col("n_docs"), col("sum_dl"))
+        .withColumn("n_buckets", lit(nBuckets))
+    base.withColumn("stats_epoch", lit(epoch))
+  }
+
+  /** The stats epoch of a read stats table — 0 for pre-epoch legacy
+    * tables (every later ground-truth recompute starts counting there).
+    */
+  private def statsEpochOf(stats: DataFrame): Long =
+    if (stats.columns.contains("stats_epoch"))
+      stats.select(col("stats_epoch")).head().getLong(0)
+    else 0L
+
+  /** Recompute df / n_docs / sum_dl from the LIVE postings and doclens
+    * tables and write them (stamped `epoch`) to `next` — the shared
+    * ground-truth recompute of [[rebuildStats]] and the epoch-detected
+    * drift repair inside the additive-merge paths. Caller holds the
+    * stats lease and resolves nothing before it (read-under-lease rule).
+    */
+  private def writeGroundTruthStats(spark: SparkSession, dir: String,
+      nBuckets: Int, epoch: Long, next: String): Unit = {
+    val dfreq = spark.read
+      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totals = spark.read
+        .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      statsOf(dfreq, totals, nBuckets, epoch)
+        .write.mode("overwrite").parquet(next)
+    } finally dfreq.unpersist()
   }
 
   def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
@@ -234,7 +275,7 @@ object Retrieval {
     try {
       val totals = docsTok.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      statsOf(dfreq, totals, nBuckets)
+      statsOf(dfreq, totals, nBuckets, epoch = 0L)
         .write.mode("overwrite")
         .parquet(IndexFiles.tablePath(spark, dir, "stats"))
     } finally dfreq.unpersist()
@@ -255,15 +296,29 @@ object Retrieval {
     * path in one job). Everything is additive, so a grown index serves
     * BIT-IDENTICAL results to an index built once on the union — the
     * RetrievalSpec identity and the q91 driver gate.
+    *
+    * Concurrent ground-truth rebuild (a delete or dedupe-compact
+    * interleaving between this append's table writes): detected via the
+    * stats EPOCH captured at entry — if it moved by stats-merge time, the
+    * rebuild may already have counted this batch's landed rows, so the
+    * merge recomputes ground truth instead of double-adding
+    * (self-healing; the formerly-documented "df drift" window, now exact
+    * — IndexInterleaveSpec's append∥delete case).
     */
   def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     graft.plans.NativeHash48.register(spark)
     val statsOld = spark.read.parquet(IndexFiles.tablePath(spark, dir, "stats"))
-    // one metadata row read ONCE: three separate head() jobs would rescan
-    val meta = statsOld.select(col("n_buckets"), col("n_docs"), col("sum_dl"))
-      .head()
+    // one metadata row read ONCE: separate head() jobs would rescan. The
+    // epoch is captured HERE — before this batch's postings/doclens land —
+    // so the stats-merge below can detect a ground-truth rebuild that ran
+    // anywhere inside this operation's table-write window (legacy
+    // pre-epoch tables read as 0)
+    val meta = statsOld.select(col("n_buckets"),
+      (if (statsOld.columns.contains("stats_epoch")) col("stats_epoch")
+       else lit(0L)).as("stats_epoch")).head()
     val nBuckets = meta.getInt(0)
+    val entryEpoch = meta.getLong(1)
     // persist the tokenized batch: it feeds FOUR jobs (postings write,
     // doclens write, df aggregation, totals), and an unpinned
     // nondeterministic source (sample(), an uncached shuffle) would
@@ -277,14 +332,23 @@ object Retrieval {
       try {
         // per-table writer leases: an append racing a compaction's
         // rewrite of the same table aborts loudly (IndexFiles doc); the
-        // stats rewrite below is leased inside writeNextVersion
-        IndexFiles.withTableLease(spark, dir, "postings") {
+        // stats rewrite below is leased inside writeNextVersion. Each
+        // append is FENCED right before its write job starts: a holder
+        // taken over while stalled (the fenced-publish rationale) would
+        // otherwise land its rows into a version the taker is about to
+        // prune — silently lost rows, worse than the dedupe-compactable
+        // duplicate the abort+replay leaves.
+        IndexFiles.withTableLeaseFenced(spark, dir, "postings") { lease =>
+          FaultPoints.beforeFencedWrite("bm25.append", "postings")
+          lease.checkStillHeld("the postings append")
           postings.repartition(col("bucket")).write.mode("append")
             .partitionBy("bucket")
             .parquet(IndexFiles.tablePath(spark, dir, "postings"))
         }
         FaultPoints.afterTable("bm25.append", "postings")
-        IndexFiles.withTableLease(spark, dir, "doclens") {
+        IndexFiles.withTableLeaseFenced(spark, dir, "doclens") { lease =>
+          FaultPoints.beforeFencedWrite("bm25.append", "doclens")
+          lease.checkStillHeld("the doclens append")
           docsTok.select(col("doc_id"), col("dl")).write.mode("append")
             .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
         }
@@ -304,18 +368,35 @@ object Retrieval {
         IndexFiles.writeNextVersion(spark, dir, "stats") { next =>
           val statsLive = spark.read
             .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-          val metaLive = statsLive.select(col("n_docs"), col("sum_dl"))
-            .head()
-          val merged = statsLive.select(col("term"), col("df"))
-            .where(col("term").isNotNull) // drop a full-purge sentinel row
-            .unionByName(dfNew)
-            .groupBy(col("term")).agg(sum(col("df")).as("df"))
-            .withColumn("n_docs",
-              lit(metaLive.getLong(0) + batchTotals.getLong(0)))
-            .withColumn("sum_dl",
-              lit(metaLive.getLong(1) + batchTotals.getLong(1)))
-            .withColumn("n_buckets", lit(nBuckets))
-          merged.write.mode("overwrite").parquet(next)
+          val liveEpoch = statsEpochOf(statsLive)
+          if (liveEpoch != entryEpoch) {
+            // SELF-HEAL (the former append∥delete drift case): a
+            // ground-truth rebuild — a delete's or dedupe-compact's
+            // rebuildStats — republished stats while this batch's tables
+            // were landing, and may already have counted the landed
+            // rows; the additive merge would double-count them. The
+            // batch is FULLY landed at this point (postings and doclens
+            // both committed above), so recompute ground truth from the
+            // live tables instead — exact corpus stats whichever
+            // between-table-writes window the rebuild fell into. Bumping
+            // the epoch again covers a second in-flight additive merger
+            // whose rows this recompute just counted.
+            writeGroundTruthStats(spark, dir, nBuckets, liveEpoch + 1, next)
+          } else {
+            val metaLive = statsLive.select(col("n_docs"), col("sum_dl"))
+              .head()
+            val merged = statsLive.select(col("term"), col("df"))
+              .where(col("term").isNotNull) // drop a full-purge sentinel row
+              .unionByName(dfNew)
+              .groupBy(col("term")).agg(sum(col("df")).as("df"))
+              .withColumn("n_docs",
+                lit(metaLive.getLong(0) + batchTotals.getLong(0)))
+              .withColumn("sum_dl",
+                lit(metaLive.getLong(1) + batchTotals.getLong(1)))
+              .withColumn("n_buckets", lit(nBuckets))
+              .withColumn("stats_epoch", lit(liveEpoch))
+            merged.write.mode("overwrite").parquet(next)
+          }
         }
       } finally postings.unpersist()
     } finally docsTok.unpersist()
@@ -348,22 +429,13 @@ object Retrieval {
   private def rebuildStats(spark: SparkSession, dir: String): Unit =
     IndexFiles.writeNextVersion(spark, dir, "stats") { next =>
       // source tables resolve INSIDE the stats lease (the IndexFiles
-      // read-under-lease rule)
-      val nBuckets = spark.read
+      // read-under-lease rule); the epoch bump is what lets a concurrent
+      // additive merger detect this rebuild and self-heal (statsOf doc)
+      val statsLive = spark.read
         .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-        .select(col("n_buckets")).head().getInt(0)
-      val dfreq = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val totals = spark.read
-          .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
-          .agg(count(lit(1)).as("n_docs"),
-            coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-        statsOf(dfreq, totals, nBuckets)
-          .write.mode("overwrite").parquet(next)
-      } finally dfreq.unpersist()
+      val nBuckets = statsLive.select(col("n_buckets")).head().getInt(0)
+      writeGroundTruthStats(spark, dir, nBuckets,
+        statsEpochOf(statsLive) + 1, next)
     }
 
   /** DELETE documents from a persisted inverted index — the takedown /
@@ -467,9 +539,15 @@ object Retrieval {
     val statsInto = spark.read.parquet(IndexFiles.tablePath(spark, into, "stats"))
     val statsFrom = spark.read.parquet(IndexFiles.tablePath(spark, from, "stats"))
     val metaInto = statsInto.select(col("n_buckets"), col("n_docs"),
-      col("sum_dl")).head()
+      col("sum_dl"),
+      (if (statsInto.columns.contains("stats_epoch")) col("stats_epoch")
+       else lit(0L)).as("stats_epoch")).head()
     val metaFrom = statsFrom.select(col("n_docs"), col("sum_dl")).head()
     val nBuckets = metaInto.getInt(0)
+    // captured before from's rows land in into's tables — the stats merge
+    // below compares it with the live epoch to detect a concurrent
+    // ground-truth rebuild (the appendToIndex self-heal rationale)
+    val entryEpoch = metaInto.getLong(3)
     val dlInto = spark.read.parquet(IndexFiles.tablePath(spark, into, "doclens"))
     val dlFrom = spark.read.parquet(IndexFiles.tablePath(spark, from, "doclens"))
     if (requireDisjoint) {
@@ -481,7 +559,10 @@ object Retrieval {
     }
     // re-bucket under into's modulus (no-op values when the moduli match,
     // but always recomputed: the stored bucket is from's geometry)
-    IndexFiles.withTableLease(spark, into, "postings") {
+    IndexFiles.withTableLeaseFenced(spark, into, "postings") { lease =>
+      // fenced like appendToIndex: a taken-over holder must not land
+      // rows into a version the taker is about to prune
+      lease.checkStillHeld("the postings merge-append")
       spark.read.parquet(IndexFiles.tablePath(spark, from, "postings"))
         .select(col("term"), col("doc_id"), col("tf"))
         .withColumn("bucket",
@@ -491,7 +572,8 @@ object Retrieval {
         .parquet(IndexFiles.tablePath(spark, into, "postings"))
     }
     FaultPoints.afterTable("bm25.merge", "postings")
-    IndexFiles.withTableLease(spark, into, "doclens") {
+    IndexFiles.withTableLeaseFenced(spark, into, "doclens") { lease =>
+      lease.checkStillHeld("the doclens merge-append")
       dlFrom.select(col("doc_id"), col("dl")).write.mode("append")
         .parquet(IndexFiles.tablePath(spark, into, "doclens"))
     }
@@ -504,17 +586,28 @@ object Retrieval {
     IndexFiles.writeNextVersion(spark, into, "stats") { next =>
       val statsLive = spark.read
         .parquet(IndexFiles.tablePath(spark, into, "stats"))
-      val metaLive = statsLive.select(col("n_docs"), col("sum_dl")).head()
-      val merged = statsLive.select(col("term"), col("df"))
-        .where(col("term").isNotNull) // drop a full-purge sentinel row
-        .unionByName(statsFrom.select(col("term"), col("df")))
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-        .withColumn("n_docs",
-          lit(metaLive.getLong(0) + metaFrom.getLong(0)))
-        .withColumn("sum_dl",
-          lit(metaLive.getLong(1) + metaFrom.getLong(1)))
-        .withColumn("n_buckets", lit(nBuckets))
-      merged.write.mode("overwrite").parquet(next)
+      val liveEpoch = statsEpochOf(statsLive)
+      if (liveEpoch != entryEpoch) {
+        // SELF-HEAL: a ground-truth rebuild republished into's stats
+        // while from's postings/doclens were landing and may already
+        // have counted them — recompute from the live tables (from's
+        // contribution is fully landed above) instead of double-adding
+        // (the appendToIndex drift rationale)
+        writeGroundTruthStats(spark, into, nBuckets, liveEpoch + 1, next)
+      } else {
+        val metaLive = statsLive.select(col("n_docs"), col("sum_dl")).head()
+        val merged = statsLive.select(col("term"), col("df"))
+          .where(col("term").isNotNull) // drop a full-purge sentinel row
+          .unionByName(statsFrom.select(col("term"), col("df")))
+          .groupBy(col("term")).agg(sum(col("df")).as("df"))
+          .withColumn("n_docs",
+            lit(metaLive.getLong(0) + metaFrom.getLong(0)))
+          .withColumn("sum_dl",
+            lit(metaLive.getLong(1) + metaFrom.getLong(1)))
+          .withColumn("n_buckets", lit(nBuckets))
+          .withColumn("stats_epoch", lit(liveEpoch))
+        merged.write.mode("overwrite").parquet(next)
+      }
     }
   }
 

@@ -158,8 +158,12 @@ object Similarity {
     // lists version, so reading them before it could assign this batch
     // under a quantizer a concurrent retrain just replaced — appended
     // rows would sit in cells the LIVE quantizer never probes.
-    IndexFiles.withTableLease(spark, dir, "lists") {
+    IndexFiles.withTableLeaseFenced(spark, dir, "lists") { lease =>
       val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
+      // fenced before the write job (the Retrieval.appendToIndex
+      // rationale): a taken-over holder must not land rows into a
+      // version the taker is about to prune
+      lease.checkStillHeld("the lists append")
       writeLists(c0.withColumn("cell", nearestCell(spark, col("v"), cents))
         .select(col("cell"), col(idCol).as("vec_id"), col("v").as("c_vec")),
         IndexFiles.tablePath(spark, dir, "lists"), mode = "append")
@@ -826,7 +830,9 @@ object Similarity {
         readCodebooks(spark, s"$from/codebooks"),
       "mergeIvfPqIndexes: PQ codebooks differ — codes are not " +
         "transferable between independently trained IVF-PQ indexes")
-    IndexFiles.withTableLease(spark, into, "lists") {
+    IndexFiles.withTableLeaseFenced(spark, into, "lists") { lease =>
+      // fenced before the write job (the Retrieval.appendToIndex rationale)
+      lease.checkStillHeld("the lists merge-append")
       writeLists(spark.read
           .parquet(IndexFiles.tablePath(spark, from, "lists"))
           .select(col("cell").cast("int").as("cell"), col("vec_id"),
@@ -857,7 +863,7 @@ object Similarity {
     // centroids resolve through the lists version, and an assignment
     // under artifacts a concurrent rewrite replaced would land rows in
     // cells the live index never probes)
-    IndexFiles.withTableLease(spark, dir, "lists") {
+    IndexFiles.withTableLeaseFenced(spark, dir, "lists") { lease =>
       val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
       val cb = readCodebooks(spark, s"$dir/codebooks")
       // two-step select keeps the double-cast vector a bound attribute
@@ -866,6 +872,8 @@ object Similarity {
         .select(col(idCol).as("vec_id"), Vec.asDouble(col(vecCol)).as("__v"))
         .select(col("vec_id"), col("__v"),
           nearestCell(spark, col("__v"), cents).as("cell"))
+      // fenced before the write job (the Retrieval.appendToIndex rationale)
+      lease.checkStillHeld("the lists append")
       writeLists(assigned.select(col("cell"), col("vec_id"),
         array((0 until cb.m).map(s =>
           nearestSubCell(spark, col("__v"), s * cb.dsub,

@@ -11,9 +11,10 @@ import graft.operators.{Dedup, FaultPoints, IndexFiles, Retrieval}
   * verb pair lands in a repairable state: most pairs are EXACT (the
   * read-under-lease rule makes each table write see the other
   * operation's committed state), geometry races abort LOUDLY, and the
-  * one stats-drift case (BM25 append ∥ delete) skews idf only — the doc
-  * set served is always right and one rebuild-carrying operation
-  * restores exact stats. IVF and IVF-PQ are single-table families
+  * formerly-drifting case (BM25 append ∥ delete) now SELF-HEALS via the
+  * stats epoch — the additive merger detects the concurrent
+  * ground-truth rebuild and recomputes exact stats instead of
+  * double-adding. IVF and IVF-PQ are single-table families
   * (centroids/codebooks embedded inside the lists version), so their
   * verbs are FULLY serialized by the lists lease — no cross-table
   * window exists to interleave (documented, not tested).
@@ -94,33 +95,55 @@ class IndexInterleaveSpec extends AnyFunSuite {
     assertExact(d, hostIds ++ batchIds, "append∥append")
   }
 
-  test("bm25 append ∥ delete: right doc set, stats drift = df only, repairable") {
-    // THE drift pair (IndexFiles scope doc): the delete's ground-truth
-    // rebuild runs after the append's postings landed but before its
-    // additive stats merge — the batch's df is counted twice
+  test("bm25 append ∥ delete: epoch-detected rebuild race self-heals, exact") {
+    // THE former drift pair (IndexFiles scope doc): the delete's
+    // ground-truth rebuild runs after the append's postings landed but
+    // before its additive stats merge — pre-r17 the batch's df was
+    // counted twice (repairable, not exact). The stats EPOCH (bumped by
+    // the rebuild, compared entry-vs-live inside the stats lease) lets
+    // the append detect the rebuild and recompute ground truth instead
+    // of double-adding: the landed state is now EXACT, stats included.
     val d = host()
     interleave("bm25.append" -> "postings") {
       Retrieval.deleteFromIndex(spark, d, Seq(1L, 2L).toDF("doc_id"))
     } { Retrieval.appendToIndex(spark, d, bdocs(batchIds)) }
     val want = hostIds.filterNot(Set(1, 2)) ++ batchIds
-    val one = oneShot(want)
-    // the serve DOC SET is exact — drift skews scores, never membership
-    assert(servedDocs(d) == servedDocs(one),
-      "append∥delete: served docs must be exactly survivors ∪ batch")
-    // the drift is precisely the documented one: batch-term df doubled,
-    // totals exact (the rebuild saw batch postings but not its doclens)
-    val sm = stats(d).map(t => t._1 -> t).toMap
-    val so = stats(one).map(t => t._1 -> t).toMap
-    assert(sm("uniq20")._2 == 2 * so("uniq20")._2,
-      "batch-unique term df must be exactly double-counted")
-    assert(sm("uniq20")._3 == so("uniq20")._3 &&
-      sm("uniq20")._4 == so("uniq20")._4,
-      "n_docs / sum_dl must stay exact through the drift")
-    assert(sm("uniq3") == so("uniq3"),
-      "host-term stats rows must be untouched by the drift")
-    // one rebuild-carrying op restores exact corpus stats
-    Retrieval.compactIndex(spark, d, dedupeRows = true)
-    assertExact(d, want, "append∥delete after dedupe-compact repair")
+    assertExact(d, want, "append∥delete (self-healed)")
+    // the heal is visible in the epoch trail: build = 0, the delete's
+    // rebuild = 1, the append's ground-truth recompute = 2 (an
+    // undisturbed additive merge would have left it at 1)
+    val epoch = spark.read.parquet(IndexFiles.tablePath(spark, d, "stats"))
+      .select("stats_epoch").head().getLong(0)
+    assert(epoch == 2L,
+      s"append must have healed via ground truth (epoch 2), got $epoch")
+  }
+
+  test("bm25 append ∥ delete at the doclens window: totals would double too — self-heals, exact") {
+    // the OTHER window (rebuild after BOTH batch tables landed): the
+    // rebuild counts the full batch, so an additive merge would double
+    // df AND n_docs/sum_dl — same epoch detection, same ground-truth
+    // recompute, exact either way
+    val d = host()
+    interleave("bm25.append" -> "doclens") {
+      Retrieval.deleteFromIndex(spark, d, Seq(1L, 2L).toDF("doc_id"))
+    } { Retrieval.appendToIndex(spark, d, bdocs(batchIds)) }
+    assertExact(d, hostIds.filterNot(Set(1, 2)) ++ batchIds,
+      "append∥delete at doclens window (self-healed)")
+  }
+
+  test("bm25 merge ∥ delete at merge's postings window: self-heals, exact") {
+    // the merge-side twin of the drift pair (the delete∥merge test
+    // below drives the DELETE to its window; this drives the MERGE):
+    // the delete's rebuild counts the shard's landed postings, and the
+    // merge's additive stats merge would re-add them — epoch detection
+    // recomputes ground truth instead
+    val d = host(); val s = tmp("il_bm25_s4")
+    Retrieval.buildIndex(bdocs(shard2Ids), s, nBuckets = 8)
+    interleave("bm25.merge" -> "postings") {
+      Retrieval.deleteFromIndex(spark, d, Seq(1L, 2L).toDF("doc_id"))
+    } { Retrieval.mergeIndexes(spark, d, s) }
+    assertExact(d, hostIds.filterNot(Set(1, 2)) ++ shard2Ids,
+      "merge∥delete at merge's postings window (self-healed)")
   }
 
   test("bm25 append ∥ merge: both additive, exact") {

@@ -220,4 +220,39 @@ class WriterLeaseSpec extends AnyFunSuite {
     assert(doclensCount(idx) == 2, "takeover rewrite must publish normally")
     assert(!lock.exists(), "lease must be released after the rewrite")
   }
+
+  test("a taken-over holder's APPEND is fenced out before landing rows") {
+    // the r17 append fence: a holder that resumed after a stale-lease
+    // takeover used to land its append rows into whatever table version
+    // the taker had made live (or was about to prune) — silently lost
+    // rows. checkStillHeld right before the write job aborts instead.
+    // Staged via the in-lease pre-write seam: the "takeover" rewrites
+    // the lock with the taker's identity inside exactly the stall
+    // window the fence closes.
+    val idx = freshIndex()
+    val lockFile = new java.io.File(s"$idx/postings.lock")
+    val postingsCount = () => spark.read
+      .parquet(IndexFiles.tablePath(spark, idx, "postings")).count()
+    val before = postingsCount()
+    val err = intercept[IllegalStateException] {
+      graft.operators.FaultPoints.withPreWriteHook((op, t) =>
+        if (op == "bm25.append" && t == "postings")
+          java.nio.file.Files.write(lockFile.toPath,
+            "taker-host/pid=999/nonce=deadbeef".getBytes("UTF-8"))) {
+        Retrieval.appendToIndex(spark, idx,
+          Seq((9L, "zeta eta theta")).toDF("doc_id", "text"))
+      }
+    }
+    assert(err.getMessage.contains("fenced out"), err.getMessage)
+    assert(postingsCount() == before,
+      "fenced append must not land postings rows")
+    assert(doclensCount(idx) == 2,
+      "fenced append must not have reached the doclens append")
+    // and release must NOT delete the taker's lease
+    assert(lockFile.exists(), "release must leave the taker's lock alone")
+    assert(new String(java.nio.file.Files.readAllBytes(lockFile.toPath),
+      "UTF-8").contains("taker-host"),
+      "the taker's lock content must survive the fenced holder's release")
+    lockFile.delete()
+  }
 }
