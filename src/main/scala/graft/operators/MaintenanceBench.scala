@@ -39,10 +39,20 @@ import org.apache.spark.sql.functions._
   * the zero-downtime claim for the newest verb, measured at scale
   * instead of spec'd at toy scale (IndexSwapSpec's loop).
   *
+  * `liveserve3` — THREE-WAY: a foreachBatch ingest stream appends into
+  * the LSH index while the serve thread probes and a retrain cuts over
+  * mid-append (staged at the between-table window via [[FaultPoints]]);
+  * require's geometry-abort + exactly-once replay + zero wrong serves
+  * simultaneously. Both liveserve modes run under a FAIR scheduler with
+  * a dedicated serve pool (see [[fairPoolsFile]]) and gate the
+  * during-window probe median at 3x the before-median
+  * (`GRAFT_LIVESERVE_MAX_RATIO` overrides on loaded hosts).
+  *
   * Any violated invariant crashes the run (the CompactionBench
   * discipline: a bench that can silently serve garbage measures nothing).
   * One JSON line per family per mode. Usage:
-  * `runMain graft.operators.MaintenanceBench [nBase] [verbs|composed|all|liveserve]`.
+  * `runMain graft.operators.MaintenanceBench [nBase]
+  * [verbs|composed|all|liveserve|liveserve3]`.
   */
 object MaintenanceBench {
 
@@ -72,22 +82,55 @@ object MaintenanceBench {
 
   private val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** FAIR-pool allocation for the liveserve modes: the serve loop's probe
+    * jobs get a guaranteed minShare of the 32 slots (and 8x the weight in
+    * excess allocation), so a retrain's wide stages can no longer queue a
+    * whole probe behind them — the r16 liveserve_ivf during-window spike
+    * (2.6-20.3 s vs a 1.9-2.1 s floor) was exactly that FIFO contention.
+    * FAIR does not preempt RUNNING tasks, so the residual during-window
+    * tail is bounded by the retrain's longest single task, not its stages.
+    */
+  private def fairPoolsFile(): String = {
+    val f = java.nio.file.Files.createTempFile(tmpRoot, "fair_pools", ".xml")
+    java.nio.file.Files.writeString(f,
+      """<?xml version="1.0"?>
+        |<allocations>
+        |  <pool name="serve">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>8</weight>
+        |    <minShare>8</minShare>
+        |  </pool>
+        |  <pool name="maint">
+        |    <schedulingMode>FIFO</schedulingMode>
+        |    <weight>1</weight>
+        |    <minShare>0</minShare>
+        |  </pool>
+        |</allocations>
+        |""".stripMargin)
+    f.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toLong else 1000000L
     val mode = if (args.length > 1) args(1) else "verbs"
-    require(Set("verbs", "composed", "all", "liveserve")(mode),
+    require(Set("verbs", "composed", "all", "liveserve", "liveserve3")(mode),
       s"unknown mode $mode")
-    val spark = SparkSession.builder()
+    val live = mode.startsWith("liveserve")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .appName("graft-maintenance-bench")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (live) builder
+      .config("spark.scheduler.mode", "FAIR")
+      .config("spark.scheduler.allocation.file", fairPoolsFile())
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       if (mode == "verbs" || mode == "all") verbs(spark, nBase)
       if (mode == "composed" || mode == "all") composed(spark, nBase)
       if (mode == "liveserve") liveServe(spark, nBase)
+      if (mode == "liveserve3") liveServe3(spark, nBase)
     } finally {
       spark.stop()
       deleteRecursively(tmpRoot.toFile)
@@ -323,13 +366,17 @@ object MaintenanceBench {
   /** One serve loop: probes on a dedicated thread until stopped,
     * recording (startMs, endMs, resultOk); `probe` must be
     * version-consistent per call (each probe resolves the index once).
+    * The thread pins its jobs to the FAIR "serve" pool (a no-op under
+    * FIFO), overriding whatever pool it inherited from the spawner.
     */
-  private final class ServeLoop(probe: () => Boolean) {
+  private final class ServeLoop(sc: org.apache.spark.SparkContext,
+      probe: () => Boolean) {
     private val out =
       new java.util.concurrent.ConcurrentLinkedQueue[ProbeRec]()
     @volatile private var err: Throwable = null
     private val stopF = new java.util.concurrent.atomic.AtomicBoolean(false)
     private val t = new Thread(() => {
+      sc.setLocalProperty("spark.scheduler.pool", "serve")
       try while (!stopF.get()) {
         val t0 = System.currentTimeMillis()
         val ok = probe()
@@ -375,8 +422,21 @@ object MaintenanceBench {
     require(during.nonEmpty,
       s"$metric: no probe overlapped the retrain window — lengthen the " +
         "window or slow the probes; the measurement is the DURING column")
+    // serve-isolation gate (FAIR pools): the during-window median must
+    // stay within maxRatio of the before-median — the r16 FIFO runs
+    // spiked to 10x. Env-tunable for loaded hosts; the default is the
+    // verdict's bound.
+    def med(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val ratio = r3(med(during) / med(before))
+    val maxRatio =
+      sys.env.getOrElse("GRAFT_LIVESERVE_MAX_RATIO", "3.0").toDouble
+    require(ratio <= maxRatio,
+      s"$metric: during-median ${med(during)} s is ${ratio}x the " +
+        s"before-median ${med(before)} s (gate: ${maxRatio}x) — serve " +
+        "pool isolation failed to bound the retrain's interference")
     println(s"""{"metric":"$metric","n":$nBase,""" +
       s""""retrain_sec":${r3(tRetrain)},"n_probes":${rs.size},"wrong":0,""" +
+      s""""during_over_before_median":$ratio,""" +
       s""""probe_sec_before":${fmt(before)},""" +
       s""""probe_sec_during":${fmt(during)},""" +
       s""""probe_sec_after":${fmt(after)}}""")
@@ -386,6 +446,9 @@ object MaintenanceBench {
     // the LSH shingle pipeline resolves graft_hash48 from the session
     // registry; other modes register it via Retrieval.buildIndex
     graft.plans.NativeHash48.register(spark)
+    // builds + retrains run in the low-priority maint pool; ServeLoop
+    // pins its own thread to the serve pool
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maint")
     // ---- LSH: re-geometry under continuous veto probes ----
     locally {
       val corpus = CorpusBench.synth(spark, nBase).persist(mem)
@@ -401,7 +464,7 @@ object MaintenanceBench {
         .select((col("doc_id") + lit(5L * nBase)).as("doc_id"), col("text"))
         .persist(mem)
       val nCopies = probeBatch.count()
-      val loop = new ServeLoop(() => {
+      val loop = new ServeLoop(spark.sparkContext, () => {
         val sc = new Dedup.CacheScope
         try Dedup.matchesAgainstLshIndex(spark, dir, probeBatch, scope = sc)
           .where(col("jaccard") >= 0.8)
@@ -446,7 +509,7 @@ object MaintenanceBench {
         finally sc.release()
       }
       val want = probeAll()
-      val loop = new ServeLoop(() => probeAll() == want)
+      val loop = new ServeLoop(spark.sparkContext, () => probeAll() == want)
       loop.start()
       loop.awaitProbes(2)
       val w0 = System.currentTimeMillis()
@@ -458,6 +521,157 @@ object MaintenanceBench {
       reportLive("liveserve_ivf", nBase, recs, w0, w1, tRetrain)
       queries.unpersist(); vecs.unpersist()
     }
+  }
+
+  // ==================== liveserve3 mode ====================
+
+  /** THREE-WAY concurrency at scale: a foreachBatch ingest stream appends
+    * micro-batches into a live LSH index while a serve thread probes it
+    * continuously and a RETRAIN cuts the geometry over mid-append. The
+    * race is staged deterministically at the worst window (the
+    * [[FaultPoints]] seam fires the retrain between a micro-batch's
+    * shingle and band writes — the exact interleaving
+    * BpeAndLshIndexSpec proves at unit scale), and the run require's all
+    * three contracts SIMULTANEOUSLY:
+    *
+    *  1. geometry-abort: the racing micro-batch aborts loudly on the
+    *     under-lease geometry re-check and the stream fails BEFORE its
+    *     checkpoint commits;
+    *  2. exactly-once: a restart from the same checkpoint re-delivers
+    *     the batch; when the stream drains, the corpus holds every
+    *     planted unique exactly once and no planted copy — survivors are
+    *     closed-form because copies are EXACT dups of indexed seeds
+    *     (identical shingle sets collide under ANY geometry) and uniques
+    *     share no shingle with anything;
+    *  3. zero wrong serves: every probe across before/during/after the
+    *     cutover hits all its seed copies, with latency split reported
+    *     and the FAIR-pool isolation gate applied as in liveserve.
+    */
+  private def liveServe3(spark: SparkSession, nBase: Long): Unit = {
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    graft.plans.NativeHash48.register(spark)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "maint")
+    val root = tmp("ls3")
+    val idx = s"$root/index"; val corpusOut = s"$root/corpus"
+    val corpus = CorpusBench.synth(spark, nBase).persist(mem)
+    corpus.count()
+    Dedup.saveLshIndex(corpus, "doc_id", "text", idx, k = 16, nBands = 8)
+
+    // stream input: 4 micro-batch files, each half exact seed copies
+    // (drop under any geometry) and half namespaced uniques (survive
+    // under any geometry) — the closed-form survivor set
+    val nPer = math.max(250L, nBase / 64)
+    val copyIds = (b: Int) => corpus
+      .where(col("doc_id") >= b * nPer && col("doc_id") < (b + 1) * nPer)
+      .select((col("doc_id") + lit(6L * nBase)).as("doc_id"), col("text"))
+    val uniques = (b: Int) => spark.range(b * nPer, (b + 1) * nPer)
+      .select((col("id") + lit(7L * nBase)).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1), lit(40)),
+          i => concat(lit("u"), col("id").cast("string"), lit("t"),
+            i.cast("string")))).as("text"))
+    (0 until 4).foreach { b =>
+      copyIds(b).union(uniques(b)).coalesce(1)
+        .write.parquet(s"$root/in/b$b")
+    }
+    val expectIds = spark.range(0, 4 * nPer)
+      .select((col("id") + lit(7L * nBase)).as("doc_id")).persist(mem)
+    expectIds.count()
+
+    // serve loop: exact copies of 200 seed docs must ALL hit, at every
+    // instant of the run (the liveserve_lsh veto construction; stream
+    // appends only ADD docs and cannot remove a seed's collisions)
+    val probeBatch = corpus.where(col("doc_id") < 200)
+      .select((col("doc_id") + lit(5L * nBase)).as("doc_id"), col("text"))
+      .persist(mem)
+    val nCopies = probeBatch.count()
+    val loop = new ServeLoop(spark.sparkContext, () => {
+      val sc = new Dedup.CacheScope
+      try Dedup.matchesAgainstLshIndex(spark, idx, probeBatch, scope = sc)
+        .where(col("jaccard") >= 0.8)
+        .select("batch_id").distinct().count() == nCopies
+      finally sc.release()
+    })
+    loop.start()
+    loop.awaitProbes(2)
+
+    val schema = spark.read.parquet(s"$root/in/b0").schema
+    def startStream() = StreamingOps.ingestWithDedup(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(s"$root/in/*"),
+      idx, corpusOut, jaccardThreshold = 0.8)
+      .option("checkpointLocation", s"$root/ckpt").start()
+
+    // stage the cutover at the worst window of the FIRST micro-batch
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile var w0 = 0L; @volatile var w1 = 0L
+    @volatile var tRetrain = 0.0
+    val aborted =
+      try {
+        FaultPoints.withHook((o, t) =>
+          if (o == "lsh.append" && t == "shingles" &&
+              fired.compareAndSet(false, true)) {
+            w0 = System.currentTimeMillis()
+            val (tr, _) =
+              timed(Dedup.retrainLshIndex(spark, idx, k = 8, nBands = 4))
+            tRetrain = tr
+            w1 = System.currentTimeMillis()
+          }) {
+          val q = startStream()
+          try q.processAllAvailable() finally q.stop()
+        }
+        false
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+          val chain = Iterator.iterate(e: Throwable)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => String.valueOf(t.getMessage)).toSeq
+          require(chain.exists(_.contains("geometry changed")),
+            s"stream died but not on the geometry re-check: $chain")
+          true
+      }
+    require(aborted,
+      "the staged retrain must abort the racing micro-batch (the hook " +
+        "did not fire inside an append window)")
+    require(!new java.io.File(corpusOut).exists() ||
+      spark.read.parquet(corpusOut).count() == 0L,
+      "an aborted micro-batch must not have published corpus rows")
+
+    // replay from the SAME checkpoint: all 4 batches land under the new
+    // geometry, exactly once
+    val (tReplay, _) = timed {
+      val q2 = startStream()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    loop.awaitProbesAfter(w1, 2)
+    val recs = loop.stop()
+
+    val got = spark.read.parquet(corpusOut)
+    val nDup = got.groupBy("doc_id").count()
+      .where(col("count") > 1).count()
+    require(nDup == 0, s"$nDup doc_ids applied more than once")
+    val missing = expectIds.except(got.select("doc_id")).count()
+    val extra = got.select("doc_id").except(expectIds).count()
+    require(missing == 0 && extra == 0,
+      s"survivor set wrong: $missing planted uniques missing, " +
+        s"$extra unexpected survivors (planted copies must drop)")
+    // cross-batch visibility on the grown index: a fresh exact copy of a
+    // landed survivor drops; a fresh unique survives
+    val visProbe = Seq(
+      (9L * nBase, s"u0t1 " + (2 to 40).map(i => s"u0t$i").mkString(" ")),
+      (9L * nBase + 1, (1 to 40).map(i => s"v9t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val visKept = Dedup.dedupBatchAgainstLshIndex(spark, idx,
+      visProbe.toDF("doc_id", "text"), jaccardThreshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    require(visKept == Set(9L * nBase + 1),
+      s"grown-index visibility wrong: kept $visKept")
+
+    reportLive("liveserve3_lsh", nBase, recs, w0, w1, tRetrain)
+    println(s"""{"metric":"liveserve3_stream","n":$nBase,""" +
+      s""""n_stream_docs":${8 * nPer},"n_survivors":${4 * nPer},""" +
+      s""""abort_replayed":true,"replay_sec":${r3(tReplay)}}""")
+    probeBatch.unpersist(); expectIds.unpersist(); corpus.unpersist()
   }
 
   // ==================== composed mode ====================
