@@ -183,21 +183,37 @@ object ScaleUp {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def tbl(n: String) = graft.queries.Common.table(spark, srcDir, n)
-    def write(df: org.apache.spark.sql.DataFrame, n: String, parts: Int = 64): Unit =
-      df.repartition(parts).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    // The replication input: a driver-SF source table is a single ~10 MB
+    // parquet file = ONE scan partition, and the crossJoin(broadcast)
+    // preserves that — so without this spread the entire factor-x row
+    // generation and its repartition shuffle map side run as ONE task
+    // (at factor 1000 that single task churns 600M lineitem rows for the
+    // better part of an hour). Spreading the tiny source first makes the
+    // generation 32-way; the extra shuffle moves only source-sized data.
+    def tblWide(n: String) = tbl(n).repartition(32)
+    // Idempotent per-table writes (keyed on the _SUCCESS marker): a
+    // factor-1000 build is long enough that restartability matters —
+    // a rerun resumes at the first unfinished table instead of
+    // regenerating the finished ones.
+    def write(df: => org.apache.spark.sql.DataFrame, n: String,
+        parts: Int = 64): Unit =
+      if (new java.io.File(s"$outDir/$n.parquet/_SUCCESS").exists())
+        println(s"skip $n: already complete at $outDir")
+      else df.repartition(parts).write.mode("overwrite")
+        .parquet(s"$outDir/$n.parquet")
 
     // events: ts normalized to bigint ns and written back as plain
     // bigint, which Common.events consumes via its LongType branch
-    write(replicateEvents(tbl("events"), factor), "events")
-    write(if (mode == "unique") replicateDocsUnique(tbl("documents"), factor)
-          else replicateDocs(tbl("documents"), factor), "documents")
-    write(replicateKeyed(tbl("lineitem"), factor, Seq("l_orderkey")), "lineitem")
-    write(replicateKeyed(tbl("orders"), factor, Seq("o_orderkey", "o_custkey")), "orders")
-    write(replicateKeyed(tbl("customer"), factor, Seq("c_custkey")), "customer", 8)
-    write(replicateKeyed(tbl("part"), factor, Seq("p_partkey")), "part", 8)
+    write(replicateEvents(tblWide("events"), factor), "events")
+    write(if (mode == "unique") replicateDocsUnique(tblWide("documents"), factor)
+          else replicateDocs(tblWide("documents"), factor), "documents")
+    write(replicateKeyed(tblWide("lineitem"), factor, Seq("l_orderkey")), "lineitem")
+    write(replicateKeyed(tblWide("orders"), factor, Seq("o_orderkey", "o_custkey")), "orders")
+    write(replicateKeyed(tblWide("customer"), factor, Seq("c_custkey")), "customer", 8)
+    write(replicateKeyed(tblWide("part"), factor, Seq("p_partkey")), "part", 8)
     write(if (mode == "unique")
-            replicateEmbeddingsUnique(tbl("embeddings"), factor)
-          else replicateEmbeddings(tbl("embeddings"), factor), "embeddings")
+            replicateEmbeddingsUnique(tblWide("embeddings"), factor)
+          else replicateEmbeddings(tblWide("embeddings"), factor), "embeddings")
     // broadcast dims pass through unreplicated
     Seq("region", "nation", "supplier").foreach(n => write(tbl(n), n, 1))
 
