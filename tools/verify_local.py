@@ -23,6 +23,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # Outsized-SF replays (sf10/sf100 replicas): without an explicit cap
+    # DuckDB grows to 80% of physical RAM and coexists badly with the
+    # Spark JVMs the same rehearsal runs — cap it and give it a spill
+    # dir so heavy oracle queries degrade to disk instead of inviting
+    # the OOM killer. Overridable for small-SF runs (where it never
+    # matters anyway).
+    limit = os.environ.get("GRAFT_DUCKDB_MEM", "48GB")
+    con.execute(f"SET memory_limit='{limit}'")
+    con.execute("SET temp_directory='/tmp/graft_duck_spill'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written directory table (ScaleUp replicas)
