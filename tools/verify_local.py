@@ -53,10 +53,13 @@ def main(sf_dir: str, out_dir: str) -> int:
                     f"(make_timestamp(ts // 1000) AS ts) FROM {src}")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
+    # Optional subset (comma-list of query names): lets an outsized-SF
+    # replay split light and heavy oracles across instances.
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     results = {}
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if not os.path.isdir(d) or (only is not None and name not in only):
             continue
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(p) for p in files]) if files else pd.DataFrame()
@@ -99,10 +102,15 @@ def main(sf_dir: str, out_dir: str) -> int:
                         i = bad.idxmax()
                         neq.append(f"{c}[{i}]: got={a[i]!r} exp={b[i]!r} ({int(bad.sum())} diffs)")
                 results[name] = "VALUE-MISMATCH " + "; ".join(neq[:3])
+        # incremental progress line (an hours-long outsized-SF replay is
+        # otherwise silent until the final summary — and a killed run
+        # banks nothing); the sorted summary below remains the record
+        print(f"done {name}: {results[name]}", flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_no = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
     for k, v in sorted(results.items()):
         print(f"{'PASS' if v.startswith('OK') else 'INFO' if v.startswith('NO-ORACLE') else 'FAIL':5s} {k}: {v}")
+    sys.stdout.flush()
     print(f"\n{n_ok} ok, {n_no} rows-only, {len(results) - n_ok - n_no} failed, {len(results)} total")
     return 0 if n_ok + n_no == len(results) else 1
 
