@@ -200,6 +200,13 @@ object Bench {
         val excluded = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
           .getOrElse(Set.empty[String])
+        // A typo'd name would be ANNOUNCED as excluded while the query
+        // actually runs — the artifact would misstate what was measured.
+        // Fail loudly instead.
+        val unknown = excluded -- SparkEntry.queries.map(_._1).toSet
+        require(unknown.isEmpty,
+          s"SPARK_GRAFT_BENCH_EXCLUDE names unknown queries: " +
+            s"${unknown.toSeq.sorted.mkString(",")}")
         if (excluded.nonEmpty)
           println(s"""{"metric":"bench_excluded","queries":[""" +
             excluded.toSeq.sorted.map("\"" + _ + "\"").mkString(",") +

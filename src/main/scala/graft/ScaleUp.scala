@@ -191,16 +191,34 @@ object ScaleUp {
     // better part of an hour). Spreading the tiny source first makes the
     // generation 32-way; the extra shuffle moves only source-sized data.
     def tblWide(n: String) = tbl(n).repartition(32)
-    // Idempotent per-table writes (keyed on the _SUCCESS marker): a
-    // factor-1000 build is long enough that restartability matters —
-    // a rerun resumes at the first unfinished table instead of
-    // regenerating the finished ones.
+    // Idempotent per-table writes (keyed on the _SUCCESS marker plus a
+    // build manifest): a factor-1000 build is long enough that
+    // restartability matters — a rerun resumes at the first unfinished
+    // table instead of regenerating the finished ones. The manifest
+    // records (factor, mode, srcDir) per table so a rerun into the same
+    // outDir with DIFFERENT parameters fails loudly instead of silently
+    // keeping stale tables and producing a mixed-scale dataset.
+    val buildDesc = s"factor=$factor mode=$mode src=$srcDir"
     def write(df: => org.apache.spark.sql.DataFrame, n: String,
-        parts: Int = 64): Unit =
-      if (new java.io.File(s"$outDir/$n.parquet/_SUCCESS").exists())
-        println(s"skip $n: already complete at $outDir")
-      else df.repartition(parts).write.mode("overwrite")
-        .parquet(s"$outDir/$n.parquet")
+        parts: Int = 64): Unit = {
+      val manifest = new java.io.File(s"$outDir/$n.parquet/_GRAFT_BUILD")
+      if (new java.io.File(s"$outDir/$n.parquet/_SUCCESS").exists()) {
+        val prev = if (manifest.exists())
+          new String(java.nio.file.Files.readAllBytes(manifest.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+        else "<no manifest (pre-r18 build)>"
+        require(prev == buildDesc,
+          s"$outDir/$n.parquet exists but was built with [$prev], not " +
+            s"[$buildDesc] — delete the table (or the whole outDir) to " +
+            "rebuild; refusing to mix scales")
+        println(s"skip $n: already complete at $outDir ($prev)")
+      } else {
+        df.repartition(parts).write.mode("overwrite")
+          .parquet(s"$outDir/$n.parquet")
+        java.nio.file.Files.write(manifest.toPath,
+          buildDesc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    }
 
     // events: ts normalized to bigint ns and written back as plain
     // bigint, which Common.events consumes via its LongType branch

@@ -633,7 +633,15 @@ object MaintenanceBench {
     require(aborted,
       "the staged retrain must abort the racing micro-batch (the hook " +
         "did not fire inside an append window)")
-    require(!new java.io.File(corpusOut).exists() ||
+    // Count committed part files before asking Spark to read the dir: an
+    // aborted job can leave corpusOut existing with only _temporary
+    // leftovers, and spark.read.parquet on a footer-less dir throws
+    // "unable to infer schema" — masking the intended require with an
+    // unrelated error. No committed part files ⇒ 0 published rows.
+    val committedParts = Option(new java.io.File(corpusOut).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+    require(committedParts.isEmpty ||
       spark.read.parquet(corpusOut).count() == 0L,
       "an aborted micro-batch must not have published corpus rows")
 

@@ -7,7 +7,7 @@ columns). Usage:
     python3 tools/verify_local.py <sfDir> <outDir>
 after running:  sbt "runMain graft.Verify <sfDir> <outDir>"
 """
-import sys, os, json, glob
+import sys, os, json, glob, shutil, tempfile
 import duckdb
 import pandas as pd
 
@@ -31,7 +31,13 @@ def main(sf_dir: str, out_dir: str) -> int:
     # matters anyway).
     limit = os.environ.get("GRAFT_DUCKDB_MEM", "48GB")
     con.execute(f"SET memory_limit='{limit}'")
-    con.execute("SET temp_directory='/tmp/graft_duck_spill'")
+    # Process-unique spill dir: DuckDB temp filenames are NOT
+    # process-unique (duckdb_temp_storage-0.tmp, block ids from a fixed
+    # base), so two concurrent verify_local.py instances sharing a spill
+    # dir clobber each other's blocks — exactly the split-replay usage the
+    # `only` arg enables. mkdtemp + cleanup at exit.
+    spill = tempfile.mkdtemp(prefix="graft_duck_spill_")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.isdir(p):  # Spark-written directory table (ScaleUp replicas)
@@ -56,25 +62,19 @@ def main(sf_dir: str, out_dir: str) -> int:
     # Optional subset (comma-list of query names): lets an outsized-SF
     # replay split light and heavy oracles across instances.
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
-    results = {}
-    for name in sorted(os.listdir(out_dir)):
-        d = os.path.join(out_dir, name)
-        if not os.path.isdir(d) or (only is not None and name not in only):
-            continue
+
+    def check_one(name: str, d: str) -> str:
         files = glob.glob(os.path.join(d, "*.parquet"))
         got = pd.concat([pd.read_parquet(p) for p in files]) if files else pd.DataFrame()
         if name not in oracle:
-            results[name] = f"NO-ORACLE rows={len(got)}"
-            continue
+            return f"NO-ORACLE rows={len(got)}"
         try:
             exp = con.sql(oracle[name]).df()
         except Exception as e:
-            results[name] = f"ORACLE-SQL-ERROR {e}"
-            continue
+            return f"ORACLE-SQL-ERROR {e}"
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
-            results[name] = f"SCHEMA-MISMATCH got={list(g.columns)} exp={list(e.columns)}"
-            continue
+            return f"SCHEMA-MISMATCH got={list(g.columns)} exp={list(e.columns)}"
         # Type-strict: the driver's hash is representation-sensitive, so a
         # DuckDB HUGEINT (pandas float64/object) vs Spark int64 must FAIL
         # here too, even when every value is numerically equal (the exact
@@ -85,26 +85,33 @@ def main(sf_dir: str, out_dir: str) -> int:
         dt_bad = [c for c in g.columns
                   if str(g[c].dtype) != str(e[c].dtype)]
         if len(g) != len(e):
-            results[name] = f"ROWCOUNT-MISMATCH got={len(g)} exp={len(e)}"
-        elif dt_bad:
-            results[name] = "DTYPE-MISMATCH " + "; ".join(
+            return f"ROWCOUNT-MISMATCH got={len(g)} exp={len(e)}"
+        if dt_bad:
+            return "DTYPE-MISMATCH " + "; ".join(
                 f"{c}: got={g[c].dtype} exp={e[c].dtype}" for c in dt_bad[:3])
-        else:
-            try:
-                pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
-                results[name] = f"OK rows={len(g)}"
-            except AssertionError as ex:
-                neq = []
-                for c in g.columns:
-                    a, b = g[c], e[c]
-                    bad = ~((a == b) | (a.isna() & b.isna()))
-                    if bad.any():
-                        i = bad.idxmax()
-                        neq.append(f"{c}[{i}]: got={a[i]!r} exp={b[i]!r} ({int(bad.sum())} diffs)")
-                results[name] = "VALUE-MISMATCH " + "; ".join(neq[:3])
-        # incremental progress line (an hours-long outsized-SF replay is
-        # otherwise silent until the final summary — and a killed run
-        # banks nothing); the sorted summary below remains the record
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=True, check_exact=True)
+            return f"OK rows={len(g)}"
+        except AssertionError:
+            neq = []
+            for c in g.columns:
+                a, b = g[c], e[c]
+                bad = ~((a == b) | (a.isna() & b.isna()))
+                if bad.any():
+                    i = bad.idxmax()
+                    neq.append(f"{c}[{i}]: got={a[i]!r} exp={b[i]!r} ({int(bad.sum())} diffs)")
+            return "VALUE-MISMATCH " + "; ".join(neq[:3])
+
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or (only is not None and name not in only):
+            continue
+        results[name] = check_one(name, d)
+        # incremental progress line on EVERY terminal path — incl.
+        # NO-ORACLE / ORACLE-SQL-ERROR / SCHEMA-MISMATCH (an hours-long
+        # outsized-SF oracle that errors out must still bank its line);
+        # the sorted summary below remains the record
         print(f"done {name}: {results[name]}", flush=True)
     n_ok = sum(1 for v in results.values() if v.startswith("OK"))
     n_no = sum(1 for v in results.values() if v.startswith("NO-ORACLE"))
@@ -112,6 +119,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         print(f"{'PASS' if v.startswith('OK') else 'INFO' if v.startswith('NO-ORACLE') else 'FAIL':5s} {k}: {v}")
     sys.stdout.flush()
     print(f"\n{n_ok} ok, {n_no} rows-only, {len(results) - n_ok - n_no} failed, {len(results)} total")
+    shutil.rmtree(spill, ignore_errors=True)
     return 0 if n_ok + n_no == len(results) else 1
 
 if __name__ == "__main__":
