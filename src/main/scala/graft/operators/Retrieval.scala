@@ -256,29 +256,78 @@ object Retrieval {
     } finally dfreq.unpersist()
   }
 
-  def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 64,
+  /** Scale-adaptive bucket count for a corpus of `nDocs` documents — the
+    * default when [[buildIndex]]'s caller does not pin one. A fixed
+    * modulus is tuned for exactly one scale: 64 directories of
+    * kilobyte files at bench SFs is the small-files anti-pattern (each
+    * partition dir costs driver-serial listing/commit work on every
+    * maintenance rewrite — measured ~18 ms/dir locally, i.e. ~1.2 s of
+    * pure layout overhead per postings write), while 64 buckets of a
+    * 100 TB corpus' postings are far too coarse for the 1/nBuckets
+    * per-term pruning the layout exists to provide. Deriving from corpus
+    * size keeps partition files in a healthy size band at every scale;
+    * `spark.graft.bm25.docsPerBucket` (default 20k) parameterizes the
+    * target, floor 8 keeps pruning meaningful on small corpora, cap 4096
+    * bounds directory count. Results never depend on the modulus (bucket
+    * ids appear in no output; serve reads it from stats/), so the only
+    * thing that changes with scale is the file layout.
+    */
+  private def chooseBuckets(nDocs: Long,
+      spark: SparkSession): Int = {
+    val perBucket = spark.conf.getOption("spark.graft.bm25.docsPerBucket")
+      .map(_.toLong).getOrElse(20000L)
+    math.min(4096L, math.max(8L,
+      (nDocs + perBucket - 1) / math.max(1L, perBucket))).toInt
+  }
+
+  /** `nBuckets = 0` (the default) derives the bucket modulus from the
+    * corpus size ([[chooseBuckets]]); an explicit positive value pins it
+    * (shard builds that must match a host geometry, specs).
+    */
+  def buildIndex(docs: DataFrame, dir: String, nBuckets: Int = 0,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    require(nBuckets > 0, s"nBuckets $nBuckets must be positive")
+    require(nBuckets >= 0, s"nBuckets $nBuckets must be >= 0")
     graft.plans.NativeHash48.register(docs.sparkSession)
-    val docsTok = tokenizedDocs(docs, idCol, textCol)
-    val postings = postingsOf(docsTok, nBuckets)
-    // repartition on the partition column: each bucket lands in one task,
-    // one file per bucket directory (the writeLists discipline)
+    // persist the tokenize pass and the postings aggregate — the
+    // appendToIndex discipline (r18): unpinned, the corpus was
+    // re-tokenized by every consumer (postings write, doclens write, df
+    // aggregation, totals — FOUR tokenize passes) and the explode+groupBy
+    // ran twice (postings write + df). One pass each now feeds all four
+    // writes; at 100 TB this is the difference between one corpus read
+    // and four.
     val spark = docs.sparkSession
-    postings.repartition(col("bucket")).write.mode("overwrite")
-      .partitionBy("bucket")
-      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-    docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
-      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
-    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val docsTok = tokenizedDocs(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val totals = docsTok.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      statsOf(dfreq, totals, nBuckets, epoch = 0L)
-        .write.mode("overwrite")
-        .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-    } finally dfreq.unpersist()
+      // totals head first (also materializes the persisted tokenize):
+      // the corpus size both stamps the stats rows and sizes the bucket
+      // modulus when the caller left it to scale
+      val totalsRow = docsTok.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl")).head()
+      val (nDocs, sumDl) = (totalsRow.getLong(0), totalsRow.getLong(1))
+      val buckets =
+        if (nBuckets > 0) nBuckets else chooseBuckets(nDocs, spark)
+      val postings = postingsOf(docsTok, buckets)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // repartition on the partition column: each bucket lands in one
+        // task, one file per bucket directory (the writeLists discipline)
+        postings.repartition(col("bucket")).write.mode("overwrite")
+          .partitionBy("bucket")
+          .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+        docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
+          .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+        val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val totals = spark.range(1).select(lit(nDocs).as("n_docs"),
+            lit(sumDl).as("sum_dl"))
+          statsOf(dfreq, totals, buckets, epoch = 0L)
+            .write.mode("overwrite")
+            .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+        } finally dfreq.unpersist()
+      } finally postings.unpersist()
+    } finally docsTok.unpersist()
   }
 
   /** Append new documents to a persisted inverted index — the
@@ -368,7 +417,14 @@ object Retrieval {
         IndexFiles.writeNextVersion(spark, dir, "stats") { next =>
           val statsLive = spark.read
             .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-          val liveEpoch = statsEpochOf(statsLive)
+          // one fused head (r18): epoch + live totals in a single
+          // metadata job — the epoch-only and totals-only heads were two
+          // sequential driver round trips over the same one-row read
+          val liveMeta = statsLive.select(
+            (if (statsLive.columns.contains("stats_epoch"))
+               col("stats_epoch") else lit(0L)).as("stats_epoch"),
+            col("n_docs"), col("sum_dl")).head()
+          val liveEpoch = liveMeta.getLong(0)
           if (liveEpoch != entryEpoch) {
             // SELF-HEAL (the former append∥delete drift case): a
             // ground-truth rebuild — a delete's or dedupe-compact's
@@ -383,16 +439,14 @@ object Retrieval {
             // whose rows this recompute just counted.
             writeGroundTruthStats(spark, dir, nBuckets, liveEpoch + 1, next)
           } else {
-            val metaLive = statsLive.select(col("n_docs"), col("sum_dl"))
-              .head()
             val merged = statsLive.select(col("term"), col("df"))
               .where(col("term").isNotNull) // drop a full-purge sentinel row
               .unionByName(dfNew)
               .groupBy(col("term")).agg(sum(col("df")).as("df"))
               .withColumn("n_docs",
-                lit(metaLive.getLong(0) + batchTotals.getLong(0)))
+                lit(liveMeta.getLong(1) + batchTotals.getLong(0)))
               .withColumn("sum_dl",
-                lit(metaLive.getLong(1) + batchTotals.getLong(1)))
+                lit(liveMeta.getLong(2) + batchTotals.getLong(1)))
               .withColumn("n_buckets", lit(nBuckets))
               .withColumn("stats_epoch", lit(liveEpoch))
             merged.write.mode("overwrite").parquet(next)
@@ -627,7 +681,31 @@ object Retrieval {
     require(vocab.nonEmpty, "searchIndex: empty query vocabulary")
     val statsAll = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-    val nBuckets = statsAll.select(col("n_buckets")).head().getInt(0)
+    // ONE metadata collect (r18; was three sequential driver round trips —
+    // an n_buckets head, a per-term df collect, an n_docs head — plus a
+    // broadcast-limit(1) totals subtree in the serve plan): every stats
+    // row carries the corpus totals and the modulus alongside its term's
+    // df, so the vocab-filtered collect (<= |vocab| rows, never the full
+    // per-term table) yields df AND (n_buckets, n_docs, sum_dl) together.
+    // Only when NO vocab term is indexed (all df = 0, or the full-purge
+    // null-term sentinel) does a one-row fallback head run for the totals.
+    // idf stays computed from the INDEX's persisted df — a wrong or stale
+    // df in stats/ still diverges from the in-memory pass and breaks the
+    // q77 identity.
+    val dfCollected = statsAll.where(col("term").isin(vocab: _*))
+      .select(col("term"), col("df"), col("n_buckets"), col("n_docs"),
+        col("sum_dl")).collect()
+    val (nBuckets, nDocsIdx, sumDlIdx) =
+      if (dfCollected.nonEmpty) {
+        val r = dfCollected.head
+        (r.getInt(2), r.getLong(3), r.getLong(4))
+      } else {
+        val r = statsAll.select(col("n_buckets"), col("n_docs"),
+          col("sum_dl")).head()
+        (r.getInt(0), r.getLong(1), r.getLong(2))
+      }
+    val dfRows = dfCollected
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     val buckets = vocab
       .map(t => graft.functions.Vec.hash48(t) % nBuckets).distinct
     val postings = spark.read
@@ -636,25 +714,25 @@ object Retrieval {
       .where(col("term").isin(vocab: _*))
     val doclens = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
-    // idf from the INDEX's persisted df (not the corpus): a wrong or stale
-    // df in stats/ diverges from the in-memory pass and breaks the q77
-    // identity. The collect is <= |vocab| + 1 rows of index metadata.
-    val dfRows = statsAll.where(col("term").isin(vocab: _*))
-      .select(col("term"), col("df")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val nDocsIdx = statsAll.select(col("n_docs")).head().getLong(0)
     val idfMap = vocab.map(t =>
       t -> idfMicro(nDocsIdx, dfRows.getOrElse(t, 0L))).toMap
-    val stats = broadcast(statsAll
-      .select(col("n_docs"), col("sum_dl")).limit(1))
     import spark.implicits._
     val qterms = queries.flatMap { case (q, ts) =>
       ts.distinct.map(t => (q, t, idfMap(t))) }
       .toDF("q_id", "term", "idf_micro")
+    // corpus totals as literals (they were just collected): the former
+    // crossJoin(broadcast(stats limit 1)) subtree cost one more job and a
+    // broadcast exchange in every serve plan for two already-known longs.
+    // n_docs clamped to >= 1: a FULLY PURGED index has n_docs = 0 and the
+    // literal sum_dl/n_docs would now be CONSTANT-FOLDED at plan time —
+    // an eager ANSI divide-by-zero the old non-foldable crossJoin column
+    // never hit (its scored frame was simply empty). With zero docs there
+    // are zero postings, so the clamp is unobservable in any result row.
     val scored = postings
       .join(broadcast(qterms), "term")
       .join(doclens, "doc_id")
-      .crossJoin(stats)
+      .withColumn("n_docs", lit(math.max(nDocsIdx, 1L)))
+      .withColumn("sum_dl", lit(sumDlIdx))
     val perTerm = scored.withColumn("__s", scoreMicroExpr(k1, b))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))
@@ -693,9 +771,13 @@ object Retrieval {
     graft.plans.NativeHash48.register(spark)
     val statsAll = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-    val meta = statsAll.select(col("n_buckets"), col("n_docs")).head()
+    // totals ride the same one-row head (r18) so the serve plan can carry
+    // them as literals instead of a crossJoin(broadcast(limit(1))) subtree
+    val meta = statsAll.select(col("n_buckets"), col("n_docs"),
+      col("sum_dl")).head()
     val nBuckets = meta.getInt(0)
     val nDocsIdx = meta.getLong(1)
+    val sumDlIdx = meta.getLong(2)
     val qterms = scope.track(queries
       .select(col(qidCol).as("q_id"),
         explode(array_distinct(col(termsCol))).as("term"))
@@ -715,13 +797,14 @@ object Retrieval {
       .where(col("bucket").isin(probed.map(Long.box).toSeq: _*))
     val doclens = spark.read
       .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
-    val stats = broadcast(statsAll
-      .select(col("n_docs"), col("sum_dl")).limit(1))
     val scored = postings
       .join(qterms.select("q_id", "term"), "term")
       .join(termIdf, "term")
       .join(doclens, "doc_id")
-      .crossJoin(stats)
+      // clamped for the same fully-purged-index constant-folding reason
+      // as searchIndex: zero docs => zero postings => no row observes it
+      .withColumn("n_docs", lit(math.max(nDocsIdx, 1L)))
+      .withColumn("sum_dl", lit(sumDlIdx))
     val perTerm = scored.withColumn("__s", scoreMicroExpr(k1, b))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score_micro").desc, col("doc_id"))

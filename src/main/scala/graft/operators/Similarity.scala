@@ -434,9 +434,25 @@ object Similarity {
     // slice(reverse(array_sort(...))) form cell-for-cell
     val probed = graft.plans.NativeTopCells.topCellsCol(queries.sparkSession,
       col("q_vec"), 0, cents, Seq.fill(cents.size)(0.0), nProbe)
-    queries.select(col(idCol).as("q_id"),
+    val exploded = queries.select(col(idCol).as("q_id"),
         Vec.asDouble(col(vecCol)).as("q_vec"))
       .withColumn("cell", explode(probed))
+    // Parallelism floor (r18, guide §2.6/§6): when the probed lists are
+    // small enough that AQE broadcasts them, the scoring stage inherits
+    // THIS frame's partitioning — and a batch read from a handful of
+    // parquet files arrives in 1-2 partitions, so the per-candidate
+    // cosine scan (the probe's only heavy stage) ran 2-wide on a 32-core
+    // host. Spreading the exploded batch by (q_id, cell) up to the
+    // session's default parallelism is scale-adaptive: a corpus-scale
+    // ingest batch already exceeds the floor and is left untouched (no
+    // added exchange), while a file-count-bound batch fans out to the
+    // cores. Hash keys, never round-robin: deterministic under task
+    // retry (guide §2.5), and (q_id, cell) is exactly the probe's work
+    // unit.
+    val par = queries.sparkSession.sparkContext.defaultParallelism
+    if (exploded.rdd.getNumPartitions < par)
+      exploded.repartition(par, col("q_id"), col("cell"))
+    else exploded
   }
 
   /** The (cell, vec_id, c_vec, q_id, q_vec) candidate rows a probe
