@@ -36,6 +36,7 @@ object JobProfile {
             starts(js.jobId) = (
               Option(js.properties)
                 .flatMap(p => Option(p.getProperty("spark.job.description")))
+                .orElse(js.stageInfos.lastOption.map(_.name))
                 .getOrElse(""),
               System.nanoTime(),
               js.stageInfos.map(_.numTasks).sum)

@@ -90,6 +90,37 @@ object Dedup {
     * shingle and dominated [[signatures]] before). Shared by the minhash
     * and contamination scans.
     */
+  import org.apache.spark.sql.types._
+
+  /** The persisted LSH tables' schemas, supplied to every read (r18):
+    * the writers pin these shapes, and a schema-less `spark.read.parquet`
+    * runs a one-task footer-inference job per call — each lifecycle query
+    * pays several. `band` is the partition directory column (int, as
+    * posexplode emits). A post-purge `ensureReadable` flat file stores
+    * the same columns inline, so the supplied schema matches both
+    * layouts.
+    */
+  private val lshBandsSchema = StructType(Seq(
+    StructField("band", IntegerType), StructField("bsig", StringType),
+    StructField("doc_id", LongType)))
+  private val lshShinglesSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("shingles", ArrayType(LongType))))
+  private val lshMetaSchema = StructType(Seq(
+    StructField("k", IntegerType), StructField("n_bands", IntegerType),
+    StructField("shingle_n", IntegerType)))
+
+  // explicit select: a supplied schema still leaves the partition column
+  // (band) at the END of the output — pin the (band, bsig, doc_id) order
+  private def readLshBandsAt(spark: org.apache.spark.sql.SparkSession,
+      bandsPath: String): DataFrame =
+    spark.read.schema(lshBandsSchema).parquet(bandsPath)
+      .select(col("band"), col("bsig"), col("doc_id"))
+  private def readLshShingles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.schema(lshShinglesSchema)
+      .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+
   private def hashedShingleRows(docs: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
     val toksArr = Text.tokens(col(textCol))
@@ -594,8 +625,7 @@ object Dedup {
       // rows (distinct'd at the probe, dedupe-compactable) — never
       // loses them.
       val shingleN = readLshMeta(spark, dir)._3
-      val sh = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+      val sh = readLshShingles(spark, dir)
         .select(col("doc_id"), explode(col("shingles")).as("__h"))
       val minCols = Text.hashCoefs(k).zipWithIndex.map { case ((a, b), i) =>
         min((col("__h") * a + b) % Text.P).as(s"__m$i")
@@ -705,7 +735,7 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     val p = if (fs.exists(embedded)) s"$bandsPath/_meta" else s"$dir/meta"
-    val r = spark.read.parquet(p)
+    val r = spark.read.schema(lshMetaSchema).parquet(p)
       .select(col("k"), col("n_bands"), col("shingle_n")).head()
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
@@ -730,9 +760,8 @@ object Dedup {
     IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
       val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
       val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
-      val df0 = spark.read.parquet(bandsPath)
-        .select(col("band").cast("int").as("band"), col("bsig"),
-          col("doc_id"))
+      val df0 = readLshBandsAt(spark, bandsPath)
+        .select(col("band"), col("bsig"), col("doc_id"))
       val df = if (dedupeRows) df0.distinct() else df0
       df.repartition(col("band")).write.mode("overwrite")
         .partitionBy("band").parquet(next)
@@ -740,7 +769,8 @@ object Dedup {
       writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
     }
     FaultPoints.afterTable("lsh.compact", "bands")
-    IndexFiles.compact(spark, dir, "shingles", None, dedupeRows)
+    IndexFiles.compact(spark, dir, "shingles", None, dedupeRows,
+      schema = Some(lshShinglesSchema))
     IndexFiles.compactLedgers(spark, dir)
   }
 
@@ -762,9 +792,8 @@ object Dedup {
       // compactLshIndex rationale)
       val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
       val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
-      val bands = spark.read.parquet(bandsPath)
-        .select(col("band").cast("int").as("band"), col("bsig"),
-          col("doc_id"))
+      val bands = readLshBandsAt(spark, bandsPath)
+        .select(col("band"), col("bsig"), col("doc_id"))
         .join(del, Seq("doc_id"), "left_anti")
         .select("band", "bsig", "doc_id")
       bands.repartition(col("band")).write.mode("overwrite")
@@ -779,8 +808,7 @@ object Dedup {
     // deleteFromIndex doclens rationale — shingle sets are the WIDE
     // table here, a fixed tiny count would bottleneck the rewrite)
     IndexFiles.writeNextVersion(spark, dir, "shingles") { next =>
-      val shingles = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+      val shingles = readLshShingles(spark, dir)
         .join(del, Seq("doc_id"), "left_anti")
       shingles.write.mode("overwrite").parquet(next)
       IndexFiles.ensureReadable(shingles, next)
@@ -828,7 +856,7 @@ object Dedup {
     IndexFiles.withTableLeaseFenced(spark, into, "shingles") { lease =>
       // fenced before the write job (the appendToIndex rationale)
       lease.checkStillHeld("the shingles merge-append")
-      spark.read.parquet(IndexFiles.tablePath(spark, from, "shingles"))
+      readLshShingles(spark, from)
         .write.mode("append")
         .parquet(IndexFiles.tablePath(spark, into, "shingles"))
     }
@@ -842,8 +870,8 @@ object Dedup {
           "and byte-identical on the re-run; dedupe-compact removes the " +
           "duplicates)")
       lease.checkStillHeld("the bands merge-append")
-      spark.read.parquet(IndexFiles.tablePath(spark, from, "bands"))
-        .select(col("band").cast("int").as("band"), col("bsig"), col("doc_id"))
+      readLshBandsAt(spark, IndexFiles.tablePath(spark, from, "bands"))
+        .select(col("band"), col("bsig"), col("doc_id"))
         .repartition(col("band"), col("bsig"))
         .write.mode("append").partitionBy("band")
         .parquet(IndexFiles.tablePath(spark, into, "bands"))
@@ -883,16 +911,15 @@ object Dedup {
         .select(col("band"), col("bsig"), col(idCol).as("batch_id")),
       maxBucket)
     val iBands = pruneBuckets(
-      spark.read.parquet(bandsPath)
-        .select(col("band").cast("int").as("band"), col("bsig"),
-          col("doc_id").as("dup_of")),
+      readLshBandsAt(spark, bandsPath)
+        .select(col("band"), col("bsig"), col("doc_id").as("dup_of")),
       maxBucket)
     val pairs = iBands.join(bBands, Seq("band", "bsig"))
       .where(col("dup_of") =!= col("batch_id"))
       .select("batch_id", "dup_of").distinct()
     val sa = bSigs.select(col(idCol).as("batch_id"),
       array_distinct(col("shingles")).as("__sa"))
-    val sb = spark.read.parquet(IndexFiles.tablePath(spark, dir, "shingles"))
+    val sb = readLshShingles(spark, dir)
       .select(col("doc_id").as("dup_of"),
         array_distinct(col("shingles")).as("__sb"))
     val inter = size(array_intersect(col("__sa"), col("__sb")))

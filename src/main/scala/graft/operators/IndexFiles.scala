@@ -471,13 +471,17 @@ private[graft] object IndexFiles {
     */
   def compact(spark: SparkSession, dir: String, sub: String,
       partitionBy: Option[String], dedupeRows: Boolean,
-      flatFiles: Int = 4): Unit =
+      flatFiles: Int = 4,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit =
     writeNextVersion(spark, dir, sub) { next =>
       // resolve + read INSIDE the lease: resolving before it could pair
       // this rewrite with a version another writer replaced in between
       // (reverting that writer's committed work)
       val live = tablePath(spark, dir, sub)
-      val df0 = spark.read.parquet(live)
+      // a caller-supplied schema skips the footer-inference job (r18);
+      // owners of fixed-shape tables know their schema statically
+      val df0 = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+        .parquet(live)
       val df = if (dedupeRows) df0.distinct() else df0
       val writer = partitionBy match {
         case Some(p) => df.repartition(col(p)).write.partitionBy(p)

@@ -43,6 +43,42 @@ import graft.functions.Text
   */
 object Retrieval {
 
+  import org.apache.spark.sql.types._
+
+  /** The index tables' schemas, supplied to every read (r18): the writers
+    * below pin these shapes exactly, and `spark.read.parquet` without a
+    * schema runs a one-task footer-inference JOB per call — the lifecycle
+    * queries (build->append->compact->serve and kin) pay ~8 such driver
+    * round trips each, pure overhead at any scale and a footer read per
+    * file at 100 TB. `bucket` is the partition directory column (long, as
+    * [[postingsOf]]'s pmod emits). A legacy stats table written before the
+    * epoch column reads as stats_epoch = null; every consumer folds that
+    * to 0 via coalesce (the old `columns.contains` probe, now total).
+    */
+  private val statsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("df", LongType),
+    StructField("n_docs", LongType), StructField("sum_dl", LongType),
+    StructField("n_buckets", IntegerType),
+    StructField("stats_epoch", LongType)))
+  private val postingsSchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("bucket", LongType)))
+  private val doclensSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType)))
+
+  private def readStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(statsSchema)
+      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+  // explicit select: a supplied schema still leaves the partition column
+  // (bucket) at the END of the output — pin the declared order
+  private def readPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(postingsSchema)
+      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+      .select(col("term"), col("doc_id"), col("tf"), col("bucket"))
+  private def readDoclens(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(doclensSchema)
+      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+
   /** The one transcendental, evaluated driver-side only:
     * round(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1e6). `StrictMath.log` is
     * fdlibm-exact by spec, so the literal is reproducible on any JVM.
@@ -230,9 +266,7 @@ object Retrieval {
     * tables (every later ground-truth recompute starts counting there).
     */
   private def statsEpochOf(stats: DataFrame): Long =
-    if (stats.columns.contains("stats_epoch"))
-      stats.select(col("stats_epoch")).head().getLong(0)
-    else 0L
+    stats.select(coalesce(col("stats_epoch"), lit(0L))).head().getLong(0)
 
   /** Recompute df / n_docs / sum_dl from the LIVE postings and doclens
     * tables and write them (stamped `epoch`) to `next` — the shared
@@ -242,13 +276,11 @@ object Retrieval {
     */
   private def writeGroundTruthStats(spark: SparkSession, dir: String,
       nBuckets: Int, epoch: Long, next: String): Unit = {
-    val dfreq = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+    val dfreq = readPostings(spark, dir)
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val totals = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+      val totals = readDoclens(spark, dir)
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       statsOf(dfreq, totals, nBuckets, epoch)
@@ -357,15 +389,14 @@ object Retrieval {
   def appendToIndex(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     graft.plans.NativeHash48.register(spark)
-    val statsOld = spark.read.parquet(IndexFiles.tablePath(spark, dir, "stats"))
+    val statsOld = readStats(spark, dir)
     // one metadata row read ONCE: separate head() jobs would rescan. The
     // epoch is captured HERE — before this batch's postings/doclens land —
     // so the stats-merge below can detect a ground-truth rebuild that ran
     // anywhere inside this operation's table-write window (legacy
-    // pre-epoch tables read as 0)
+    // pre-epoch tables read as null -> 0)
     val meta = statsOld.select(col("n_buckets"),
-      (if (statsOld.columns.contains("stats_epoch")) col("stats_epoch")
-       else lit(0L)).as("stats_epoch")).head()
+      coalesce(col("stats_epoch"), lit(0L)).as("stats_epoch")).head()
     val nBuckets = meta.getInt(0)
     val entryEpoch = meta.getLong(1)
     // persist the tokenized batch: it feeds FOUR jobs (postings write,
@@ -415,14 +446,12 @@ object Retrieval {
         // reader racing the cutover resolves either the old or the new
         // stats, never a partial table
         IndexFiles.writeNextVersion(spark, dir, "stats") { next =>
-          val statsLive = spark.read
-            .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+          val statsLive = readStats(spark, dir)
           // one fused head (r18): epoch + live totals in a single
           // metadata job — the epoch-only and totals-only heads were two
           // sequential driver round trips over the same one-row read
           val liveMeta = statsLive.select(
-            (if (statsLive.columns.contains("stats_epoch"))
-               col("stats_epoch") else lit(0L)).as("stats_epoch"),
+            coalesce(col("stats_epoch"), lit(0L)).as("stats_epoch"),
             col("n_docs"), col("sum_dl")).head()
           val liveEpoch = liveMeta.getLong(0)
           if (liveEpoch != entryEpoch) {
@@ -466,9 +495,11 @@ object Retrieval {
     */
   def compactIndex(spark: SparkSession, dir: String,
       dedupeRows: Boolean = false): Unit = {
-    IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows)
+    IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows,
+      schema = Some(postingsSchema))
     FaultPoints.afterTable("bm25.compact", "postings")
-    IndexFiles.compact(spark, dir, "doclens", None, dedupeRows)
+    IndexFiles.compact(spark, dir, "doclens", None, dedupeRows,
+      schema = Some(doclensSchema))
     FaultPoints.afterTable("bm25.compact", "doclens")
     IndexFiles.compactLedgers(spark, dir)
     if (dedupeRows) rebuildStats(spark, dir)
@@ -485,11 +516,12 @@ object Retrieval {
       // source tables resolve INSIDE the stats lease (the IndexFiles
       // read-under-lease rule); the epoch bump is what lets a concurrent
       // additive merger detect this rebuild and self-heal (statsOf doc)
-      val statsLive = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-      val nBuckets = statsLive.select(col("n_buckets")).head().getInt(0)
-      writeGroundTruthStats(spark, dir, nBuckets,
-        statsEpochOf(statsLive) + 1, next)
+      val statsLive = readStats(spark, dir)
+      // one fused head (r18): n_buckets + epoch in a single metadata job
+      val meta = statsLive.select(col("n_buckets"),
+        coalesce(col("stats_epoch"), lit(0L))).head()
+      writeGroundTruthStats(spark, dir, meta.getInt(0),
+        meta.getLong(1) + 1, next)
     }
 
   /** DELETE documents from a persisted inverted index — the takedown /
@@ -522,18 +554,15 @@ object Retrieval {
     // rewrite of a corpus-scale doclens table into a handful of tasks);
     // source tables resolve INSIDE each lease (IndexFiles rule)
     IndexFiles.writeNextVersion(spark, dir, "doclens") { next =>
-      val doclens = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+      val doclens = readDoclens(spark, dir)
         .join(del, Seq("doc_id"), "left_anti")
       doclens.write.mode("overwrite").parquet(next)
       IndexFiles.ensureReadable(doclens, next)
     }
     FaultPoints.afterTable("bm25.delete", "doclens")
     IndexFiles.writeNextVersion(spark, dir, "postings") { next =>
-      val postings = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-        .select(col("bucket").cast("long").as("bucket"), col("term"),
-          col("doc_id"), col("tf"))
+      val postings = readPostings(spark, dir)
+        .select(col("bucket"), col("term"), col("doc_id"), col("tf"))
         .join(del, Seq("doc_id"), "left_anti")
       postings.repartition(col("bucket")).write.mode("overwrite")
         .partitionBy("bucket").parquet(next)
@@ -590,20 +619,19 @@ object Retrieval {
   def mergeIndexes(spark: SparkSession, into: String, from: String,
       requireDisjoint: Boolean = true): Unit = {
     graft.plans.NativeHash48.register(spark)
-    val statsInto = spark.read.parquet(IndexFiles.tablePath(spark, into, "stats"))
-    val statsFrom = spark.read.parquet(IndexFiles.tablePath(spark, from, "stats"))
+    val statsInto = readStats(spark, into)
+    val statsFrom = readStats(spark, from)
     val metaInto = statsInto.select(col("n_buckets"), col("n_docs"),
       col("sum_dl"),
-      (if (statsInto.columns.contains("stats_epoch")) col("stats_epoch")
-       else lit(0L)).as("stats_epoch")).head()
+      coalesce(col("stats_epoch"), lit(0L)).as("stats_epoch")).head()
     val metaFrom = statsFrom.select(col("n_docs"), col("sum_dl")).head()
     val nBuckets = metaInto.getInt(0)
     // captured before from's rows land in into's tables — the stats merge
     // below compares it with the live epoch to detect a concurrent
     // ground-truth rebuild (the appendToIndex self-heal rationale)
     val entryEpoch = metaInto.getLong(3)
-    val dlInto = spark.read.parquet(IndexFiles.tablePath(spark, into, "doclens"))
-    val dlFrom = spark.read.parquet(IndexFiles.tablePath(spark, from, "doclens"))
+    val dlInto = readDoclens(spark, into)
+    val dlFrom = readDoclens(spark, from)
     if (requireDisjoint) {
       val overlap = dlInto.select("doc_id")
         .join(dlFrom.select("doc_id"), Seq("doc_id")).limit(1).count()
@@ -617,7 +645,7 @@ object Retrieval {
       // fenced like appendToIndex: a taken-over holder must not land
       // rows into a version the taker is about to prune
       lease.checkStillHeld("the postings merge-append")
-      spark.read.parquet(IndexFiles.tablePath(spark, from, "postings"))
+      readPostings(spark, from)
         .select(col("term"), col("doc_id"), col("tf"))
         .withColumn("bucket",
           pmod(Text.hash48(col("term")), lit(nBuckets.toLong)))
@@ -638,9 +666,13 @@ object Retrieval {
     // postings were landing); `from` is read-only, its entry-time stats
     // stand
     IndexFiles.writeNextVersion(spark, into, "stats") { next =>
-      val statsLive = spark.read
-        .parquet(IndexFiles.tablePath(spark, into, "stats"))
-      val liveEpoch = statsEpochOf(statsLive)
+      val statsLive = readStats(spark, into)
+      // one fused head (r18): epoch + live totals in a single metadata
+      // job (the appendToIndex fusion)
+      val metaLive = statsLive.select(
+        coalesce(col("stats_epoch"), lit(0L)).as("stats_epoch"),
+        col("n_docs"), col("sum_dl")).head()
+      val liveEpoch = metaLive.getLong(0)
       if (liveEpoch != entryEpoch) {
         // SELF-HEAL: a ground-truth rebuild republished into's stats
         // while from's postings/doclens were landing and may already
@@ -649,15 +681,14 @@ object Retrieval {
         // (the appendToIndex drift rationale)
         writeGroundTruthStats(spark, into, nBuckets, liveEpoch + 1, next)
       } else {
-        val metaLive = statsLive.select(col("n_docs"), col("sum_dl")).head()
         val merged = statsLive.select(col("term"), col("df"))
           .where(col("term").isNotNull) // drop a full-purge sentinel row
           .unionByName(statsFrom.select(col("term"), col("df")))
           .groupBy(col("term")).agg(sum(col("df")).as("df"))
           .withColumn("n_docs",
-            lit(metaLive.getLong(0) + metaFrom.getLong(0)))
+            lit(metaLive.getLong(1) + metaFrom.getLong(0)))
           .withColumn("sum_dl",
-            lit(metaLive.getLong(1) + metaFrom.getLong(1)))
+            lit(metaLive.getLong(2) + metaFrom.getLong(1)))
           .withColumn("n_buckets", lit(nBuckets))
           .withColumn("stats_epoch", lit(liveEpoch))
         merged.write.mode("overwrite").parquet(next)
@@ -679,8 +710,7 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val vocab = queries.flatMap(_._2).distinct
     require(vocab.nonEmpty, "searchIndex: empty query vocabulary")
-    val statsAll = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+    val statsAll = readStats(spark, dir)
     // ONE metadata collect (r18; was three sequential driver round trips —
     // an n_buckets head, a per-term df collect, an n_docs head — plus a
     // broadcast-limit(1) totals subtree in the serve plan): every stats
@@ -708,12 +738,10 @@ object Retrieval {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val buckets = vocab
       .map(t => graft.functions.Vec.hash48(t) % nBuckets).distinct
-    val postings = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+    val postings = readPostings(spark, dir)
       .where(col("bucket").isin(buckets.map(Long.box): _*))
       .where(col("term").isin(vocab: _*))
-    val doclens = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+    val doclens = readDoclens(spark, dir)
     val idfMap = vocab.map(t =>
       t -> idfMicro(nDocsIdx, dfRows.getOrElse(t, 0L))).toMap
     import spark.implicits._
@@ -769,8 +797,7 @@ object Retrieval {
       qidCol: String = "q_id", termsCol: String = "terms",
       scope: Dedup.CacheScope = Dedup.sessionScope): DataFrame = {
     graft.plans.NativeHash48.register(spark)
-    val statsAll = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "stats"))
+    val statsAll = readStats(spark, dir)
     // totals ride the same one-row head (r18) so the serve plan can carry
     // them as literals instead of a crossJoin(broadcast(limit(1))) subtree
     val meta = statsAll.select(col("n_buckets"), col("n_docs"),
@@ -792,11 +819,9 @@ object Retrieval {
       .join(statsAll.select(col("term"), col("df")), Seq("term"), "left")
       .withColumn("idf_micro", idfUdf(coalesce(col("df"), lit(0L))))
       .select("term", "idf_micro")
-    val postings = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+    val postings = readPostings(spark, dir)
       .where(col("bucket").isin(probed.map(Long.box).toSeq: _*))
-    val doclens = spark.read
-      .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+    val doclens = readDoclens(spark, dir)
     val scored = postings
       .join(qterms.select("q_id", "term"), "term")
       .join(termIdf, "term")

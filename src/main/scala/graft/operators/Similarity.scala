@@ -90,6 +90,41 @@ object Similarity {
     * nearest centroid's inverted list. The only collect is the nCells x dim
     * centroid matrix.
     */
+  import org.apache.spark.sql.types.{StructType, StructField, IntegerType,
+    LongType, DoubleType, ArrayType}
+
+  /** The persisted IVF/IVF-PQ tables' schemas, supplied to every read
+    * (r18): the writers pin these shapes, and a schema-less
+    * `spark.read.parquet` runs a one-task footer-inference job per call —
+    * the lifecycle queries pay several. `cell` is the partition directory
+    * column; a post-purge `ensureReadable` flat file stores it inline
+    * with the same type, so the supplied schema matches both layouts.
+    */
+  private val ivfListsSchema = StructType(Seq(
+    StructField("cell", IntegerType), StructField("vec_id", LongType),
+    StructField("c_vec", ArrayType(DoubleType))))
+  private val ivfPqListsSchema = StructType(Seq(
+    StructField("cell", IntegerType), StructField("vec_id", LongType),
+    StructField("code", ArrayType(IntegerType))))
+  private val centroidsSchema = StructType(Seq(
+    StructField("cell", IntegerType),
+    StructField("centroid", ArrayType(DoubleType))))
+  private val codebooksSchema = StructType(Seq(
+    StructField("s", IntegerType), StructField("cell", IntegerType),
+    StructField("centroid", ArrayType(DoubleType))))
+
+  // the explicit select pins COLUMN ORDER: even with a supplied schema,
+  // Spark appends partition columns (cell) after the data columns, and
+  // loaded-lists consumers (probe internals, specs) access positionally
+  private def readIvfLists(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.schema(ivfListsSchema).parquet(path)
+      .select(col("cell"), col("vec_id"), col("c_vec"))
+  private def readIvfPqLists(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.schema(ivfPqListsSchema).parquet(path)
+      .select(col("cell"), col("vec_id"), col("code"))
+
   def buildIvfIndex(candidates: DataFrame, nCells: Int, dim: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
     import org.apache.spark.sql.Row
@@ -230,10 +265,7 @@ object Similarity {
     // retrain/delete just replaced, reverting that writer's work.
     IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
       val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
-      val df0 = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "lists"))
-        .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("c_vec"))
+      val df0 = readIvfLists(spark, IndexFiles.tablePath(spark, dir, "lists"))
       val df = if (dedupeRows) df0.distinct() else df0
       writeLists(df, next)
       writeCentroids(spark, cents, s"$next/_centroids")
@@ -260,10 +292,7 @@ object Similarity {
     IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
       // quantizer + rows resolved INSIDE the lease (see compactIvfIndex)
       val cents = readCentroids(spark, liveCentroidsPath(spark, dir))
-      val kept = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "lists"))
-        .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("c_vec"))
+      val kept = readIvfLists(spark, IndexFiles.tablePath(spark, dir, "lists"))
         .join(del, Seq("vec_id"), "left_anti")
       writeLists(kept, next)
       writeCentroids(spark, cents, s"$next/_centroids")
@@ -289,7 +318,7 @@ object Similarity {
   def mergeIvfIndexes(spark: org.apache.spark.sql.SparkSession,
       into: String, from: String): Unit =
     appendToIvfIndex(spark, into,
-      spark.read.parquet(IndexFiles.tablePath(spark, from, "lists"))
+      readIvfLists(spark, IndexFiles.tablePath(spark, from, "lists"))
         .select(col("vec_id"), col("c_vec")),
       idCol = "vec_id", vecCol = "c_vec")
 
@@ -372,7 +401,7 @@ object Similarity {
 
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Seq[Double]] = {
-    val cents = spark.read.parquet(path)
+    val cents = spark.read.schema(centroidsSchema).parquet(path)
       .orderBy("cell").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
     (0 until cents.size).foreach { i =>
@@ -391,8 +420,7 @@ object Similarity {
     */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfIndex = {
-    val lists = spark.read.parquet(IndexFiles.tablePath(spark, dir, "lists"))
-      .select(col("cell").cast("int").as("cell"), col("vec_id"), col("c_vec"))
+    val lists = readIvfLists(spark, IndexFiles.tablePath(spark, dir, "lists"))
     IvfIndex(readCentroids(spark, liveCentroidsPath(spark, dir)), lists)
   }
 
@@ -685,7 +713,7 @@ object Similarity {
     */
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
       path: String): PqCodebooks = {
-    val rows = spark.read.parquet(path)
+    val rows = spark.read.schema(codebooksSchema).parquet(path)
       .orderBy("s", "cell").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     val m = rows.map(_._1).max + 1
@@ -798,7 +826,8 @@ object Similarity {
     */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, dedupeRows: Boolean = false): Unit = {
-    IndexFiles.compact(spark, dir, "lists", Some("cell"), dedupeRows)
+    IndexFiles.compact(spark, dir, "lists", Some("cell"), dedupeRows,
+      schema = Some(ivfPqListsSchema))
     IndexFiles.compactLedgers(spark, dir)
   }
 
@@ -814,10 +843,8 @@ object Similarity {
     val del = vecIds.select(col(idCol).cast("long").as("vec_id")).distinct()
     IndexFiles.writeNextVersion(spark, dir, "lists") { next =>
       // rows resolved INSIDE the lease (see compactIvfIndex)
-      val kept = spark.read
-        .parquet(IndexFiles.tablePath(spark, dir, "lists"))
-        .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("code"))
+      val kept = readIvfPqLists(spark,
+          IndexFiles.tablePath(spark, dir, "lists"))
         .join(del, Seq("vec_id"), "left_anti")
       writeLists(kept, next)
     }
@@ -849,10 +876,8 @@ object Similarity {
     IndexFiles.withTableLeaseFenced(spark, into, "lists") { lease =>
       // fenced before the write job (the Retrieval.appendToIndex rationale)
       lease.checkStillHeld("the lists merge-append")
-      writeLists(spark.read
-          .parquet(IndexFiles.tablePath(spark, from, "lists"))
-          .select(col("cell").cast("int").as("cell"), col("vec_id"),
-            col("code")),
+      writeLists(readIvfPqLists(spark,
+          IndexFiles.tablePath(spark, from, "lists")),
         IndexFiles.tablePath(spark, into, "lists"), mode = "append")
     }
   }
@@ -861,9 +886,7 @@ object Similarity {
       dir: String): IvfPqIndex =
     IvfPqIndex(readCentroids(spark, liveCentroidsPath(spark, dir)),
       readCodebooks(spark, s"$dir/codebooks"),
-      spark.read.parquet(IndexFiles.tablePath(spark, dir, "lists"))
-        .select(col("cell").cast("int").as("cell"), col("vec_id"),
-          col("code")))
+      readIvfPqLists(spark, IndexFiles.tablePath(spark, dir, "lists")))
 
   /** Append new vectors to a persisted composite index: coarse-assign
     * against the saved centroids AND encode with the saved codebooks

@@ -324,7 +324,7 @@ object TextQueries {
     "q74_bm25" -> ((s, dir) => {
       val idf = graft.operators.Retrieval.idfMicroTable(
         table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct)
-      bm25IdfStash.set(idf)
+      bm25IdfStash.set(() => idf)
       graft.operators.Retrieval.bm25(table(s, dir, "documents"),
           bm25Queries, k = 10, idfTable = Some(idf))
         .orderBy("q_id", "rank")
@@ -342,8 +342,9 @@ object TextQueries {
       // Populate the idf stash here too (not just in q74): a filtered
       // Verify run (`only=q77_bm25_index`) must dump the same
       // literal-table oracle the Spark plan used, never the ln fallback.
-      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
-        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      bm25IdfStash.set(memoThunk(() =>
+        graft.operators.Retrieval.idfMicroTable(
+          table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct)))
       val tmp = Common.tempDir("q77_idx")
       graft.operators.Retrieval.buildIndex(table(s, dir, "documents"), tmp)
       graft.operators.Retrieval.searchIndex(s, tmp, bm25Queries, k = 10)
@@ -359,8 +360,9 @@ object TextQueries {
     // build->append->merge->serve cycle — a lost posting, double-counted
     // df, or stale total breaks the hash.
     "q91_bm25_index_append" -> ((s, dir) => {
-      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
-        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      bm25IdfStash.set(memoThunk(() =>
+        graft.operators.Retrieval.idfMicroTable(
+          table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct)))
       val docs = table(s, dir, "documents")
       val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
       val tmp = Common.tempDir("q91_idx")
@@ -381,8 +383,9 @@ object TextQueries {
     // be invisible to ranked results, while the serve scan reads the
     // compacted layout through the version manifest.
     "q93_bm25_compacted_serve" -> ((s, dir) => {
-      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
-        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      bm25IdfStash.set(memoThunk(() =>
+        graft.operators.Retrieval.idfMicroTable(
+          table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct)))
       val docs = table(s, dir, "documents")
       val half = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
       val tmp = Common.tempDir("q93_idx")
@@ -408,8 +411,9 @@ object TextQueries {
     "q97_bm25_delete" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val kept = docs.where(pmod(col("doc_id"), lit(7L)) =!= 3L)
-      bm25DelIdfStash.set(graft.operators.Retrieval.idfMicroTable(
-        kept, bm25Queries.flatMap(_._2).distinct))
+      bm25DelIdfStash.set(memoThunk(() =>
+        graft.operators.Retrieval.idfMicroTable(
+          kept, bm25Queries.flatMap(_._2).distinct)))
       val tmp = Common.tempDir("q97_idx")
       graft.operators.Retrieval.buildIndex(docs, tmp)
       graft.operators.Retrieval.deleteFromIndex(s, tmp,
@@ -430,8 +434,9 @@ object TextQueries {
     // wrong-modulus bucket (unreachable by the pruned probe) breaks the
     // hash.
     "q99_bm25_merge" -> ((s, dir) => {
-      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
-        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      bm25IdfStash.set(memoThunk(() =>
+        graft.operators.Retrieval.idfMicroTable(
+          table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct)))
       val docs = table(s, dir, "documents")
       val even = Common.tempDir("q99_even")
       val odd = Common.tempDir("q99_odd")
@@ -454,8 +459,9 @@ object TextQueries {
     // the same StrictMath chain, so serving is bit-identical to
     // q74/q77 and shares their BM25 mirror.
     "q96_bm25_batch_serve" -> ((s, dir) => {
-      bm25IdfStash.set(graft.operators.Retrieval.idfMicroTable(
-        table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct))
+      bm25IdfStash.set(memoThunk(() =>
+        graft.operators.Retrieval.idfMicroTable(
+          table(s, dir, "documents"), bm25Queries.flatMap(_._2).distinct)))
       val tmp = Common.tempDir("q96_idx")
       graft.operators.Retrieval.buildIndex(table(s, dir, "documents"), tmp)
       import s.implicits._
@@ -664,22 +670,39 @@ object TextQueries {
     * when it runs. [[oracle]] is a `def` and Verify dumps it AFTER running
     * every query, so the stash is populated by then and the BM25 oracle
     * SQL embeds the exact literals the Spark plans used.
+    *
+    * Stashed as a MEMOIZED THUNK (r18): only q74 needs the idf map inside
+    * its own plan; the index-lifecycle entries (q77/q91/q93/q96/q99)
+    * compute idf from the index's persisted df and stash this table
+    * purely for the oracle's VALUES CTE. Eager stashing ran its two
+    * corpus jobs (vocab-df aggregate + doc count) inside every TIMED
+    * query for an artifact only Verify's oracle dump reads — a
+    * measurement distortion, not query work. The thunk defers those jobs
+    * to the dump (same session, same immutable source table, so the
+    * forced map is identical to the eager one) and memoizes so the six
+    * oracle entries sharing [[bm25OracleSql]] force it once.
     */
   private val bm25IdfStash =
-    new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](null)
+    new java.util.concurrent.atomic.AtomicReference[() => Map[String, Long]](null)
+
+  /** Memoize a stash thunk: forced once, shared by every oracle entry. */
+  private def memoThunk[T](f: () => T): () => T = {
+    lazy val v = f()
+    () => v
+  }
 
   /** q97's idf stash: computed over the SURVIVING corpus (the takedown
     * set removed), set by the q97 entry when it runs — the [[bm25IdfStash]]
     * discipline.
     */
   private val bm25DelIdfStash =
-    new java.util.concurrent.atomic.AtomicReference[Map[String, Long]](null)
+    new java.util.concurrent.atomic.AtomicReference[() => Map[String, Long]](null)
 
   /** q97's oracle: the BM25 mirror over the corpus minus the takedown set
     * (`doc_id % 7 = 3`), with idf literals computed on the survivors.
     */
   private def bm25DeleteOracleSql: String =
-    Option(bm25DelIdfStash.get()).filter(_.nonEmpty) match {
+    Option(bm25DelIdfStash.get()).map(_.apply()).filter(_.nonEmpty) match {
       case Some(idf) =>
         graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10,
           idfTable = idf,
@@ -704,7 +727,8 @@ object TextQueries {
     * Verify flow), else a self-contained ln-based approximation so
     * evaluating [[oracle]] standalone (specs, tooling) never throws.
     */
-  private def bm25OracleSql: String = Option(bm25IdfStash.get()).filter(_.nonEmpty) match {
+  private def bm25OracleSql: String = Option(bm25IdfStash.get())
+      .map(_.apply()).filter(_.nonEmpty) match {
     case Some(idf) =>
       graft.operators.Retrieval.bm25Sql(bm25Queries, k = 10, idfTable = idf)
     case None => // pre-r11 inline-ln form; never reached in the Verify flow
