@@ -335,10 +335,19 @@ object Dedup {
     // edges are never shuffled anyway (the repartition is then a one-time
     // noise-level cost); the reuse matters once labels exceed the broadcast
     // threshold and the per-round join becomes a shuffled hash join.
+    // both edge directions from ONE copy of the pairs plan (r18): the
+    // former self-union duplicated the entire upstream (LSH self-join +
+    // distinct + Jaccard in the q48 composition) — AQE materializes each
+    // union branch's leaf stages as separate concurrent jobs, so the
+    // signature pipeline's cache was raced 8 ways instead of computed
+    // once. explode(array(struct...)) emits (a,b) and (b,a) from a single
+    // scan — identical rows, identical downstream semantics.
     val sym = pairs
-      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
-      .union(pairs
-        .select(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y")))
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y")),
+        struct(col(bCol).cast("long").as("x"), col(aCol).cast("long").as("y"))
+      )).as("__e"))
+      .select(col("__e.x").as("x"), col("__e.y").as("y"))
       .repartition(col("y"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = pairs.sparkSession
@@ -714,6 +723,23 @@ object Dedup {
     import spark.implicits._
     Seq((k, nBands, shingleN)).toDF("k", "n_bands", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    // driver-readable sidecar (r18): the geometry is three ints, but a
+    // parquet read of it costs a one-task Spark job — and the lifecycle
+    // verbs re-read it up to four times per operation (entry checks plus
+    // the required under-lease re-checks). The sidecar is read with one
+    // FS call, written via create+rename so a racing reader sees the old
+    // file or the new one, never a torn write; the parquet table remains
+    // the durable format and the fallback for indexes written before the
+    // sidecar existed. Underscore prefix: invisible to any table scan.
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/._meta.txt.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/_meta.txt")
+    val out = fs.create(tmp, true)
+    try out.write(s"$k,$nBands,$shingleN".getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
   }
 
   /** The index's live hash geometry: the `_meta` embedded in the LIVE
@@ -735,9 +761,20 @@ object Dedup {
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
       spark.sparkContext.hadoopConfiguration)
     val p = if (fs.exists(embedded)) s"$bandsPath/_meta" else s"$dir/meta"
-    val r = spark.read.schema(lshMetaSchema).parquet(p)
-      .select(col("k"), col("n_bands"), col("shingle_n")).head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    // sidecar first (one FS read, no Spark job — see writeLshMeta);
+    // parquet fallback for pre-sidecar indexes
+    val side = new org.apache.hadoop.fs.Path(s"$p/_meta.txt")
+    if (fs.exists(side)) {
+      val in = fs.open(side)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val Array(k, nBands, shingleN) = txt.trim.split(",").map(_.toInt)
+      (k, nBands, shingleN)
+    } else {
+      val r = spark.read.schema(lshMetaSchema).parquet(p)
+        .select(col("k"), col("n_bands"), col("shingle_n")).head()
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
   }
 
   /** Compact the saved band and shingle tables (see

@@ -249,12 +249,15 @@ object Retrieval {
     * instead of double-counting (see [[appendToIndex]]).
     */
   private def statsOf(dfreq: DataFrame, totals: DataFrame,
-      nBuckets: Int, epoch: Long): DataFrame = {
-    // callers persist dfreq across this emptiness probe and the write
-    // that follows — isEmpty on an unpersisted aggregation would run the
-    // full per-term shuffle once here and again for the write
+      nBuckets: Int, epoch: Long, dfreqEmpty: Boolean): DataFrame = {
+    // the emptiness flag comes from the CALLER probing its raw postings
+    // frame (limit-1 early-stop scan, r18) — an isEmpty on the dfreq
+    // AGGREGATION here had to run the full per-term shuffle just to test
+    // for zero rows (and forced callers to persist dfreq so the write
+    // would not run it again); postings empty <=> dfreq empty, and the
+    // raw probe reads at most one row
     val base =
-      if (!dfreq.isEmpty)
+      if (!dfreqEmpty)
         dfreq.crossJoin(totals).withColumn("n_buckets", lit(nBuckets))
       else totals.select(lit(null).cast("string").as("term"),
         lit(0L).as("df"), col("n_docs"), col("sum_dl"))
@@ -276,16 +279,15 @@ object Retrieval {
     */
   private def writeGroundTruthStats(spark: SparkSession, dir: String,
       nBuckets: Int, epoch: Long, next: String): Unit = {
-    val dfreq = readPostings(spark, dir)
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val totals = readDoclens(spark, dir)
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-      statsOf(dfreq, totals, nBuckets, epoch)
-        .write.mode("overwrite").parquet(next)
-    } finally dfreq.unpersist()
+    val postings = readPostings(spark, dir)
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val totals = readDoclens(spark, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    // emptiness probed on the RAW postings scan (see statsOf); dfreq then
+    // has exactly one consumer — the write — so no persist is needed
+    statsOf(dfreq, totals, nBuckets, epoch, postings.isEmpty)
+      .write.mode("overwrite").parquet(next)
   }
 
   /** Scale-adaptive bucket count for a corpus of `nDocs` documents — the
@@ -350,14 +352,14 @@ object Retrieval {
         docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
           .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
         val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val totals = spark.range(1).select(lit(nDocs).as("n_docs"),
-            lit(sumDl).as("sum_dl"))
-          statsOf(dfreq, totals, buckets, epoch = 0L)
-            .write.mode("overwrite")
-            .parquet(IndexFiles.tablePath(spark, dir, "stats"))
-        } finally dfreq.unpersist()
+        val totals = spark.range(1).select(lit(nDocs).as("n_docs"),
+          lit(sumDl).as("sum_dl"))
+        // emptiness probed on the PERSISTED postings (limit-1 over the
+        // cache, see statsOf); dfreq has one consumer, so no persist
+        statsOf(dfreq, totals, buckets, epoch = 0L,
+            dfreqEmpty = postings.isEmpty)
+          .write.mode("overwrite")
+          .parquet(IndexFiles.tablePath(spark, dir, "stats"))
       } finally postings.unpersist()
     } finally docsTok.unpersist()
   }

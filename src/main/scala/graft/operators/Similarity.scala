@@ -368,11 +368,54 @@ object Similarity {
     batch.join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Atomically land a small driver-readable text sidecar next to a tiny
+    * artifact table (r18): reading a one-file parquet still costs a
+    * one-task Spark job, and the lifecycle verbs re-read the quantizer /
+    * codebooks several times per operation. create+rename keeps a racing
+    * reader on the old file or the new, never a torn write; the parquet
+    * stays the durable format and the fallback for pre-sidecar indexes.
+    * Doubles are encoded as raw IEEE-754 long bits (hex), so the
+    * round-trip is bit-exact by construction.
+    */
+  private def writeSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String, text: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.$name.tmp")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$name")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+  }
+
+  private def readSidecar(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val f = new org.apache.hadoop.fs.Path(s"$path/$name")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+  }
+
+  private def hexRow(c: Seq[Double]): String =
+    c.map(d => java.lang.Long.toHexString(
+      java.lang.Double.doubleToRawLongBits(d))).mkString(",")
+  private def unhexRow(line: String): Seq[Double] =
+    line.split(",").toSeq.map(h =>
+      java.lang.Double.longBitsToDouble(java.lang.Long.parseUnsignedLong(h, 16)))
+
   private def writeCentroids(spark: org.apache.spark.sql.SparkSession,
       cents: Seq[Seq[Double]], path: String): Unit = {
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    // line i = cell i, doubles as raw bits — dense by construction
+    writeSidecar(spark, path, "_centroids.txt", cents.map(hexRow).mkString("\n"))
   }
 
   /** Read a persisted centroid table, enforcing the dense 0..n-1 cell-id
@@ -401,6 +444,11 @@ object Similarity {
 
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Seq[Double]] = {
+    // sidecar first (one FS read, bit-exact, no Spark job); parquet
+    // fallback for pre-sidecar indexes
+    readSidecar(spark, path, "_centroids.txt").foreach { txt =>
+      return txt.split("\n").toSeq.map(unhexRow)
+    }
     val cents = spark.read.schema(centroidsSchema).parquet(path)
       .orderBy("cell").collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq).toMap
@@ -706,6 +754,10 @@ object Similarity {
       yield (s, c, cb.centroids(s)(c)))
       .toDF("s", "cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    // header "m,ksub", then one line per (s, cell) in row-major order
+    writeSidecar(spark, path, "_codebooks.txt",
+      (s"${cb.m},${cb.ksub}" +:
+        cb.centroids.flatten.map(hexRow)).mkString("\n"))
   }
 
   /** Read a persisted codebook table; shape (m, ksub, dsub) is recovered
@@ -713,6 +765,16 @@ object Similarity {
     */
   private def readCodebooks(spark: org.apache.spark.sql.SparkSession,
       path: String): PqCodebooks = {
+    // sidecar first (one FS read, bit-exact, no Spark job)
+    readSidecar(spark, path, "_codebooks.txt").foreach { txt =>
+      val lines = txt.split("\n")
+      val Array(m, ksub) = lines.head.split(",").map(_.toInt)
+      val cents = lines.tail.toSeq.map(unhexRow)
+        .grouped(ksub).toSeq.map(_.toSeq)
+      require(cents.size == m && cents.forall(_.size == ksub),
+        s"codebooks sidecar at $path is torn: expected $m x $ksub")
+      return PqCodebooks(m, ksub, cents.head.head.size, cents)
+    }
     val rows = spark.read.schema(codebooksSchema).parquet(path)
       .orderBy("s", "cell").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
