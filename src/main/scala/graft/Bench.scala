@@ -177,9 +177,20 @@ object Bench {
     // try/finally: a failing query must not leak the whole private root —
     // the residue class the root exists to eliminate
     try {
+      // AQE partition-coalescing floor (r18, guide §2.2/§2.6): the default
+      // minPartitionSize (1m) makes parallelism-first coalescing merge a
+      // small-but-CPU-DENSE shuffle (token explode + hashing, window
+      // gradient chains — kilobytes per row, milliseconds per row) down
+      // to 3-4 tasks on a 32-core host; 64k keeps those stages wide.
+      // Scale-invariant by construction: the floor binds only when a
+      // shuffle's total bytes are of order partitions x 1 MB — at
+      // production shuffle sizes it is a no-op (coalescing still merges
+      // toward the advisory target). Env-overridable for cluster tuning.
+      val minPart = sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k")
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", minPart)
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       // stop in a finally: a render() failure must not let the outer

@@ -19,6 +19,9 @@ object JobProfile {
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
+        // the Bench AQE coalescing floor (see Bench.main)
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+          sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
         .config("spark.ui.enabled", "false").getOrCreate()
       try {
         spark.sparkContext.setLogLevel("ERROR")

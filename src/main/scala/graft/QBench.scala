@@ -10,6 +10,10 @@ object QBench {
     try {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // the Bench AQE coalescing floor (see Bench.main) — QBench must
+      // time the same session shape the bench does
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"))
       .config("spark.ui.enabled", "false").getOrCreate()
     // stop in a finally: a failing query must not let the outer tmp-root
     // delete race a still-running session's spill/cache dirs
