@@ -120,6 +120,27 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Shuffle-bound host-noise probe (r18, the r17 verdict's ask): the
+    * zero-I/O probe above cannot see SHUFFLE contention — r17's artifact
+    * carried ~30-55% uniform inflation while noise_warm read inside the
+    * idle band, and adjudication needed a manual same-host A/B. This
+    * probe is fixed work through the full shuffle machinery (10M synth
+    * rows, hash repartition + aggregate, data-scale independent); its
+    * duration moves with host load on exactly the resource every real
+    * query pays. Both probes ride every artifact line: a loaded host now
+    * self-identifies even when only the shuffle path is contended.
+    */
+  def noiseShuffleProbe(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(10000000L)
+      .selectExpr("id", "id % 1000 as k")
+      .repartition(org.apache.spark.sql.functions.col("k"))
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("id").as("s"))
+      .selectExpr("sum(s)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Three timed passes over `queries` -> the two JSON artifact lines.
     * Pass 1 (cold) includes per-plan Janino whole-stage-codegen compilation
     * and .cache() materialization — comparable with BASELINE.md / round-1
@@ -134,16 +155,22 @@ object Bench {
     * sentinel in every per-query map (min propagates it: one failed warm
     * pass marks the query), is EXCLUDED from the totals, and lands in the
     * "errors" list on BOTH lines — an empty list is the all-green claim.
-    * Each pass is preceded by a [[noiseProbe]] whose three timings ride
-    * along as noise_cold/noise_warm1/noise_warm2 on BOTH lines.
+    * Each pass is preceded by a [[noiseProbe]] AND a
+    * [[noiseShuffleProbe]] whose timings ride along as
+    * noise_cold/noise_warm1/noise_warm2 and noise_shuffle_* on BOTH
+    * lines (compute-bound and shuffle-bound contention are visible
+    * independently).
     */
   def render(queries: Map[String, (SparkSession, String) => DataFrame],
       spark: SparkSession, sfDir: String): Seq[String] = {
     val n0 = noiseProbe(spark)
+    val s0 = noiseShuffleProbe(spark)
     val (cold, coldErrs) = pass(queries, spark, sfDir)
     val n1 = noiseProbe(spark)
+    val s1 = noiseShuffleProbe(spark)
     val (warm1, w1Errs) = pass(queries, spark, sfDir)
     val n2 = noiseProbe(spark)
+    val s2 = noiseShuffleProbe(spark)
     val (warm2, w2Errs) = pass(queries, spark, sfDir)
     val warm = warm1.map { case (k, v) => k -> math.min(v, warm2(k)) }
     val errors = (coldErrs ++ w1Errs ++ w2Errs).distinct
@@ -161,10 +188,10 @@ object Bench {
     // line): the artifact collector keeps the tail of long lines, so totals
     // printed first would be the part that gets truncated away
     Seq(
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm1":${js(warm1)},"queries_warm2":${js(warm2)},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"bridge_63q_warm":$bridgeWarm,"bridge_63q_n":$bridgeN,"warm_total":$warmTotal,"value":$coldTotal}""",
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm1":${js(warm1)},"queries_warm2":${js(warm2)},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"noise_shuffle_cold":$s0,"noise_shuffle_warm1":$s1,"noise_shuffle_warm2":$s2,"bridge_63q_warm":$bridgeWarm,"bridge_63q_n":$bridgeN,"warm_total":$warmTotal,"value":$coldTotal}""",
       // distinct metric name: a JSONL consumer filtering metric=="total"
       // must not double-count this compact repeat of the totals
-      s"""{"metric":"total_compact","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"bridge_63q_warm":$bridgeWarm,"bridge_63q_n":$bridgeN,"n_queries":${cold.size},"n_errors":${errors.size},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"sf":"$sfDir"}""")
+      s"""{"metric":"total_compact","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"bridge_63q_warm":$bridgeWarm,"bridge_63q_n":$bridgeN,"n_queries":${cold.size},"n_errors":${errors.size},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"noise_shuffle_cold":$s0,"noise_shuffle_warm1":$s1,"noise_shuffle_warm2":$s2,"sf":"$sfDir"}""")
   }
 
   def main(args: Array[String]): Unit = {

@@ -344,13 +344,26 @@ object Retrieval {
       val postings = postingsOf(docsTok, buckets)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
+        // overlap the two independent table writes (r18, guide §2.6):
+        // the postings and doclens writes read only the ALREADY
+        // MATERIALIZED docsTok cache (the totals head above filled it)
+        // and write disjoint tables, and buildIndex is the bootstrap op
+        // — no lease, no publish-order contract (the maintenance verbs
+        // keep their sequential, ordered writes: deleteFromIndex's
+        // doclens-first and writeLshRows' shingles-first are
+        // reader-correctness contracts). The doclens write back-fills
+        // the executors the postings write's task tail leaves idle.
+        val doclensWrite = scala.concurrent.Future {
+          docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
+            .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+        }(scala.concurrent.ExecutionContext.global)
         // repartition on the partition column: each bucket lands in one
         // task, one file per bucket directory (the writeLists discipline)
         postings.repartition(col("bucket")).write.mode("overwrite")
           .partitionBy("bucket")
           .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-        docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
-          .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
+        scala.concurrent.Await.result(doclensWrite,
+          scala.concurrent.duration.Duration.Inf)
         val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val totals = spark.range(1).select(lit(nDocs).as("n_docs"),
           lit(sumDl).as("sum_dl"))
