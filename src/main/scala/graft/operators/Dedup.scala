@@ -679,41 +679,69 @@ object Dedup {
       // the shingles table — can at worst duplicate an in-flight doc's
       // band rows (candidates are DISTINCT; dedupe-compact removes the
       // residue) instead of losing them.
-      IndexFiles.withTableLeaseFenced(spark, dir, "shingles") { lease =>
-        // fenced before the write job (the appendToIndex rationale): a
-        // taken-over holder must not land rows into a version the taker
-        // is about to prune
-        if (mode == "append")
-          FaultPoints.beforeFencedWrite("lsh.append", "shingles")
-        lease.checkStillHeld("the shingles write")
-        sigs.select(col(idCol).as("doc_id"), col("shingles"))
-          .write.mode(mode)
-          .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
-      }
-      if (mode == "append") FaultPoints.afterTable("lsh.append", "shingles")
-      IndexFiles.withTableLeaseFenced(spark, dir, "bands") { lease =>
-        // the batch was banded under the geometry read BEFORE the lease;
-        // a retrain that cut over in between would make those rows
-        // silently never-colliding — re-check under the lease and abort
-        // loudly instead (the caller replays the batch via the ledger)
-        if (mode == "append") {
-          val live = readLshMeta(spark, dir)
-          require(live == ((k, nBands, shingleN)),
-            s"appendToLshIndex: index geometry changed to $live while the " +
-              s"batch was banded under (${k}, ${nBands}, ${shingleN}) — a " +
-              "concurrent retrain cut over; re-run the append. The batch's " +
-              "shingle rows already landed, so the replay leaves duplicate " +
-              "shingles until a compactLshIndex(dedupeRows = true) — " +
-              "harmless to probes (candidates are DISTINCT) but run the " +
-              "dedupe compact to reclaim the space")
-          FaultPoints.beforeFencedWrite("lsh.append", "bands")
+      def writeShingles(): Unit = {
+        IndexFiles.withTableLeaseFenced(spark, dir, "shingles") { lease =>
+          // fenced before the write job (the appendToIndex rationale): a
+          // taken-over holder must not land rows into a version the taker
+          // is about to prune
+          if (mode == "append")
+            FaultPoints.beforeFencedWrite("lsh.append", "shingles")
+          lease.checkStillHeld("the shingles write")
+          sigs.select(col(idCol).as("doc_id"), col("shingles"))
+            .write.mode(mode)
+            .parquet(IndexFiles.tablePath(spark, dir, "shingles"))
         }
-        lease.checkStillHeld("the bands write")
-        bands(sigs, idCol, k, nBands)
-          .select(col("band"), col("bsig"), col(idCol).as("doc_id"))
-          .repartition(col("band"), col("bsig"))
-          .write.mode(mode).partitionBy("band")
-          .parquet(IndexFiles.tablePath(spark, dir, "bands"))
+        if (mode == "append") FaultPoints.afterTable("lsh.append", "shingles")
+      }
+      def writeBands(): Unit =
+        IndexFiles.withTableLeaseFenced(spark, dir, "bands") { lease =>
+          // the batch was banded under the geometry read BEFORE the lease;
+          // a retrain that cut over in between would make those rows
+          // silently never-colliding — re-check under the lease and abort
+          // loudly instead (the caller replays the batch via the ledger)
+          if (mode == "append") {
+            val live = readLshMeta(spark, dir)
+            require(live == ((k, nBands, shingleN)),
+              s"appendToLshIndex: index geometry changed to $live while the " +
+                s"batch was banded under (${k}, ${nBands}, ${shingleN}) — a " +
+                "concurrent retrain cut over; re-run the append. The batch's " +
+                "shingle rows already landed, so the replay leaves duplicate " +
+                "shingles until a compactLshIndex(dedupeRows = true) — " +
+                "harmless to probes (candidates are DISTINCT) but run the " +
+                "dedupe compact to reclaim the space")
+            FaultPoints.beforeFencedWrite("lsh.append", "bands")
+          }
+          lease.checkStillHeld("the bands write")
+          bands(sigs, idCol, k, nBands)
+            .select(col("band"), col("bsig"), col(idCol).as("doc_id"))
+            .repartition(col("band"), col("bsig"))
+            .write.mode(mode).partitionBy("band")
+            .parquet(IndexFiles.tablePath(spark, dir, "bands"))
+        }
+      // Overlap the two writes ONLY on a provably reader-free bootstrap
+      // (r18, guide §2.6): a fresh-dir overwrite save has no live tables,
+      // so the shingles-before-bands publish order protects nobody; the
+      // two leased writes of disjoint tables then run concurrently (the
+      // bands tail back-fills with shingles tasks). Every append — and
+      // any save targeting a dir that already has either table — keeps
+      // the strict order: shingles-first is the reader/retrain
+      // correctness contract there.
+      val fsW = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(dir),
+        spark.sparkContext.hadoopConfiguration)
+      val freshBootstrap = mode == "overwrite" &&
+        !fsW.exists(new org.apache.hadoop.fs.Path(
+          IndexFiles.tablePath(spark, dir, "shingles"))) &&
+        !fsW.exists(new org.apache.hadoop.fs.Path(
+          IndexFiles.tablePath(spark, dir, "bands")))
+      if (freshBootstrap) {
+        val shinglesF = scala.concurrent.Future(writeShingles())(
+          scala.concurrent.ExecutionContext.global)
+        writeBands()
+        scala.concurrent.Await.result(shinglesF,
+          scala.concurrent.duration.Duration.Inf)
+      } else {
+        writeShingles()
+        writeBands()
       }
     } finally sigs.unpersist()
   }
