@@ -184,11 +184,29 @@ object Bench {
     val bridgeGreen = warm.filter { case (k, v) => bridge63(k) && v >= 0 }
     val bridgeWarm = bridgeGreen.values.sum
     val bridgeN = bridgeGreen.size
+    // per-query times additionally as ONE SHORT LINE EACH (r19): the
+    // driver's artifact collector keeps only an output TAIL, and for two
+    // rounds the ~12 KB full line above lost its head — and with it every
+    // per-query map — to that truncation (PERF per_query came back empty).
+    // Short lines survive or die whole, so however small the tail window
+    // is, the lines closest to the end are intact. Values rounded to 0.1 ms
+    // (shorter lines => more of them fit in the tail); the full-precision
+    // maps stay on the full line. The failure sentinel -1.0 passes through.
+    def fmt(v: Double) =
+      if (v < 0) "-1.0"
+      else String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val perQuery = cold.keys.toSeq.sorted.map { k =>
+      s"""{"q":"$k","cold":${fmt(cold(k))},"warm":${fmt(warm(k))}}"""
+    }
     // headline totals go LAST on the line (and again on a final compact
     // line): the artifact collector keeps the tail of long lines, so totals
-    // printed first would be the part that gets truncated away
+    // printed first would be the part that gets truncated away. Line order
+    // in the Seq = sacrifice order under tail truncation: the long full
+    // line first (head-truncatable), then the per-query lines, the compact
+    // totals line last (always intact).
     Seq(
-      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm1":${js(warm1)},"queries_warm2":${js(warm2)},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"noise_shuffle_cold":$s0,"noise_shuffle_warm1":$s1,"noise_shuffle_warm2":$s2,"bridge_63q_warm":$bridgeWarm,"bridge_63q_n":$bridgeN,"warm_total":$warmTotal,"value":$coldTotal}""",
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":${js(cold)},"queries_warm":${js(warm)},"queries_warm1":${js(warm1)},"queries_warm2":${js(warm2)},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"noise_shuffle_cold":$s0,"noise_shuffle_warm1":$s1,"noise_shuffle_warm2":$s2,"bridge_63q_warm":$bridgeWarm,"bridge_63q_n":$bridgeN,"warm_total":$warmTotal,"value":$coldTotal}""") ++
+    perQuery ++ Seq(
       // distinct metric name: a JSONL consumer filtering metric=="total"
       // must not double-count this compact repeat of the totals
       s"""{"metric":"total_compact","value":$coldTotal,"unit":"sec","warm_total":$warmTotal,"bridge_63q_warm":$bridgeWarm,"bridge_63q_n":$bridgeN,"n_queries":${cold.size},"n_errors":${errors.size},"errors":${jsErr(errors)},"noise_cold":$n0,"noise_warm1":$n1,"noise_warm2":$n2,"noise_shuffle_cold":$s0,"noise_shuffle_warm1":$s1,"noise_shuffle_warm2":$s2,"sf":"$sfDir"}""")
@@ -252,7 +270,23 @@ object Bench {
         val qs = SparkEntry.queries.filter {
           case (k, _) => !excluded(k)
         }
-        render(qs, spark, sfDir).foreach(println)
+        val lines = render(qs, spark, sfDir)
+        // belt-and-braces against stdout tail truncation: the FULL artifact
+        // also lands in a file (best-effort — a read-only cwd must not fail
+        // the bench). Announced BEFORE the lines so the compact totals line
+        // stays the final stdout line (tail-parsing consumers rely on it).
+        try {
+          val out = java.nio.file.Paths.get(sys.env.getOrElse(
+            "SPARK_GRAFT_BENCH_ARTIFACT", "plans/bench_artifact.jsonl"))
+          Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+          java.nio.file.Files.write(out,
+            lines.mkString("", "\n", "\n").getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+          println(s"""{"metric":"artifact_file","path":"${out.toAbsolutePath}"}""")
+        } catch { case e: Exception =>
+          println(s"""{"metric":"artifact_file","error":"${e.getClass.getSimpleName}"}""")
+        }
+        lines.foreach(println)
       } finally spark.stop()
     } finally {
       deleteRecursively(new java.io.File(System.getProperty("graft.tmpdir")))

@@ -734,11 +734,10 @@ object Dedup {
         !fsW.exists(new org.apache.hadoop.fs.Path(
           IndexFiles.tablePath(spark, dir, "bands")))
       if (freshBootstrap) {
-        val shinglesF = scala.concurrent.Future(writeShingles())(
-          scala.concurrent.ExecutionContext.global)
-        writeBands()
-        scala.concurrent.Await.result(shinglesF,
-          scala.concurrent.duration.Duration.Inf)
+        // Par.overlap (not bare Future/Await): a writeBands failure must
+        // still await the shingles write before the finally unpersists
+        // sigs under its running job
+        Par.overlap(writeShingles())(writeBands())
       } else {
         writeShingles()
         writeBands()
@@ -822,20 +821,31 @@ object Dedup {
     // resolution could pair a retrain's rows with the pre-retrain meta
     // (rows that then silently never collide) or revert the retrain
     // outright.
-    IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
-      val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
-      val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
-      val df0 = readLshBandsAt(spark, bandsPath)
-        .select(col("band"), col("bsig"), col("doc_id"))
-      val df = if (dedupeRows) df0.distinct() else df0
-      df.repartition(col("band")).write.mode("overwrite")
-        .partitionBy("band").parquet(next)
-      IndexFiles.ensureReadable(df, next)
-      writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
+    // The two table compacts are independent row-identical rewrites of
+    // DISJOINT tables — concurrent driver-thread jobs (r19, guide §2.6;
+    // the Retrieval.compactIndex rationale: each cuts over atomically and
+    // row-identically, so a reader or crash sees old-or-new per table
+    // with identical rows either way). Fault-point semantics re-derived
+    // (IndexInterleaveSpec): the hook fires AFTER both compacts with no
+    // lease held — a competing verb racing the in-flight pair hits a held
+    // table lease and aborts loudly (the exact-or-loud-abort matrix).
+    Par.overlap {
+      IndexFiles.compact(spark, dir, "shingles", None, dedupeRows,
+        schema = Some(lshShinglesSchema))
+    } {
+      IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
+        val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
+        val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
+        val df0 = readLshBandsAt(spark, bandsPath)
+          .select(col("band"), col("bsig"), col("doc_id"))
+        val df = if (dedupeRows) df0.distinct() else df0
+        df.repartition(col("band")).write.mode("overwrite")
+          .partitionBy("band").parquet(next)
+        IndexFiles.ensureReadable(df, next)
+        writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
+      }
     }
     FaultPoints.afterTable("lsh.compact", "bands")
-    IndexFiles.compact(spark, dir, "shingles", None, dedupeRows,
-      schema = Some(lshShinglesSchema))
     IndexFiles.compactLedgers(spark, dir)
   }
 
@@ -852,32 +862,58 @@ object Dedup {
   def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, docIds: DataFrame, idCol: String = "doc_id"): Unit = {
     val del = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
-    IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
-      // geometry + rows from ONE bands version inside the lease (the
-      // compactLshIndex rationale)
-      val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
-      val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
-      val bands = readLshBandsAt(spark, bandsPath)
-        .select(col("band"), col("bsig"), col("doc_id"))
-        .join(del, Seq("doc_id"), "left_anti")
-        .select("band", "bsig", "doc_id")
-      bands.repartition(col("band")).write.mode("overwrite")
-        .partitionBy("band").parquet(next)
-      IndexFiles.ensureReadable(bands, next)
-      // re-embed the live geometry: a delete after a retrain must not
-      // strand the retrained meta in the pruned old version
-      writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
+    // The two anti-join rewrites are independent O(index) jobs over
+    // DISJOINT tables — COMPUTED concurrently (r19, guide §2.6, the
+    // Retrieval.deleteFromIndex shape) with the PUBLISH order preserved:
+    // the shingles rewrite runs on a driver thread but gates its cutover
+    // on the bands cutover having landed (bands-first keeps the
+    // documented window shape: a half-landed delete leaves dead SHINGLE
+    // rows — invisible, the probe's candidates come from bands — never
+    // dead band rows beyond what a concurrent retrain can synthesize).
+    // If the bands rewrite fails, the gate propagates and the shingles
+    // rewrite aborts UNPUBLISHED; Par.overlap always awaits it.
+    // Fault-point semantics re-derived (IndexInterleaveSpec): the hook
+    // fires AFTER both rewrites, no lease held — the bands-published-
+    // shingles-pending window is no longer an injectable seam (a
+    // competing verb racing it aborts on the held shingles lease).
+    val bandsPublished = scala.concurrent.Promise[Unit]()
+    Par.overlap {
+      // no explicit coalesce: AQE sizes the post-join output (the
+      // deleteFromIndex doclens rationale — shingle sets are the WIDE
+      // table here, a fixed tiny count would bottleneck the rewrite)
+      IndexFiles.writeNextVersion(spark, dir, "shingles") { next =>
+        val shingles = readLshShingles(spark, dir)
+          .join(del, Seq("doc_id"), "left_anti")
+        shingles.write.mode("overwrite").parquet(next)
+        IndexFiles.ensureReadable(shingles, next)
+        // publish-order gate (see above): bands must cut over first
+        scala.concurrent.Await.result(bandsPublished.future,
+          scala.concurrent.duration.Duration.Inf)
+      }
+    } {
+      try {
+        IndexFiles.writeNextVersion(spark, dir, "bands") { next =>
+          // geometry + rows from ONE bands version inside the lease (the
+          // compactLshIndex rationale)
+          val bandsPath = IndexFiles.tablePath(spark, dir, "bands")
+          val (k, nBands, shingleN) = readLshMetaAt(spark, dir, bandsPath)
+          val bands = readLshBandsAt(spark, bandsPath)
+            .select(col("band"), col("bsig"), col("doc_id"))
+            .join(del, Seq("doc_id"), "left_anti")
+            .select("band", "bsig", "doc_id")
+          bands.repartition(col("band")).write.mode("overwrite")
+            .partitionBy("band").parquet(next)
+          IndexFiles.ensureReadable(bands, next)
+          // re-embed the live geometry: a delete after a retrain must not
+          // strand the retrained meta in the pruned old version
+          writeLshMeta(spark, k, nBands, shingleN, s"$next/_meta")
+        }
+        bandsPublished.success(())
+      } catch {
+        case e: Throwable => bandsPublished.failure(e); throw e
+      }
     }
     FaultPoints.afterTable("lsh.delete", "bands")
-    // no explicit coalesce: AQE sizes the post-join output (the
-    // deleteFromIndex doclens rationale — shingle sets are the WIDE
-    // table here, a fixed tiny count would bottleneck the rewrite)
-    IndexFiles.writeNextVersion(spark, dir, "shingles") { next =>
-      val shingles = readLshShingles(spark, dir)
-        .join(del, Seq("doc_id"), "left_anti")
-      shingles.write.mode("overwrite").parquet(next)
-      IndexFiles.ensureReadable(shingles, next)
-    }
   }
 
   /** MERGE another persisted LSH index into this one — the shard-union

@@ -11,9 +11,12 @@ package graft.operators
   * window between an operation's table writes: each multi-table verb
   * calls [[afterTable]] once per completed table write, while holding NO
   * lease; a spec swaps in a handler that runs the competing verb
-  * synchronously at the chosen point. Production never touches this —
-  * the default handler is a no-op and the call sites are outside every
-  * timed/leased region.
+  * synchronously at the chosen point. Verbs whose table writes overlap
+  * as concurrent driver jobs (compact and delete, since r19) fire both
+  * hooks AFTER both writes — still lease-free, but the between-writes
+  * window is no longer an injectable seam there. Production never
+  * touches this — the default handler is a no-op and the call sites are
+  * outside every timed/leased region.
   */
 private[graft] object FaultPoints {
 

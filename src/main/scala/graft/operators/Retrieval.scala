@@ -265,12 +265,6 @@ object Retrieval {
     base.withColumn("stats_epoch", lit(epoch))
   }
 
-  /** The stats epoch of a read stats table — 0 for pre-epoch legacy
-    * tables (every later ground-truth recompute starts counting there).
-    */
-  private def statsEpochOf(stats: DataFrame): Long =
-    stats.select(coalesce(col("stats_epoch"), lit(0L))).head().getLong(0)
-
   /** Recompute df / n_docs / sum_dl from the LIVE postings and doclens
     * tables and write them (stamped `epoch`) to `next` — the shared
     * ground-truth recompute of [[rebuildStats]] and the epoch-detected
@@ -353,17 +347,19 @@ object Retrieval {
         // doclens-first and writeLshRows' shingles-first are
         // reader-correctness contracts). The doclens write back-fills
         // the executors the postings write's task tail leaves idle.
-        val doclensWrite = scala.concurrent.Future {
+        // Par.overlap (not bare Future/Await): a postings-write failure
+        // must still await the doclens write before the finally
+        // unpersists docsTok under its running job
+        Par.overlap {
           docsTok.select(col("doc_id"), col("dl")).write.mode("overwrite")
             .parquet(IndexFiles.tablePath(spark, dir, "doclens"))
-        }(scala.concurrent.ExecutionContext.global)
-        // repartition on the partition column: each bucket lands in one
-        // task, one file per bucket directory (the writeLists discipline)
-        postings.repartition(col("bucket")).write.mode("overwrite")
-          .partitionBy("bucket")
-          .parquet(IndexFiles.tablePath(spark, dir, "postings"))
-        scala.concurrent.Await.result(doclensWrite,
-          scala.concurrent.duration.Duration.Inf)
+        } {
+          // repartition on the partition column: each bucket lands in one
+          // task, one file per bucket directory (the writeLists discipline)
+          postings.repartition(col("bucket")).write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(IndexFiles.tablePath(spark, dir, "postings"))
+        }
         val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
         val totals = spark.range(1).select(lit(nDocs).as("n_docs"),
           lit(sumDl).as("sum_dl"))
@@ -510,11 +506,26 @@ object Retrieval {
     */
   def compactIndex(spark: SparkSession, dir: String,
       dedupeRows: Boolean = false): Unit = {
-    IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows,
-      schema = Some(postingsSchema))
+    // the two table compacts are independent row-identical rewrites of
+    // DISJOINT tables, each under its own lease + versioned swap — run
+    // them as concurrent driver-thread jobs (r19, guide §2.6: the doclens
+    // compact back-fills the executors the postings rewrite's task tail
+    // leaves idle). No cross-table content invariant is at stake: each
+    // table cuts over atomically and row-identically, so a reader (or a
+    // crash) sees old-or-new per table with identical rows either way.
+    // Fault-point semantics re-derived (IndexInterleaveSpec): both hooks
+    // now fire AFTER both compacts, with no lease held — the formerly
+    // observable between-the-two-compacts window no longer exists (a
+    // competing verb racing the in-flight pair hits a held table lease
+    // and aborts loudly, per the documented exact-or-loud-abort matrix).
+    Par.overlap {
+      IndexFiles.compact(spark, dir, "doclens", None, dedupeRows,
+        schema = Some(doclensSchema))
+    } {
+      IndexFiles.compact(spark, dir, "postings", Some("bucket"), dedupeRows,
+        schema = Some(postingsSchema))
+    }
     FaultPoints.afterTable("bm25.compact", "postings")
-    IndexFiles.compact(spark, dir, "doclens", None, dedupeRows,
-      schema = Some(doclensSchema))
     FaultPoints.afterTable("bm25.compact", "doclens")
     IndexFiles.compactLedgers(spark, dir)
     if (dedupeRows) rebuildStats(spark, dir)
@@ -564,27 +575,62 @@ object Retrieval {
   def deleteFromIndex(spark: SparkSession, dir: String, docIds: DataFrame,
       idCol: String = "doc_id"): Unit = {
     val del = docIds.select(col(idCol).cast("long").as("doc_id")).distinct()
+    // The two anti-join rewrites are independent O(index) jobs over
+    // DISJOINT tables — COMPUTED concurrently (r19, guide §2.6) with the
+    // PUBLISH order preserved: the postings rewrite runs on a driver
+    // thread but gates its cutover on the doclens cutover having landed
+    // (doclens-first is the reader contract — searchIndex's
+    // postings–doclens join is inner, so a deleted doc stops being
+    // servable at the FIRST cutover; publishing postings first would
+    // open a window where the doc still serves). The gate sits inside
+    // writeNextVersion's callback, after the data write and before the
+    // fenced publish; the lease heartbeat keeps the postings lease fresh
+    // while it waits. If the doclens rewrite fails, the gate propagates
+    // the failure and the postings rewrite aborts UNPUBLISHED (its
+    // next-version residue is cleared by the next rewrite), and
+    // Par.overlap still awaits it — no abandoned job outlives the call.
+    // Crash windows are unchanged from the sequential shape: doclens may
+    // cut over without postings (dead postings rows, dropped by the
+    // join), never the reverse.
+    //
     // no explicit coalesce: the anti-join's shuffle gives AQE the seam to
     // size the output partitions (a fixed tiny count would serialize the
     // rewrite of a corpus-scale doclens table into a handful of tasks);
-    // source tables resolve INSIDE each lease (IndexFiles rule)
-    IndexFiles.writeNextVersion(spark, dir, "doclens") { next =>
-      val doclens = readDoclens(spark, dir)
-        .join(del, Seq("doc_id"), "left_anti")
-      doclens.write.mode("overwrite").parquet(next)
-      IndexFiles.ensureReadable(doclens, next)
+    // source tables resolve INSIDE each lease (IndexFiles rule).
+    // Fault-point semantics re-derived (IndexInterleaveSpec, as in
+    // compactIndex): both hooks fire AFTER both rewrites, no lease held —
+    // the doclens-published-postings-pending window is no longer an
+    // injectable seam (a competing verb racing it aborts on the held
+    // postings lease, per the exact-or-loud-abort matrix).
+    val doclensPublished = scala.concurrent.Promise[Unit]()
+    Par.overlap {
+      IndexFiles.writeNextVersion(spark, dir, "postings") { next =>
+        val postings = readPostings(spark, dir)
+          .select(col("bucket"), col("term"), col("doc_id"), col("tf"))
+          .join(del, Seq("doc_id"), "left_anti")
+        postings.repartition(col("bucket")).write.mode("overwrite")
+          .partitionBy("bucket").parquet(next)
+        // a full purge leaves zero files in a partitioned overwrite —
+        // land the schema so the table stays readable
+        IndexFiles.ensureReadable(postings, next)
+        // publish-order gate (see above): doclens must cut over first
+        scala.concurrent.Await.result(doclensPublished.future,
+          scala.concurrent.duration.Duration.Inf)
+      }
+    } {
+      try {
+        IndexFiles.writeNextVersion(spark, dir, "doclens") { next =>
+          val doclens = readDoclens(spark, dir)
+            .join(del, Seq("doc_id"), "left_anti")
+          doclens.write.mode("overwrite").parquet(next)
+          IndexFiles.ensureReadable(doclens, next)
+        }
+        doclensPublished.success(())
+      } catch {
+        case e: Throwable => doclensPublished.failure(e); throw e
+      }
     }
     FaultPoints.afterTable("bm25.delete", "doclens")
-    IndexFiles.writeNextVersion(spark, dir, "postings") { next =>
-      val postings = readPostings(spark, dir)
-        .select(col("bucket"), col("term"), col("doc_id"), col("tf"))
-        .join(del, Seq("doc_id"), "left_anti")
-      postings.repartition(col("bucket")).write.mode("overwrite")
-        .partitionBy("bucket").parquet(next)
-      // a full purge leaves zero files in a partitioned overwrite —
-      // land the schema so the table stays readable
-      IndexFiles.ensureReadable(postings, next)
-    }
     FaultPoints.afterTable("bm25.delete", "postings")
     rebuildStats(spark, dir)
   }

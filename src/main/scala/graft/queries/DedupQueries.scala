@@ -195,15 +195,14 @@ object DedupQueries {
       // the two shard saves are independent (disjoint inputs, disjoint
       // dirs) — concurrent driver-thread jobs (guide §2.6); the merge
       // below still sees both fully built (Await before it)
-      val aBuild = scala.concurrent.Future {
+      graft.operators.Par.overlap {
         Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 1)
           .select(col("doc_id"), col("text")), "doc_id", "text", a, K, BANDS)
-      }(scala.concurrent.ExecutionContext.global)
-      Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 2)
-        .select(col("doc_id"), col("text")).unionByName(planted),
-        "doc_id", "text", b, K, BANDS)
-      scala.concurrent.Await.result(aBuild,
-        scala.concurrent.duration.Duration.Inf)
+      } {
+        Dedup.saveLshIndex(docs.where(col("doc_id") % 3 === 2)
+          .select(col("doc_id"), col("text")).unionByName(planted),
+          "doc_id", "text", b, K, BANDS)
+      }
       Dedup.mergeLshIndexes(s, a, b)
       Dedup.matchesAgainstLshIndex(s, a, docs.where(col("doc_id") % 3 === 0),
           maxBucket = None)

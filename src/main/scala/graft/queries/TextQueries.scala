@@ -444,16 +444,15 @@ object TextQueries {
       // dirs) — run them as concurrent driver-thread jobs (guide §2.6)
       // so one build's task tail back-fills with the other's work; the
       // merge below still sees both fully built (Await before it)
-      val evenBuild = scala.concurrent.Future {
+      graft.operators.Par.overlap {
         graft.operators.Retrieval.buildIndex(
           docs.where(pmod(col("doc_id"), lit(2L)) === 0L), even)
-      }(scala.concurrent.ExecutionContext.global)
-      // the odd shard deliberately uses a DIFFERENT bucket modulus: the
-      // merge must re-bucket, not trust the foreign geometry
-      graft.operators.Retrieval.buildIndex(
-        docs.where(pmod(col("doc_id"), lit(2L)) === 1L), odd, nBuckets = 32)
-      scala.concurrent.Await.result(evenBuild,
-        scala.concurrent.duration.Duration.Inf)
+      } {
+        // the odd shard deliberately uses a DIFFERENT bucket modulus: the
+        // merge must re-bucket, not trust the foreign geometry
+        graft.operators.Retrieval.buildIndex(
+          docs.where(pmod(col("doc_id"), lit(2L)) === 1L), odd, nBuckets = 32)
+      }
       graft.operators.Retrieval.mergeIndexes(s, even, odd)
       graft.operators.Retrieval.searchIndex(s, even, bm25Queries, k = 10)
         .orderBy("q_id", "rank")

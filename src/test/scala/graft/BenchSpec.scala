@@ -26,8 +26,20 @@ class BenchSpec extends AnyFunSuite {
       s.range(5).toDF("id").where(blow(col("id")))
     }))
 
+  /** render() = full line, one short line per query, compact totals line
+    * LAST — the driver's collector keeps an output tail, so the sacrifice
+    * order under truncation is exactly the Seq order.
+    */
+  private def lines(qs: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame]): (String, Seq[String], String) = {
+    val ls = Bench.render(qs, spark, "/unused")
+    assert(ls.size == qs.size + 2,
+      "render must emit full + one-per-query + compact lines")
+    (ls.head, ls.tail.init, ls.last)
+  }
+
   test("a throwing query is a sentinel + error entry, not a fake duration") {
-    val Seq(full, compact) = Bench.render(queries, spark, "/unused")
+    val (full, _, compact) = lines(queries)
     implicit val fmts: Formats = DefaultFormats
     val f = JsonMethods.parse(full)
     val c = JsonMethods.parse(compact)
@@ -66,7 +78,7 @@ class BenchSpec extends AnyFunSuite {
       "q01_scan_filter_project" -> ((s, _) => s.range(10).toDF("id")),
       "q99_not_in_bridge" -> ((s, _) => s.range(10).toDF("id")),
       "q02_qc_mask" -> ((s, _) => s.range(5).toDF("id").where(blow(col("id")))))
-    val Seq(full, compact) = Bench.render(qs, spark, "/unused")
+    val (full, _, compact) = lines(qs)
     implicit val fmts: Formats = DefaultFormats
     for (line <- Seq(full, compact)) {
       val j = JsonMethods.parse(line)
@@ -80,10 +92,39 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("an all-green run emits an empty errors list") {
-    val Seq(full, compact) = Bench.render(queries - "boom", spark, "/unused")
+    val (full, _, compact) = lines(queries - "boom")
     implicit val fmts: Formats = DefaultFormats
     assert((JsonMethods.parse(full) \ "errors").extract[Seq[String]].isEmpty)
     assert((JsonMethods.parse(compact) \ "n_errors").extract[Int] == 0)
+  }
+
+  test("per-query lines: one short JSONL line each, consistent with the full maps") {
+    // the r19 driver-parseability contract (two rounds of PERF per_query
+    // were lost to tail truncation of the 12 KB full line): every query
+    // gets its own {"q","cold","warm"} line between the full line and the
+    // compact totals line; values match the full maps to the 0.1 ms
+    // rounding, and the failure sentinel passes through as exactly -1.0
+    val (full, perQ, compact) = lines(queries)
+    implicit val fmts: Formats = DefaultFormats
+    val f = JsonMethods.parse(full)
+    val coldMap = (f \ "queries").extract[Map[String, Double]]
+    val warmMap = (f \ "queries_warm").extract[Map[String, Double]]
+    assert(perQ.size == queries.size)
+    assert(perQ.forall(_.length < 120), "per-query lines must stay short")
+    val parsed = perQ.map { l =>
+      val j = JsonMethods.parse(l)
+      ((j \ "q").extract[String],
+        (j \ "cold").extract[Double], (j \ "warm").extract[Double])
+    }
+    assert(parsed.map(_._1).toSet == queries.keySet)
+    parsed.foreach { case (q, c, w) =>
+      assert(math.abs(c - coldMap(q)) <= 5e-5 || (c == -1.0 && coldMap(q) == -1.0))
+      assert(math.abs(w - warmMap(q)) <= 5e-5 || (w == -1.0 && warmMap(q) == -1.0))
+    }
+    val (bc, bw) = parsed.collectFirst { case ("boom", c, w) => (c, w) }.get
+    assert(bc == -1.0 && bw == -1.0, "the sentinel must pass through exactly")
+    // the compact totals line stays LAST — the always-intact tail line
+    assert((JsonMethods.parse(compact) \ "metric").extract[String] == "total_compact")
   }
 
   test("pass sweeps a query's q-prefixed temp index dirs after forcing it") {
@@ -119,7 +160,7 @@ class BenchSpec extends AnyFunSuite {
     // the self-describing-artifact contract: a loaded-host recording must
     // be adjudicable from the artifact alone — one probe before each pass,
     // all three on BOTH lines, every timing a real positive duration
-    val Seq(full, compact) = Bench.render(queries - "boom", spark, "/unused")
+    val (full, _, compact) = lines(queries - "boom")
     implicit val fmts: Formats = DefaultFormats
     for (j <- Seq(JsonMethods.parse(full), JsonMethods.parse(compact));
          field <- Seq("noise_cold", "noise_warm1", "noise_warm2")) {

@@ -19,10 +19,15 @@ import graft.operators.{Dedup, FaultPoints, IndexFiles, Retrieval}
   * verbs are FULLY serialized by the lists lease — no cross-table
   * window exists to interleave (documented, not tested).
   *
-  * Each test drives operation A to the window between two of its table
-  * writes (the [[graft.operators.FaultPoints]] seam — fired with no
-  * lease held) and runs the competing operation B to completion there,
-  * then asserts the landed state against a one-shot build.
+  * Each test drives operation A to a [[graft.operators.FaultPoints]]
+  * window (fired with no lease held) and runs the competing operation B
+  * to completion there, then asserts the landed state against a one-shot
+  * build. For the verbs whose table writes run SEQUENTIALLY (append,
+  * merge) the window sits between the two writes; the verbs whose writes
+  * overlap as concurrent driver jobs since r19 (compact, delete) fire
+  * their hooks after BOTH writes — the between-writes window is no
+  * longer injectable there (a competitor truly racing the in-flight pair
+  * aborts loudly on a held table lease).
   */
 class IndexInterleaveSpec extends AnyFunSuite {
   val spark = TestSpark.spark
@@ -330,26 +335,24 @@ class IndexInterleaveSpec extends AnyFunSuite {
       "lsh delete∥merge")
   }
 
-  test("lsh delete ∥ retrain: dead band rows are invisible (verify join drops them); re-delete cleans") {
-    // the retrain re-bands from shingles that still carry the deleted
-    // doc (its shingle rewrite hasn't landed yet) — the landed state has
-    // band rows for doc 2 but no shingles, and the probe's verification
-    // inner-join makes those rows INVISIBLE, never a wrong veto
+  test("lsh delete ∥ retrain: exact (the delete's rewrites overlap; the hook fires after both)") {
+    // r19: the delete's bands/shingles rewrites run as concurrent
+    // driver-thread jobs (bands still publishes first), so the formerly
+    // injectable bands-published-shingles-pending window — where a
+    // retrain re-banded the deleted doc's still-present shingles into
+    // dead band rows — is gone: the hook fires after BOTH rewrites and a
+    // retrain truly racing the in-flight pair aborts loudly on the held
+    // shingles lease instead. At the new window the retrain re-bands
+    // from the already-purged shingles: the landed state is EXACT with
+    // no residue and nothing to repair.
     val d = lhost()
     interleave("lsh.delete" -> "bands") {
       Dedup.retrainLshIndex(spark, d, k = 8, nBands = 4)
     } { Dedup.deleteFromLshIndex(spark, d, Seq(2L).toDF("doc_id")) }
-    assert(rows(d, "bands") >
-      rows(lOneShot(Seq(0, 1, 3, 4, 5), k = 8, nBands = 4), "bands"),
-      "the landed state carries doc 2's dead band rows by construction")
-    assertLshExact(d, Seq(0, 1, 3, 4, 5), "lsh delete∥retrain",
-      k = 8, nBands = 4)
-    // re-running the delete (the at-least-once recipe) drops the residue
-    Dedup.deleteFromLshIndex(spark, d, Seq(2L).toDF("doc_id"))
     val one = lOneShot(Seq(0, 1, 3, 4, 5), k = 8, nBands = 4)
     assert(rows(d, "bands") == rows(one, "bands"),
-      "re-delete must remove the dead band rows")
-    assertLshExact(d, Seq(0, 1, 3, 4, 5), "lsh delete∥retrain re-deleted",
+      "no dead band rows: the retrain saw the purged shingles")
+    assertLshExact(d, Seq(0, 1, 3, 4, 5), "lsh delete∥retrain",
       k = 8, nBands = 4)
   }
 
