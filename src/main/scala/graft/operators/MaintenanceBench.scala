@@ -113,8 +113,8 @@ object MaintenanceBench {
   def main(args: Array[String]): Unit = {
     val nBase = if (args.length > 0) args(0).toLong else 1000000L
     val mode = if (args.length > 1) args(1) else "verbs"
-    require(Set("verbs", "composed", "all", "liveserve", "liveserve3")(mode),
-      s"unknown mode $mode")
+    require(Set("verbs", "composed", "all", "liveserve", "liveserve3",
+      "streamingest")(mode), s"unknown mode $mode")
     val live = mode.startsWith("liveserve")
     val builder = SparkSession.builder()
       .master("local[32]")
@@ -131,9 +131,168 @@ object MaintenanceBench {
       if (mode == "composed" || mode == "all") composed(spark, nBase)
       if (mode == "liveserve") liveServe(spark, nBase)
       if (mode == "liveserve3") liveServe3(spark, nBase)
+      if (mode == "streamingest") streamIngest(spark, nBase)
     } finally {
       spark.stop()
       deleteRecursively(tmpRoot.toFile)
+    }
+  }
+
+  // ==================== streamingest mode ====================
+
+  /** Time the foreachBatch APPEND path per family — the streaming twins'
+    * measured surface (r19; the paths inherited r18's supplied-schema /
+    * sidecar / fused-metadata wins without a recorded number). The batch
+    * bodies ([[graft.streaming.StreamingOps.ingestBatch]] /
+    * `ingestVectorsBatch` / `indexDocumentsBatch`) ARE the stream —
+    * foreachBatch calls exactly them — so timing a micro-batch sequence
+    * through them measures the streaming ingest path without Structured
+    * Streaming trigger/checkpoint noise. Invariants crash the run (the
+    * CompactionBench discipline): planted exact duplicates must be
+    * vetoed, unique rows must land, and a replayed batchId must be a
+    * ledger-skipped no-op (its time rides along as `replay_sec` — the
+    * pure ledger-probe overhead). One JSON line per family.
+    */
+  private def streamIngest(spark: SparkSession, nBase: Long): Unit = {
+    import graft.streaming.StreamingOps
+    graft.plans.NativeHash48.register(spark)
+    val nBatches = 4
+    val nPer = math.max(250L, nBase / 64)
+
+    // ---- LSH dedup ingest (ingestBatch: self-dedup + index veto +
+    //      index append + corpus sink) ----
+    locally {
+      val root = tmp("si_lsh")
+      val idx = s"$root/index"; val corpusOut = s"$root/corpus"
+      val corpus = CorpusBench.synth(spark, nBase).persist(mem)
+      corpus.count()
+      val (tBoot, _) = timed(
+        Dedup.saveLshIndex(corpus, "doc_id", "text", idx, k = 16, nBands = 8))
+      // batch b: nPer exact seed copies (jaccard 1.0 — must veto at any
+      // geometry) + nPer namespaced uniques (zero shingle overlap — must
+      // all land); disjoint id spaces per role
+      def mkBatch(b: Int): DataFrame = corpus
+        .where(col("doc_id") >= b * nPer && col("doc_id") < (b + 1) * nPer)
+        .select((col("doc_id") + lit(6L * nBase)).as("doc_id"), col("text"))
+        .unionByName(spark.range(b * nPer, (b + 1) * nPer)
+          .select((col("id") + lit(7L * nBase)).as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(1), lit(40)),
+              i => concat(lit("u"), col("id").cast("string"), lit("t"),
+                i.cast("string")))).as("text")))
+      val per = (0 until nBatches).map { b =>
+        val (t, _) = timed(StreamingOps.ingestBatch(mkBatch(b), idx,
+          corpusOut, jaccardThreshold = 0.8,
+          batchId = Some(b.toLong), appId = Some("si_lsh")))
+        r3(t)
+      }
+      // replayed batchId: ledger-skip, nothing changes
+      val (tReplay, _) = timed(StreamingOps.ingestBatch(mkBatch(0), idx,
+        corpusOut, jaccardThreshold = 0.8,
+        batchId = Some(0L), appId = Some("si_lsh")))
+      val landed = spark.read.parquet(corpusOut).select("doc_id").persist(mem)
+      val nLanded = landed.count()
+      val nCopies = landed.where(col("doc_id") >= 6L * nBase &&
+        col("doc_id") < 7L * nBase).count()
+      landed.unpersist()
+      require(nCopies == 0L,
+        s"streamingest lsh: $nCopies planted exact copies survived the veto")
+      require(nLanded == nBatches * nPer,
+        s"streamingest lsh: ${nBatches * nPer} uniques expected in the " +
+          s"corpus sink, found $nLanded (replay must not duplicate)")
+      println(s"""{"metric":"streamingest_lsh","n_base":$nBase,""" +
+        s""""n_per_batch":${2 * nPer},"n_batches":$nBatches,""" +
+        s""""bootstrap_sec":${r3(tBoot)},"ingest_sec":${r3(per.sum)},""" +
+        s""""per_batch_sec":${per.mkString("[", ",", "]")},""" +
+        s""""replay_sec":${r3(tReplay)},"survivors":$nLanded}""")
+    }
+
+    // ---- IVF vector ingest (ingestVectorsBatch: in-batch SemDeDup +
+    //      index probe + index append + corpus sink) ----
+    locally {
+      val root = tmp("si_vec")
+      val idx = s"$root/index"; val corpusOut = s"$root/corpus"
+      val dim = 64
+      val base = AnnBench.synth(spark, nBase, dim,
+        nClusters = math.max(4, math.sqrt(nBase.toDouble).toInt))
+        .persist(mem)
+      base.count()
+      val (tBoot, _) = timed(Similarity.saveIvfIndex(
+        Similarity.buildIvfIndex(base, nCells =
+          math.max(8, math.sqrt(nBase.toDouble).toInt), dim = dim), idx))
+      // batch b: nPer planted exact copies of indexed vectors (cosine 1.0
+      // — every one must drop; the SemDedupBench incremental gate) + nPer
+      // fresh cluster vectors (survivor count reported, not asserted —
+      // clustered uniques may legitimately near-dup each other)
+      def mkBatch(b: Int): DataFrame = base
+        .where(col("vec_id") >= b * nPer && col("vec_id") < (b + 1) * nPer)
+        .select((col("vec_id") + lit(6L * nBase)).as("vec_id"),
+          col("embedding"))
+        .unionByName(
+          AnnBench.synth(spark, nBase + (b + 2) * nPer, dim,
+            nClusters = math.max(4, math.sqrt(nBase.toDouble).toInt))
+            .where(col("vec_id") >= nBase + (b + 1) * nPer)
+            .select((col("vec_id") + lit(7L * nBase)).as("vec_id"),
+              col("embedding")))
+      val per = (0 until nBatches).map { b =>
+        val (t, _) = timed(StreamingOps.ingestVectorsBatch(mkBatch(b), idx,
+          corpusOut, cosineThreshold = 0.99,
+          batchId = Some(b.toLong), appId = Some("si_vec")))
+        r3(t)
+      }
+      val (tReplay, _) = timed(StreamingOps.ingestVectorsBatch(mkBatch(0),
+        idx, corpusOut, cosineThreshold = 0.99,
+        batchId = Some(0L), appId = Some("si_vec")))
+      val landed = spark.read.parquet(corpusOut).select("vec_id").persist(mem)
+      val nLanded = landed.count()
+      val nPlanted = landed.where(col("vec_id") >= 6L * nBase &&
+        col("vec_id") < 7L * nBase).count()
+      landed.unpersist()
+      require(nPlanted == 0L,
+        s"streamingest vec: $nPlanted planted exact copies survived")
+      println(s"""{"metric":"streamingest_vec","n_base":$nBase,""" +
+        s""""n_per_batch":${2 * nPer},"n_batches":$nBatches,"dim":$dim,""" +
+        s""""bootstrap_sec":${r3(tBoot)},"ingest_sec":${r3(per.sum)},""" +
+        s""""per_batch_sec":${per.mkString("[", ",", "]")},""" +
+        s""""replay_sec":${r3(tReplay)},"survivors":$nLanded}""")
+    }
+
+    // ---- BM25 document indexing (indexDocumentsBatch: postings/doclens
+    //      append + additive stats merge) ----
+    locally {
+      val root = tmp("si_bm25")
+      val idx = s"$root/index"
+      val corpus = CorpusBench.synth(spark, nBase + nBatches * nPer)
+        .persist(mem)
+      corpus.count()
+      val (tBoot, _) = timed(
+        Retrieval.buildIndex(corpus.where(col("doc_id") < nBase), idx))
+      def mkBatch(b: Int): DataFrame = corpus
+        .where(col("doc_id") >= nBase + b * nPer &&
+          col("doc_id") < nBase + (b + 1) * nPer)
+      val per = (0 until nBatches).map { b =>
+        val (t, _) = timed(StreamingOps.indexDocumentsBatch(mkBatch(b), idx,
+          batchId = Some(b.toLong), appId = Some("si_bm25")))
+        r3(t)
+      }
+      val (tReplay, _) = timed(StreamingOps.indexDocumentsBatch(mkBatch(0),
+        idx, batchId = Some(0L), appId = Some("si_bm25")))
+      // the additive-merge invariant: n_docs equals seed + every batch,
+      // exactly once (a replayed batch double-counting stats would show
+      // here); the serve must rank from the full ingested corpus
+      val nDocs = spark.read
+        .parquet(IndexFiles.tablePath(spark, idx, "stats"))
+        .select("n_docs").head().getLong(0)
+      require(nDocs == nBase + nBatches * nPer,
+        s"streamingest bm25: stats n_docs $nDocs != " +
+          s"${nBase + nBatches * nPer} (replay must not double-count)")
+      val served = Retrieval.searchIndex(spark, idx,
+        Seq("qa" -> Seq("glider", "ocean", "current")), k = 10).count()
+      require(served == 10L, s"streamingest bm25: serve returned $served rows")
+      println(s"""{"metric":"streamingest_bm25","n_base":$nBase,""" +
+        s""""n_per_batch":$nPer,"n_batches":$nBatches,""" +
+        s""""bootstrap_sec":${r3(tBoot)},"ingest_sec":${r3(per.sum)},""" +
+        s""""per_batch_sec":${per.mkString("[", ",", "]")},""" +
+        s""""replay_sec":${r3(tReplay)},"n_docs":$nDocs}""")
     }
   }
 

@@ -445,9 +445,18 @@ object Similarity {
   private def readCentroids(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Seq[Double]] = {
     // sidecar first (one FS read, bit-exact, no Spark job); parquet
-    // fallback for pre-sidecar indexes
+    // fallback for pre-sidecar indexes. Validated like the codebooks
+    // sidecar (r19): a corrupt or hand-edited file would otherwise yield
+    // ragged or empty centroids that only surface later as confusing
+    // probe errors — require non-empty and uniform row width, with the
+    // dense 0..n-1 cell-id contract holding by line order.
     readSidecar(spark, path, "_centroids.txt").foreach { txt =>
-      return txt.split("\n").toSeq.map(unhexRow)
+      val cents = txt.split("\n").toSeq.map(unhexRow)
+      require(cents.nonEmpty && cents.forall(_.size == cents.head.size),
+        s"centroids sidecar at $path is torn: expected non-empty " +
+          "uniform-width rows (one hex row per cell, line i = cell i); " +
+          "delete the sidecar to fall back to the parquet table")
+      return cents
     }
     val cents = spark.read.schema(centroidsSchema).parquet(path)
       .orderBy("cell").collect()
@@ -510,25 +519,38 @@ object Similarity {
     // slice(reverse(array_sort(...))) form cell-for-cell
     val probed = graft.plans.NativeTopCells.topCellsCol(queries.sparkSession,
       col("q_vec"), 0, cents, Seq.fill(cents.size)(0.0), nProbe)
-    val exploded = queries.select(col(idCol).as("q_id"),
+    queries.select(col(idCol).as("q_id"),
         Vec.asDouble(col(vecCol)).as("q_vec"))
       .withColumn("cell", explode(probed))
-    // Parallelism floor (r18, guide §2.6/§6): when the probed lists are
-    // small enough that AQE broadcasts them, the scoring stage inherits
-    // THIS frame's partitioning — and a batch read from a handful of
-    // parquet files arrives in 1-2 partitions, so the per-candidate
-    // cosine scan (the probe's only heavy stage) ran 2-wide on a 32-core
-    // host. Spreading the exploded batch by (q_id, cell) up to the
-    // session's default parallelism is scale-adaptive: a corpus-scale
-    // ingest batch already exceeds the floor and is left untouched (no
-    // added exchange), while a file-count-bound batch fans out to the
-    // cores. Hash keys, never round-robin: deterministic under task
-    // retry (guide §2.5), and (q_id, cell) is exactly the probe's work
-    // unit.
-    val par = queries.sparkSession.sparkContext.defaultParallelism
-    if (exploded.rdd.getNumPartitions < par)
-      exploded.repartition(par, col("q_id"), col("cell"))
-    else exploded
+  }
+
+  /** Parallelism floor for the scoring join (r18, guide §2.6/§6): when
+    * the probed lists are small enough that AQE broadcasts them, the
+    * scoring stage inherits the exploded batch frame's partitioning — and
+    * a batch read from a handful of parquet files arrives in 1-2
+    * partitions, so the per-candidate cosine/ADC scan (the probe's only
+    * heavy stage) ran 2-wide on a 32-core host. Spreading the exploded
+    * batch by (q_id, cell) up to the session's default parallelism is
+    * scale-adaptive: a corpus-scale ingest batch already exceeds the
+    * floor and is left untouched (no added exchange), while a
+    * file-count-bound batch fans out to the cores. Hash keys, never
+    * round-robin: deterministic under task retry (guide §2.5), and
+    * (q_id, cell) is exactly the probe's work unit.
+    *
+    * MUST be called only on the PERSISTED AND ALREADY-MATERIALIZED
+    * exploded frame (r19): the partition-count probe (`.rdd`) builds the
+    * physical plan, and under AQE that materializes every shuffle stage
+    * of an UNCACHED plan — the r18 placement (inside [[probeCellsOf]],
+    * before the caller's persist) silently re-executed the whole
+    * batch-preparation subtree once per probe, ~1.7x on the vector
+    * ingest path (streamingest A/B). On a materialized cache the probe
+    * reads the cached RDD's partition count with no job.
+    */
+  private def spreadForScoring(qExplodedCached: DataFrame): DataFrame = {
+    val par = qExplodedCached.sparkSession.sparkContext.defaultParallelism
+    if (qExplodedCached.rdd.getNumPartitions < par)
+      qExplodedCached.repartition(par, col("q_id"), col("cell"))
+    else qExplodedCached
   }
 
   /** The (cell, vec_id, c_vec, q_id, q_vec) candidate rows a probe
@@ -557,7 +579,9 @@ object Similarity {
       if (probedCells.length < index.centroids.size)
         index.lists.where(col("cell").isin(probedCells.map(Int.box).toSeq: _*))
       else index.lists
-    lists.join(qExploded, "cell").where(col("vec_id") =!= col("q_id"))
+    // spread AFTER the collect materialized the cache (see spreadForScoring)
+    lists.join(spreadForScoring(qExploded), "cell")
+      .where(col("vec_id") =!= col("q_id"))
   }
 
   def probeIvf(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 3,
@@ -1001,11 +1025,12 @@ object Similarity {
       scope: Dedup.CacheScope = Dedup.sessionScope): DataFrame = {
     val qExploded = scope.track(probeCellsOf(index.centroids, queries,
       nProbe, idCol, vecCol))
-    val q = qExploded
-      .select(col("q_id"), col("cell"),
-        adcTable(index.cb, col("q_vec")).as("tbl"))
     val probedCells = qExploded.select("cell").distinct()
       .collect().map(_.getInt(0))
+    // spread AFTER the collect materialized the cache (see spreadForScoring)
+    val q = spreadForScoring(qExploded)
+      .select(col("q_id"), col("cell"),
+        adcTable(index.cb, col("q_vec")).as("tbl"))
     val lists =
       if (probedCells.length < index.centroids.size)
         index.lists.where(col("cell").isin(probedCells.map(Int.box).toSeq: _*))

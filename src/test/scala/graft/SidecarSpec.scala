@@ -65,6 +65,34 @@ class SidecarSpec extends AnyFunSuite {
       "sidecar centroids must be bit-identical to the parquet table")
   }
 
+  test("IVF centroids: a torn sidecar fails loudly, not with ragged rows") {
+    // r19 (the codebooks-parity advice item): the centroids sidecar gets
+    // the same shape validation as the codebooks one — a corrupt or
+    // hand-edited file must abort with the contract spelled out instead
+    // of returning ragged centroids that surface later as probe errors
+    val dir = java.nio.file.Files.createTempDirectory("sc_torn").toString
+    Similarity.saveIvfIndex(Similarity.buildIvfIndex(embs, 8, 64), dir)
+    val side = new java.io.File(s"$dir/centroids/_centroids.txt")
+    assert(side.exists(), "save must have written a centroids sidecar")
+    val lines = java.nio.file.Files.readAllLines(side.toPath)
+    // ragged: drop half the components of the second row
+    val torn = lines.get(0) + "\n" +
+      lines.get(1).split(",").take(3).mkString(",")
+    java.nio.file.Files.writeString(side.toPath, torn)
+    // drop Hadoop LocalFileSystem's CRC shadow so the read reaches the
+    // (torn) content instead of failing on the checksum — object stores
+    // have no CRC shadow, so the content check is the only guard there
+    java.nio.file.Files.deleteIfExists(
+      side.toPath.resolveSibling("._centroids.txt.crc"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.loadIvfIndex(spark, dir)
+    }
+    assert(e.getMessage.contains("sidecar"), e.getMessage)
+    // the documented repair: delete the sidecar, fall back to parquet
+    assert(side.delete())
+    assert(Similarity.loadIvfIndex(spark, dir).centroids.size == 8)
+  }
+
   test("PQ codebooks: sidecar round-trip is bit-exact; probes identical") {
     val dir = java.nio.file.Files.createTempDirectory("sc_pq").toString
     Similarity.saveIvfPqIndex(Similarity.buildIvfPq(embs, nCells = 8,
